@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented SURVEY.md §2B
+operator with its DuckDB oracle. Implementations live in
+``dane_visual_feature_extraction_worker_spark/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from dane_visual_feature_extraction_worker_spark.plans import driver_queries as dq  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: as-of join (cogrouped merge_asof) + point-in-time
+    feature kernel over sf0.001 events."""
+    from dane_visual_feature_extraction_worker_spark.session import tune_for_session
+    from dane_visual_feature_extraction_worker_spark.config import EngineConfig
+
+    tune_for_session(spark, EngineConfig())
+    sf_dir = "/root/testdata/sf0.001"
+    feats = dq.feature_vector_udf(spark, sf_dir)
+    asof = dq.asof_join(spark, sf_dir)
+    return asof.join(
+        feats.select(
+            feats.event_id.alias("purchase_id"), "f0", "f1", "f2", "f5"
+        ),
+        "purchase_id",
+        "left",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2B."""
+    return dict(dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each SQL-expressible query."""
+    return dict(dq.ORACLES)

@@ -1,0 +1,53 @@
+"""Engine configuration + validation.
+
+Spark-native analogue of the reference's eager config validation
+(reference: base_util.py:21-131 validate_config — asserts presence and
+types of every key before any work starts). We validate a typed
+dataclass once at session build instead of a YAML tree.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Validated engine configuration.
+
+    Attributes mirror the knobs the reference reads from YAML
+    (batch size feature_extraction.py:76; device/worker init
+    worker.py:61) plus the Spark-scale knobs the reference lacks.
+    """
+
+    app_name: str = "dane-feature-engine"
+    master: str | None = None  # None -> local[$SPARK_GRAFT_CPUS or *]
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 256  # mirrors reference batch_size=256
+    feature_dim: int = 32
+    session_gap_seconds: float = 1800.0
+    max_partition_bytes: str = "128m"
+    aqe: bool = True
+    checkpoint_dir: str | None = None  # parquet _checkpoints table root
+
+    extra_conf: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not self.app_name:
+            raise ValueError("app_name must be non-empty")
+        if self.shuffle_partitions < 1:
+            raise ValueError("shuffle_partitions must be >= 1")
+        if self.arrow_batch_size < 1:
+            raise ValueError("arrow_batch_size must be >= 1")
+        if self.feature_dim < 1:
+            raise ValueError("feature_dim must be >= 1")
+        if self.session_gap_seconds <= 0:
+            raise ValueError("session_gap_seconds must be > 0")
+
+    @property
+    def resolved_master(self) -> str:
+        if self.master:
+            return self.master
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        return f"local[{cpus}]"

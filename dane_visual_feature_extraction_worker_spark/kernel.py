@@ -1,0 +1,168 @@
+"""Vectorized feature kernel — the Spark analogue of ``apply_model``.
+
+The reference's kernel consumes deterministic batches of 256 items in
+key order, runs a vectorized forward pass, and emits a positional row
+``[timestamp, shot_start, shot_end, features...]`` per item
+(reference: feature_extraction.py:17-32 ``apply_model``; batch iteration
+:75-81; batch size 256 data_handling.py:111-112; output layout confirmed
+by tests/unit/feature_extraction_test.py:56-60).
+
+Ours replaces the torch forward pass with deterministic, model-free
+numpy feature math (FIXTURES.md §5) so golden fixtures reproduce on any
+machine, while keeping the *execution shape* identical:
+
+- grouped ``applyInPandas`` over the entity key → each conversation
+  arrives as one Arrow-backed pandas frame (the reference's
+  one-entity-per-job unit, worker.py:66-90, becomes one *group* per
+  task),
+- rows sorted by (ts, turn_idx) inside the kernel (reference sorts its
+  key list, data_handling.py:33),
+- all features at row i read ONLY rows [0..i] — prefix sums / cumulative
+  stats — the zero-temporal-leakage contract,
+- absent inputs zero-filled (reference: data_handling.py:93-99).
+
+Feature vector (D = 32 float32), per (conv_id, ts) anchor, from history
+rows with ts <= anchor:
+  f0  n_turns_so_far            f1  cum_text_chars
+  f2  mean_text_chars           f3  text_chars_this_turn
+  f4  gap_seconds_from_prev     f5  mean_gap_seconds
+  f6  max_gap_seconds           f7  session_idx (gap>1800 boundaries)
+  f8..f11   role one-hot counts so far (user/assistant/tool/system)
+  f12 tool_calls_so_far         f13 turns_in_current_session
+  f14 seconds_since_session_start
+  f15 words_this_turn
+  f16..f31  16-dim hashed token bag of current turn text (token ->
+            bucket = crc32-like poly hash mod 16, count, l2-normalized)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dane_visual_feature_extraction_worker_spark.functions import ts_seconds_pd
+
+FEATURE_DIM = 32
+SESSION_GAP_S = 1800.0
+_ROLE_IDX = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
+_HASH_BUCKETS = 16
+# small odd multiplier polynomial-hash; deterministic across platforms
+_POLY = 1_000_003
+_MOD = 2**31 - 1
+
+FEATURE_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, "
+    "session_id bigint, features array<float>"
+)
+
+
+def _token_hash_bucket(tok: str) -> int:
+    h = 0
+    for ch in tok.encode("utf-8"):
+        h = (h * _POLY + ch) % _MOD
+    return h % _HASH_BUCKETS
+
+
+def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas kernel for ONE conversation (also the test oracle's
+    building block — tests/reference_impl.py wraps the same math in a
+    plain pandas groupby to produce golden fixtures)."""
+    pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(pdf)
+    text = pdf["text"].fillna("").to_numpy(dtype=object)
+    role = pdf["role"].fillna("").to_numpy(dtype=object)
+    tool = pdf["tool"].to_numpy(dtype=object)
+    ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()  # epoch seconds
+
+    chars = np.array([len(t) for t in text], dtype=np.float64)
+    words = np.array([len(t.split()) if t else 0 for t in text], dtype=np.float64)
+    gaps = np.diff(ts_s, prepend=ts_s[0] if n else 0.0)
+    if n:
+        gaps[0] = 0.0
+
+    idx1 = np.arange(1, n + 1, dtype=np.float64)
+    cum_chars = np.cumsum(chars)
+    mean_chars = cum_chars / idx1
+    cum_gaps = np.cumsum(gaps)
+    mean_gap = cum_gaps / idx1
+    max_gap = np.maximum.accumulate(gaps)
+
+    new_sess = (gaps > SESSION_GAP_S).astype(np.int64)
+    if n:
+        new_sess[0] = 1
+    sess_id = np.cumsum(new_sess) - 1  # 0-based
+    # turns in current session / seconds since session start
+    sess_start_turn = np.zeros(n, dtype=np.int64)
+    sess_start_ts = np.zeros(n, dtype=np.float64)
+    start_t, start_ts = 0, ts_s[0] if n else 0.0
+    for i in range(n):  # tiny per-group loop over sessions boundaries
+        if new_sess[i]:
+            start_t, start_ts = i, ts_s[i]
+        sess_start_turn[i] = start_t
+        sess_start_ts[i] = start_ts
+    turns_in_sess = np.arange(n) - sess_start_turn + 1
+    sec_in_sess = ts_s - sess_start_ts
+
+    role_oh = np.zeros((n, 4), dtype=np.float64)
+    for r, j in _ROLE_IDX.items():
+        role_oh[:, j] = np.cumsum(role == r)
+    cum_tools = np.cumsum(pd.notna(tool).astype(np.float64))
+
+    bag = np.zeros((n, _HASH_BUCKETS), dtype=np.float64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        for tok in t.split():
+            bag[i, _token_hash_bucket(tok)] += 1.0
+        norm = np.sqrt((bag[i] ** 2).sum())
+        if norm > 0:
+            bag[i] /= norm
+
+    feats = np.column_stack(
+        [
+            idx1,
+            cum_chars,
+            mean_chars,
+            chars,
+            gaps,
+            mean_gap,
+            max_gap,
+            sess_id.astype(np.float64),
+            role_oh,
+            cum_tools,
+            turns_in_sess.astype(np.float64),
+            sec_in_sess,
+            words,
+            bag,
+        ]
+    ).astype(np.float32)
+    assert feats.shape[1] == FEATURE_DIM
+
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "ts": pdf["ts"],
+            "session_id": sess_id,
+            "features": list(feats),
+        }
+    )
+
+
+def feature_vectors(transcripts: DataFrame) -> DataFrame:
+    """Distributed kernel: one Arrow group per conv_id via applyInPandas.
+
+    One shuffle on conv_id; within each group the kernel is vectorized
+    numpy (the reference's batched tensor math, feature_extraction.py:76,
+    with Arrow batching standing in for the DataLoader).
+    """
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return (
+        transcripts.select(*cols)
+        .groupBy("conv_id")
+        .applyInPandas(compute_features_pd, schema=FEATURE_SCHEMA)
+    )

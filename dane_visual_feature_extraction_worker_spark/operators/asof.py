@@ -1,0 +1,139 @@
+"""Point-in-time (as-of) join — the flagship operator.
+
+Generalizes the reference's interval/timestamp lookup
+(reference: data_handling.py:121-129 ``find_shot_for_timestamp`` — for a
+probe timestamp, select the matching row from a second table; first hit
+wins; sentinel on no hit) to the degenerate point-event case: for each
+left anchor row, the single latest right row with ``right.ts <=
+left.ts`` within the same entity. Strict ``<=`` is the zero-temporal-
+leakage rule (BASELINE.json north_rule).
+
+Two physical strategies, same semantics:
+
+1. ``asof_join_rangejoin`` — declarative Catalyst plan: inequality join +
+   window dedup. Oracle-checkable, good when the right side per entity is
+   small or the join is broadcastable. At scale an unconstrained range
+   join can explode (anchor × all-earlier-rows), so it is the
+   *correctness* path.
+
+2. ``asof_join_sorted`` — the scale path: cogrouped ``applyInPandas``
+   over the entity key running ``pandas.merge_asof`` per group. One
+   shuffle on the entity key for each side, then a linear merge per
+   group (Arrow-batched, vectorized — the analogue of the reference's
+   batched vectorized kernel, feature_extraction.py:17-32). Spark never
+   splits one group across tasks, so no partition-boundary state is
+   needed; skew is handled by AQE for the shuffle and (for pathological
+   single-entity skew) the salted pre-aggregation in joins.py.
+
+Tie-break: among right rows sharing the max ts <= anchor, the one with
+the greatest ``right_order`` column wins (deterministic, mirrors the
+reference's deterministic first-hit rule data_handling.py:124-126 but
+"latest state" oriented).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join_rangejoin(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    left_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Declarative as-of join: left ⟕ latest right with right.ts <= left.ts.
+
+    ``left_keys``: columns that uniquely key a left row (for the dedup
+    window). Defaults to (on, left_ts) which is only safe if unique.
+    Right columns are kept with their own names; the right timestamp is
+    exposed as ``matched_ts``.
+    """
+    lk = list(left_keys) if left_keys else [on, left_ts]
+    r = right.select(
+        F.col(on).alias("__r_key"),
+        F.col(right_ts).alias("matched_ts"),
+        *[F.col(c) for c in right.columns if c not in (on, right_ts)],
+    )
+    order = [F.col("matched_ts").desc()]
+    if right_order:
+        order.append(F.col(right_order).desc())
+    joined = left.join(
+        r,
+        (left[on] == r["__r_key"]) & (r["matched_ts"] <= left[left_ts]),
+        "left",
+    ).drop("__r_key")
+    w = Window.partitionBy(*[F.col(c) for c in lk]).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+) -> DataFrame:
+    """Scale-path as-of join: cogrouped ``pandas.merge_asof`` per entity.
+
+    Plan shape: both sides shuffle once on ``on`` (hash partition), each
+    group arrives as a pandas frame via Arrow, merge_asof does a linear
+    sorted merge. No data explosion, no window over an unbounded range
+    join — per-entity cost is O(n log n) for the sort + O(n) merge.
+    """
+    l_cols = left.columns
+    r_extra = [c for c in right.columns if c not in (on, right_ts)]
+    # fresh key name on the right avoids self-join lineage ambiguity when
+    # left was derived from right (common: anchors = agg of transcripts)
+    r = right.select(
+        F.col(on).alias("__r_on"),
+        F.col(right_ts).alias("matched_ts"),
+        *[F.col(c) for c in r_extra],
+    )
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + ["`matched_ts` timestamp"]
+        + [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in r.schema.fields
+            if f.name not in ("__r_on", "matched_ts")
+        ]
+    )
+    order_cols = ["matched_ts"] + ([right_order] if right_order else [])
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+        if rdf.empty:
+            out = ldf.copy()
+            out["matched_ts"] = pd.NaT
+            for c in r_extra:
+                out[c] = None
+            return out[l_cols + ["matched_ts"] + r_extra]
+        # stable sort: among equal matched_ts the LAST row in this order
+        # wins inside merge_asof, so sort ascending by tie-break too.
+        rdf = rdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        out = pd.merge_asof(
+            ldf,
+            rdf.drop(columns=["__r_on"]),
+            left_on=left_ts,
+            right_on="matched_ts",
+            direction="backward",  # matched_ts <= ts: zero leakage
+            allow_exact_matches=True,
+        )
+        return out[l_cols + ["matched_ts"] + r_extra]
+
+    return left.groupBy(on).cogroup(r.groupBy("__r_on")).applyInPandas(
+        merge, schema=out_schema
+    )

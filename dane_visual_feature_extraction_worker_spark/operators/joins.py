@@ -1,0 +1,64 @@
+"""Joins: modality outer-merge with zero-fill, salted skew-safe join.
+
+- ``outer_merge``: the reference merges keyframe and spectrogram maps on
+  the timestamp key by updating one dict from two globs — a full outer
+  join — and substitutes a zero tensor for an absent modality at read
+  time (reference: data_handling.py:31-51 build; :93-99,106-109
+  zero-fill). Spark version: ``full_outer`` join + ``coalesce`` with the
+  zero value.
+
+- ``salted_join``: the reference sidesteps skew structurally (one entity
+  per queue job, worker.py:66-90). At 10^12 turns a hot conv_id melts a
+  single shuffle partition, so the engine salts hot keys: fact side gets
+  ``salt = pmod(xxhash64(...), n_salts)`` (hash util precedent
+  base_util.py:205-206), the dim side is exploded across all salts, the
+  join runs on (key, salt), results are identical to the unsalted join.
+  AQE's skew-join split covers sort-merge joins automatically; explicit
+  salting is for the cases AQE can't touch (grouped applyInPandas, or
+  when the dim side must stay broadcast).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def outer_merge(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    fills: dict | None = None,
+) -> DataFrame:
+    """Full-outer join of two per-key feature tables with zero-fill.
+
+    ``fills``: column -> fill literal (e.g. 0.0); applied to both sides'
+    non-key columns where the other side had no row.
+    """
+    out = a.join(b, list(keys), "full_outer")
+    for c, v in (fills or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, explode the dim side.
+
+    Result columns == plain ``fact.join(dim, key, how)``.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+    ).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")

@@ -1,0 +1,128 @@
+"""Anchored window features: lag/lead, rolling, backfill, tumbling.
+
+The reference's own precedent for "feature at anchor t = aggregate over
+a time window anchored at t" is the spectrogram computation — the
+1-second audio window *starting at* the keyframe timestamp with boundary
+clamping (reference: misc/spectrogram_example2/get_sepectogram.py:22-31)
+and its STFT sub-windows (:39-55); tumbling segmentation precedent is
+misc/example.py:23-30 (contiguous 1 s chunks).
+
+All of these are pure Catalyst ``Window`` frames — whole-stage-codegen,
+JVM-side, one shuffle on the entity key which AQE coalesces/splits at
+scale. Leakage-free by construction: every frame ends at the current row
+(``rowsBetween(-k, 0)`` / ``rangeBetween(-t, 0)`` /
+``unboundedPreceding..0``) — nothing after the anchor is readable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
+
+
+def _w(entity: str, order: Sequence[str]):
+    return Window.partitionBy(entity).orderBy(*order)
+
+
+def lag_lead(
+    df: DataFrame,
+    entity: str = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    cols: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Offset features per entity (SURVEY A22 offset form)."""
+    w = _w(entity, order)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"prev_{c}", F.lag(c, 1).over(w))
+        out = out.withColumn(f"next_{c}", F.lead(c, 1).over(w))
+    return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    value: Column | str,
+    k: int = 4,
+    entity: str = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    prefix: str = "roll",
+) -> DataFrame:
+    """Trailing-k-rows aggregates ending AT the anchor row
+    (frame ``rowsBetween(-k, 0)`` — leakage-free)."""
+    v = F.col(value) if isinstance(value, str) else value
+    w = _w(entity, order).rowsBetween(-k, 0)
+    return (
+        df.withColumn(f"{prefix}_cnt", F.count(v).over(w))
+        .withColumn(f"{prefix}_sum", F.sum(v).over(w))
+        .withColumn(f"{prefix}_avg", F.avg(v).over(w))
+        .withColumn(f"{prefix}_min", F.min(v).over(w))
+        .withColumn(f"{prefix}_max", F.max(v).over(w))
+    )
+
+
+def rolling_agg_time(
+    df: DataFrame,
+    value: Column | str,
+    seconds: float,
+    ts: str = "ts",
+    entity: str = "conv_id",
+    prefix: str = "troll",
+) -> DataFrame:
+    """Trailing time-range aggregates over ``[anchor - seconds, anchor]``
+    (``rangeBetween`` on the epoch-seconds cast)."""
+    v = F.col(value) if isinstance(value, str) else value
+    sec = epoch_seconds(ts)
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(sec)
+        .rangeBetween(-seconds, 0)
+    )
+    return df.withColumn(f"{prefix}_cnt", F.count(v).over(w)).withColumn(
+        f"{prefix}_sum", F.sum(v).over(w)
+    )
+
+
+def backfill_pit(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity: str = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    fill=None,
+) -> DataFrame:
+    """Point-in-time forward fill: carry the last non-null observation
+    forward to every anchor (generalizes the reference's zero-fill of
+    absent modalities at a timestamp, data_handling.py:93-99,106-109 —
+    except that where the reference substitutes a constant, PIT backfill
+    substitutes the latest past observation, falling back to ``fill``)."""
+    w = _w(entity, order).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        filled = F.last(c, ignorenulls=True).over(w)
+        if fill is not None:
+            filled = F.coalesce(filled, F.lit(fill))
+        out = out.withColumn(f"{c}_ff", filled)
+    return out
+
+
+def tumbling_agg(
+    df: DataFrame,
+    duration: str = "1 day",
+    ts: str = "ts",
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Tumbling-window aggregation (reference precedent: contiguous 1 s
+    audio chunks, misc/example.py:23-30) via ``F.window`` — epoch-aligned
+    buckets, map-side partial aggregation then one shuffle."""
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("n")]
+    return (
+        df.groupBy(*keys, F.window(F.col(ts), duration).alias("win"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )

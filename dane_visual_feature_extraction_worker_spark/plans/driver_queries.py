@@ -1,0 +1,554 @@
+"""Driver-contract queries (SURVEY.md §2B) over /root/testdata tables.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching ANSI-SQL oracle string lives in ``ORACLES`` (DuckDB runs it on
+the same parquet, pre-registered views). Column aliases MATCH between
+the two on purpose — the driver's comparator sorts columns by name and
+hashes values.
+
+The ``events`` table ``(event_id int64, ts timestamp, user_id int64,
+event_type string, value double, props string)`` plays the transcript
+role here: ``user_id`` ↔ conv_id (entity), ``ts`` ↔ turn ts,
+``event_id`` ↔ turn_idx tie-break. The engine operators themselves are
+entity/timestamp-generic (keyword args), so the same code paths serve
+the real transcript schema in pipeline.py and the tests.
+
+Float discipline: every computed float is ``floor((x) * 1000000.0) / 1000000.0`` on BOTH sides
+— bit-deterministic because both engines run the same IEEE double ops
+in the same frame order (ROUND half-tie semantics differ; floor cannot).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dane_visual_feature_extraction_worker_spark.functions import (
+    epoch_seconds,
+    ts_seconds_pd,
+)
+from dane_visual_feature_extraction_worker_spark.operators.asof import asof_join_sorted
+from dane_visual_feature_extraction_worker_spark.operators.intervals import interval_join
+from dane_visual_feature_extraction_worker_spark.operators.joins import outer_merge, salted_join
+from dane_visual_feature_extraction_worker_spark.operators.sessionize import session_stats
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _dsum(c) -> F.Column:
+    """Exact decimal sum cast to double — order-independent, so Spark's
+    partial aggregation and DuckDB's segment-tree window sums agree
+    bit-for-bit (plain double sums differ by ULPs between engines)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def _r6(c) -> F.Column:
+    """Truncate to 6 decimals via floor(x*1e6)/1e6 — bit-deterministic
+    across Spark/DuckDB/numpy (same IEEE ops), unlike ROUND whose
+    half-tie behavior differs between engines at binary boundaries."""
+    return F.floor(c * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
+
+# ---------------------------------------------------------------- scans
+
+def scan_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: scan with pushed predicate + pruned columns (the reference
+    pushes its samplerate predicate into the glob, data_handling.py:50-51;
+    here the filter reaches the parquet reader — check PushedFilters)."""
+    e = _events(spark, sf_dir)
+    return e.where((F.col("event_type") == "click") & (F.col("value") > 100.0)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: constant-folded normalization + projection (reference z-norm
+    (x-mu)/sigma, misc/spectrogram_example2/get_sepectogram.py:63-64)."""
+    e = _events(spark, sf_dir)
+    return e.where(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "user_id",
+        _r6((F.col("value") - 100.0) / 50.0).alias("value_norm"),
+        F.length("props").alias("props_len"),
+    )
+
+
+def sorted_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: stable per-entity ordering exposed as a rank column
+    (reference sorts its timestamp key list, data_handling.py:33)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", "ts", F.row_number().over(w).alias("turn_rank")
+    )
+
+
+def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 generalized: grouped aggregation with partial (map-side)
+    aggregation — one shuffle on the group key."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
+# -------------------------------------------------------------- windows
+
+def lag_lead_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 offset form: prev/next value + gap seconds per entity."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        _r6(
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts"), 1).over(w)
+        ).alias("gap_s"),
+    )
+
+
+def rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: trailing 5-row aggregates ending AT the anchor
+    (rowsBetween(-4, 0) — leakage-free frame)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("value").over(w).alias("roll_cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("roll_sum"),
+        _r6(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("roll_avg"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+    )
+
+
+def backfill_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A7 generalized: point-in-time forward fill of a sparse signal
+    (purchase value) to every row; -1 sentinel before first observation
+    (sentinel convention: data_handling.py:127-129)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.last(sparse, ignorenulls=True).over(w), F.lit(-1.0)).alias(
+            "purchase_value_ff"
+        ),
+    )
+
+
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (>3600 s starts a new session) + per-session
+    rollup. Uses the engine operator (operators/sessionize.py)."""
+    e = _events(spark, sf_dir)
+    return session_stats(
+        e, gap_seconds=3600.0, entity="user_id", ts="ts", order=["ts", "event_id"]
+    ).select(
+        "user_id",
+        "session_id",
+        F.col("n_turns").alias("n_events"),
+        "start_ts",
+        "end_ts",
+    )
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: epoch-aligned 1-day tumbling buckets per event_type."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship (A5 degenerate): for each purchase anchor, the latest
+    click with click.ts <= purchase.ts per user — scale path
+    (cogrouped merge_asof, operators/asof.py)."""
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join_sorted(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id",
+    )
+
+
+def interval_join_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6+A7: containment join into a derived interval table
+    (per user × event_type [min ts, max ts]), first-by-start dedup,
+    sentinel -1 on miss (data_handling.py:121-129)."""
+    e = _events(spark, sf_dir)
+    intervals = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    ).select("user_id", "start_ts", "end_ts", F.col("event_type").alias("label"))
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        probes,
+        intervals,
+        entity="user_id",
+        ts="ts",
+        probe_keys=["event_id"],
+        tiebreak=["label"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("label", F.lit("none")).alias("label"),
+        _r6(F.col("shot_start")).alias("shot_start"),
+        _r6(F.col("shot_end")).alias("shot_end"),
+    )
+
+
+def outer_merge_modalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A7: full-outer merge of two per-entity feature tables with
+    zero-fill for the absent side (data_handling.py:93-99 zero tensors)."""
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _dsum("value").alias("click_value"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum("value").alias("purchase_value"),
+    )
+    return outer_merge(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        fills={
+            "n_clicks": 0,
+            "click_value": 0.0,
+            "n_purchases": 0,
+            "purchase_value": 0.0,
+        },
+    )
+
+
+def dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: first row per key by deterministic order
+    (hits[0] rule, data_handling.py:124-126)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def union_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: unionByName of per-run outputs (torch.cat of batch results,
+    feature_extraction.py:75-81)."""
+    e = _events(spark, sf_dir)
+    a = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit("run_a").alias("run")
+    )
+    b = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("run_b").alias("run")
+    )
+    return a.unionByName(b)
+
+
+def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (north rule): salt fact keys, explode the dim
+    side; result identical to the plain join, so the oracle is unsalted."""
+    e = _events(spark, sf_dir)
+    dim = (
+        e.select("user_id").distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)).cast("bigint"))
+    )
+    joined = salted_join(e, dim, key="user_id", n_salts=8)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------- kernel
+
+def feature_vector_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A12: vectorized Arrow kernel — per-entity grouped applyInPandas
+    computing an 8-dim point-in-time feature row per event, every feature
+    reading only rows at-or-before the anchor (zero leakage). Mirrors the
+    batched apply_model (feature_extraction.py:17-32) with deterministic
+    numpy math; SQL-oracle-checkable because the features are scalar
+    prefix stats."""
+    import numpy as np
+    import pandas as pd
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "f0 double, f1 double, f2 double, f3 double, "
+        "f4 double, f5 double, f6 double, f7 double"
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        # exact decimal arithmetic: values carry 2 decimals; cumsum in
+        # integer cents is order-independent and bit-stable
+        cents = np.round(val * 100.0).astype(np.int64)
+        ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()
+        idx1 = np.arange(1, n + 1, dtype=np.float64)
+        cum = np.cumsum(cents) / 100.0
+        gaps = np.diff(ts_s, prepend=ts_s[0] if n else 0.0)
+        if n:
+            gaps[0] = 0.0
+        err = np.cumsum((pdf["event_type"] == "error").to_numpy(dtype=np.float64))
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "f0": idx1,
+                "f1": cum,
+                "f2": np.floor(cum / idx1 * 1e6) / 1e6,
+                "f3": np.floor(gaps * 1e6) / 1e6,
+                "f4": pdf["props"].str.len().astype(np.float64),
+                "f5": err,
+                "f6": np.maximum.accumulate(val),
+                "f7": np.floor(
+                    (pdf["event_id"].to_numpy(dtype=np.int64) * 2654435761)
+                    % 1_000_000
+                    / 1_000_000.0
+                    * 1e6
+                ) / 1e6,
+            }
+        )
+        return out
+
+    return e.groupBy("user_id").applyInPandas(kern, schema=schema)
+
+
+# --------------------------------------------------------------- oracles
+
+ORACLES: dict[str, str] = {
+    "scan_transcripts": """
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click' AND value > 100.0
+    """,
+    "project_filter": """
+        SELECT event_id, user_id,
+               floor(((value - 100.0) / 50.0) * 1000000.0) / 1000000.0 AS value_norm,
+               length(props) AS props_len
+        FROM events WHERE event_type IN ('click', 'view')
+    """,
+    "sorted_turns": """
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS turn_rank
+        FROM events
+    """,
+    "grouped_count": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "lag_lead_turns": """
+        SELECT event_id, user_id, ts,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               floor((epoch(ts) - epoch(lag(ts) OVER w)) * 1000000.0) / 1000000.0 AS gap_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rolling_agg": """
+        SELECT event_id, user_id, ts,
+               count(value) OVER w AS roll_cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS roll_sum,
+               floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                      / count(value) OVER w) * 1000000.0) / 1000000.0
+                 AS roll_avg,
+               min(value) OVER w AS roll_min,
+               max(value) OVER w AS roll_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "backfill_pit": """
+        SELECT event_id, user_id, ts,
+               coalesce(
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS) OVER w,
+                 -1.0) AS purchase_value_ff
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "sessionize_gaps": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - 1 AS BIGINT)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "tumbling_window_agg": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "asof_join": """
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts,
+               p.value AS purchase_value,
+               c.ts AS matched_ts, c.event_id AS click_id,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        QUALIFY row_number() OVER (PARTITION BY p.event_id
+                                   ORDER BY c.ts DESC, c.event_id DESC) = 1
+    """,
+    "interval_join_shots": """
+        WITH iv AS (
+          SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                 event_type AS label
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               coalesce(iv.label, 'none') AS label,
+               floor((coalesce(epoch(iv.start_ts), -1.0)) * 1000000.0) / 1000000.0 AS shot_start,
+               floor((coalesce(epoch(iv.end_ts), -1.0)) * 1000000.0) / 1000000.0 AS shot_end
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN iv
+          ON iv.user_id = p.user_id
+         AND iv.start_ts <= p.ts AND p.ts <= iv.end_ts
+        QUALIFY row_number() OVER (
+            PARTITION BY p.event_id
+            ORDER BY iv.start_ts ASC NULLS LAST, iv.end_ts ASC NULLS LAST,
+                     iv.label ASC NULLS LAST) = 1
+    """,
+    "outer_merge_modalities": """
+        WITH c AS (
+          SELECT user_id, count(*) AS n_clicks,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), p AS (
+          SELECT user_id, count(*) AS n_purchases,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(click_value, 0.0) AS click_value,
+               coalesce(n_purchases, 0) AS n_purchases,
+               coalesce(purchase_value, 0.0) AS purchase_value
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    "dedup_first": """
+        SELECT event_id, user_id, event_type, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+    """,
+    "union_runs": """
+        SELECT event_id, user_id, 'run_a' AS run FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, 'run_b' AS run FROM events
+        WHERE event_type = 'error'
+    """,
+    "salted_hot_join": """
+        SELECT d.tier, count(*) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e
+        JOIN (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events) d
+          ON e.user_id = d.user_id
+        GROUP BY d.tier
+    """,
+    "feature_vector_udf": """
+        SELECT event_id, user_id, ts,
+               CAST(row_number() OVER w AS DOUBLE) AS f0,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS f1,
+               floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w2 AS DOUBLE)
+                      / CAST(row_number() OVER w AS DOUBLE))
+                     * 1000000.0) / 1000000.0 AS f2,
+               floor((coalesce(epoch(ts) - epoch(lag(ts) OVER w), 0.0)) * 1000000.0) / 1000000.0 AS f3,
+               CAST(length(props) AS DOUBLE) AS f4,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    OVER w2 AS DOUBLE) AS f5,
+               max(value) OVER w2 AS f6,
+               floor(((event_id * 2654435761) % 1000000 / 1000000.0) * 1000000.0) / 1000000.0 AS f7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+}
+
+QUERIES = {
+    "scan_transcripts": scan_transcripts,
+    "project_filter": project_filter,
+    "sorted_turns": sorted_turns,
+    "grouped_count": grouped_count,
+    "lag_lead_turns": lag_lead_turns,
+    "rolling_agg": rolling_agg,
+    "backfill_pit": backfill_pit,
+    "sessionize_gaps": sessionize_gaps,
+    "tumbling_window_agg": tumbling_window_agg,
+    "asof_join": asof_join,
+    "interval_join_shots": interval_join_shots,
+    "outer_merge_modalities": outer_merge_modalities,
+    "dedup_first": dedup_first,
+    "union_runs": union_runs,
+    "salted_hot_join": salted_hot_join,
+    "feature_vector_udf": feature_vector_udf,
+}
