@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference dedups implicitly (one dict slot per timestamp key,
+data_handling.py:30-33; first-hit rule data_handling.py:124-126). A
+100 TB corpus engine needs the full family:
+
+- exact dedup: hash-groupBy on content digest (md5). One shuffle on the
+  digest; at scale the digest distributes uniformly so no skew.
+- n-gram Jaccard near-dup: positional word shingles → inverted-index
+  self-join on shingle → per-pair intersection counts → Jaccard filter.
+  The shingle join is the classic candidate generator; output is pairs,
+  never a cross join.
+- MinHash + LSH: K md5-min signatures per doc, banded into B buckets;
+  candidate pairs share a band bucket. Hash = lexicographic min of
+  md5(seed|shingle) — engine-portable (any SQL oracle can replicate),
+  no numeric-hash seeding games.
+- SimHash: 60-bit signature (md5-derived per token, majority vote per
+  bit); near-pairs via 4×15-bit chunk banding + popcount Hamming filter
+  — all JVM-side bit ops after a pandas-free pipeline.
+
+All shingling/tokenization is lower + whitespace-split so DuckDB
+oracles tokenize identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Positional word k-grams (0-indexed Spark arrays; content matches
+    DuckDB's 1-indexed comprehension)."""
+    a = _tokens(text_col)
+    n = F.size(a)
+    idx = F.sequence(F.lit(0), n - k)  # valid when n >= k
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(a, i + j + 1) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: digest, representative (min id), group size."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    return (
+        docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by k-gram Jaccard >= threshold.
+
+    Plan: shingle inverted index → self-equi-join on shingle (shuffle on
+    shingle, uniform) → count intersections per pair → join per-doc
+    distinct-shingle counts (broadcastable) → Jaccard filter. Output
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
+    """
+    sh = shingle_table(docs, id_col, text_col, k)
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + LSH banding.
+
+    minhash(doc, seed) = min over shingles of md5(seed || '|' || shingle)
+    (string min — portable across engines). Band key = md5 of the
+    band's ordered minhashes; pairs sharing any band bucket are
+    candidates. Output distinct ``(doc_a, doc_b)``.
+    """
+    sh = shingle_table(docs, id_col, text_col, k)
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    mh = (
+        sh.withColumn("seed", F.explode(seeds))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+    bands = (
+        mh.withColumn("band", F.floor(F.col("seed") / band_size))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    b1 = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b2 = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        b1.join(b2, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash per doc, entirely with JVM built-ins.
+
+    Token hash = first 15 hex chars of md5 (60 bits, fits signed int64).
+    Per bit: majority vote over tokens; signature bit = 1 when the vote
+    is positive. No Python in the hot path — explode(tokens) + conv() +
+    bit ops + groupBy.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: 4 chunks of 15 bits — any pair within Hamming 3 of chunk
+    count shares >=1 exact chunk (pigeonhole); join per chunk then
+    popcount-filter. Avoids the quadratic cross join.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col(id_col), "simhash", F.col("c.chunk"), F.col("c.ck"))
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "ck"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "ck"
+    )
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

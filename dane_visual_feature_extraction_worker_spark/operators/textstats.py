@@ -1,0 +1,94 @@
+"""Text analysis: language-ID, quality scoring, token stats, fingerprint.
+
+All JVM-side column expressions (no UDFs) — these run per-document in
+whole-stage codegen, the cheapest possible path at corpus scale. The
+normalization conventions (lower + whitespace split) match the dedup
+operators so downstream joins compose.
+
+Reference precedents: hash utility base_util.py:205-206 (fingerprint),
+config-driven normalization data_handling.py:62-69 (score weights).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny embedded stopword lists: deterministic, oracle-replicable
+EN_STOP = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+NL_STOP = ["de", "het", "een", "van", "en", "dat", "die", "te", "met", "voor"]
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def _stop_ratio(tokens: F.Column, stops: list[str]) -> F.Column:
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free heuristic language ID: stopword-hit ratio per
+    language list; argmax with 0.02 floor else 'unknown'."""
+    t = _tokens(text_col)
+    en = _stop_ratio(t, EN_STOP)
+    nl = _stop_ratio(t, NL_STOP)
+    pred = (
+        F.when((en >= nl) & (en > 0.02), F.lit("en"))
+        .when((nl > en) & (nl > 0.02), F.lit("nl"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        (F.floor(en * 1e6) / 1e6).alias("en_ratio"),
+        (F.floor(nl * 1e6) / 1e6).alias("nl_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + scalar score in [0,1]:
+    length band, mean token length band, stopword presence."""
+    t = _tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    avg_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    stop = _stop_ratio(t, EN_STOP)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 5000), 0.4).otherwise(0.0)
+        + F.when((avg_tok >= 2.0) & (avg_tok <= 12.0), 0.3).otherwise(0.0)
+        + F.when(stop > 0.02, 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.floor(avg_tok * 1e6) / 1e6).alias("avg_token_len"),
+        (F.floor(stop * 1e6) / 1e6).alias("stop_ratio"),
+        (F.floor(score * 1e6) / 1e6).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    regex token count (letter runs / digit runs / single punctuation)."""
+    t = _tokens(text_col)
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        bpe.alias("n_bpeish"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of lower + whitespace-collapsed
+    + trimmed text (A25 hash precedent, base_util.py:205-206)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+        F.length(canon).alias("canon_len"),
+    )

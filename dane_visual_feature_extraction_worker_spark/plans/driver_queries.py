@@ -552,3 +552,316 @@ QUERIES = {
     "salted_hot_join": salted_hot_join,
     "feature_vector_udf": feature_vector_udf,
 }
+
+
+# ------------------------------------------------- training-data pipeline
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy (operators/dedup.py)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs >= 0.5 via shingle inverted index."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) candidate pairs (operators/dedup.py)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming<=8, 60-bit sigs). Non-SQL op:
+    rows-only driver check; exactness covered by pytest vs pandas."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir), max_hamming=8)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import lang_id as _li
+
+    return _li(_documents(spark, sf_dir))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        quality_score as _qs,
+    )
+
+    return _qs(_documents(spark, sf_dir))
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import token_stats
+
+    return token_stats(_documents(spark, sf_dir))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embeddings(spark, sf_dir).where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+
+
+def topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: brute-force cosine top-10 vs the vec_id=0 query vector."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import topk_cosine
+
+    return topk_cosine(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (scale path of A24)."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import ann_topk
+
+    return ann_topk(_embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=5)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs (cos > 0.3 within LSH bucket)."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+
+    return near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize payload bytes, extract via
+    mapInPandas (multimodal.py). Oracle checks n_bytes + md5 of the
+    payload; the (stub) feature array is covered by the rows-only twin
+    ``multimodal_features`` and pytest."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
+    return mm.select("doc_id", "n_bytes", "payload_md5")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decode feature vectors (rows-only check; array output)."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    return extract_features(attach_payload(_documents(spark, sf_dir)))
+
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip({a}, {b}),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / ( sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+    * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+"""
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+ORACLES.update(
+    {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS rep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": r"""
+            WITH arr AS (SELECT doc_id,
+                                string_split_regex(lower(text), '\s+') AS a
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                                  for i in range(1, len(a) - 1)]) AS shingle
+                   FROM arr WHERE len(a) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor((inter * 1.0 / (ca.n + cb.n - inter)) * 1000000.0)
+                     / 1000000.0 AS jaccard
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = pairs.doc_a
+            JOIN cnt cb ON cb.doc_id = pairs.doc_b
+            WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+        """,
+        "dedup_minhash_lsh": r"""
+            WITH arr AS (SELECT doc_id,
+                                string_split_regex(lower(text), '\s+') AS a
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                                  for i in range(1, len(a) - 1)]) AS shingle
+                   FROM arr WHERE len(a) >= 3),
+            mh AS (SELECT doc_id, seed,
+                          min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+                   FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+                   GROUP BY doc_id, seed),
+            bands AS (SELECT doc_id, seed // 2 AS band,
+                             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+                      FROM mh GROUP BY doc_id, seed // 2)
+            SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bands b1 JOIN bands b2
+              ON b1.band = b2.band AND b1.band_key = b2.band_key
+             AND b1.doc_id < b2.doc_id
+        """,
+        "lang_id": r"""
+            WITH t AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+                FROM documents),
+            r AS (SELECT doc_id,
+                CASE WHEN len(toks) > 0 THEN
+                  len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it','for','on'], x)))
+                  * 1.0 / len(toks) ELSE 0.0 END AS en,
+                CASE WHEN len(toks) > 0 THEN
+                  len(list_filter(toks, x -> list_contains(
+                    ['de','het','een','van','en','dat','die','te','met','voor'], x)))
+                  * 1.0 / len(toks) ELSE 0.0 END AS nl
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN en >= nl AND en > 0.02 THEN 'en'
+                        WHEN nl > en AND nl > 0.02 THEN 'nl'
+                        ELSE 'unknown' END AS lang_pred,
+                   floor(en * 1000000.0) / 1000000.0 AS en_ratio,
+                   floor(nl * 1000000.0) / 1000000.0 AS nl_ratio
+            FROM r
+        """,
+        "quality_score": r"""
+            WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+                FROM documents),
+            r AS (SELECT doc_id, len(toks) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN n_chars * 1.0 / len(toks) ELSE 0.0 END AS avg_tok,
+                CASE WHEN len(toks) > 0 THEN
+                  len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it','for','on'], x)))
+                  * 1.0 / len(toks) ELSE 0.0 END AS stop
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   floor(avg_tok * 1000000.0) / 1000000.0 AS avg_token_len,
+                   floor(stop * 1000000.0) / 1000000.0 AS stop_ratio,
+                   floor((
+                     (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                           THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0
+                           THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN stop > 0.02 THEN 0.3 ELSE 0.0 END)
+                   ) * 1000000.0) / 1000000.0 AS quality
+            FROM r
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''))) AS n_distinct,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS fingerprint,
+                   length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS canon_len
+            FROM documents
+        """,
+        "topk_similarity": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(({_COS_SQL.format(a="embedding", b="qe")})
+                         * 1000000.0) / 1000000.0 AS cos
+            FROM embeddings CROSS JOIN q
+            ORDER BY {_COS_SQL.format(a="embedding", b="qe")} DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_lsh": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT qe, {_BUCKET_SQL.format(v="qe")} AS bucket FROM q),
+            cand AS (
+              SELECT e.vec_id, qb.bucket, e.embedding, qb.qe
+              FROM embeddings e CROSS JOIN qb
+              WHERE {_BUCKET_SQL.format(v="e.embedding")} = qb.bucket
+            )
+            SELECT vec_id, bucket,
+                   floor(({_COS_SQL.format(a="embedding", b="qe")})
+                         * 1000000.0) / 1000000.0 AS cos
+            FROM cand
+            ORDER BY {_COS_SQL.format(a="embedding", b="qe")} DESC, vec_id
+            LIMIT 5
+        """,
+        "embedding_near_dup": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              {_BUCKET_SQL.format(v="embedding")} AS bucket
+                       FROM embeddings)
+            SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+                   floor(({_COS_SQL.format(a="l.embedding", b="r.embedding")})
+                         * 1000000.0) / 1000000.0 AS cos
+            FROM b l JOIN b r
+              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE ({_COS_SQL.format(a="l.embedding", b="r.embedding")}) > 0.3
+        """,
+        "multimodal_decode": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "simhash_dedup": simhash_dedup,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "doc_fingerprint": doc_fingerprint,
+        "topk_similarity": topk_similarity,
+        "ann_lsh": ann_lsh,
+        "embedding_near_dup": embedding_near_dup,
+        "multimodal_decode": multimodal_decode,
+        "multimodal_features": multimodal_features,
+    }
+)
