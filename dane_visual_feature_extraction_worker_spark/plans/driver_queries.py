@@ -865,3 +865,52 @@ QUERIES.update(
         "multimodal_features": multimodal_features,
     }
 )
+
+
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resume demo (rows-only check): run a checkpointed
+    bucket-partitioned job, crash-inject after 2 buckets, resume; return
+    the checkpoint/lineage table. Asserts inside that resume recomputed
+    only the remainder (checkpoint.py)."""
+    import shutil
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.checkpoint import CheckpointedRunner
+
+    tmp = tempfile.mkdtemp(prefix="ckpt_demo_")
+    try:
+        e = _events(spark, sf_dir).where(F.col("user_id") < 50).cache()
+        e.count()
+        runner = CheckpointedRunner(
+            spark,
+            output_dir=f"{tmp}/out",
+            checkpoint_dir=f"{tmp}/cp",
+            n_buckets=3,
+            entity_col="user_id",
+        )
+
+        def small_pipeline(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            return df.select(
+                "event_id", "user_id", "ts",
+                F.row_number().over(w).alias("turn_rank"),
+            )
+
+        try:
+            runner.run(e, small_pipeline, fail_after=1)
+        except RuntimeError:
+            pass  # injected crash
+        summary = runner.run(e, small_pipeline)  # resume
+        assert summary["skipped"] == 1 and summary["computed"] == 2, summary
+        assert runner.result().count() == e.count()
+        cps = runner.load_checkpoints().select(
+            "bucket", "status", "rows", "attempt"
+        )
+        cps = spark.createDataFrame(cps.collect(), cps.schema)  # detach from tmp
+        return cps
+    finally:
+        e.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["checkpoint_resume"] = checkpoint_resume

@@ -1,0 +1,96 @@
+"""As-of join: both physical paths vs the brute-force pandas oracle,
+including ties, empty right sides, and anchors before any event."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from dane_visual_feature_extraction_worker_spark.datagen import gen_anchors, gen_transcripts
+from dane_visual_feature_extraction_worker_spark.operators.asof import (
+    asof_join_rangejoin,
+    asof_join_sorted,
+)
+from tests.reference_impl import asof_join_ref
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_asof_paths_match_bruteforce(spark, transcripts, transcripts_pd):
+    anchors = gen_anchors(spark, transcripts, per_conv=6)
+    right = transcripts.select("conv_id", "ts", "turn_idx", "role")
+
+    got_sorted = asof_join_sorted(
+        anchors, right, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+    ).toPandas()
+    got_range = asof_join_rangejoin(
+        anchors,
+        right,
+        on="conv_id",
+        left_ts="anchor_ts",
+        right_order="turn_idx",
+        left_keys=["conv_id", "anchor_ts"],
+    ).toPandas()
+
+    ref = asof_join_ref(
+        anchors.toPandas(),
+        transcripts_pd[["conv_id", "ts", "turn_idx", "role"]],
+        on="conv_id",
+        left_ts="anchor_ts",
+        right_ts="ts",
+        right_order="turn_idx",
+    )
+    ref["turn_idx"] = ref["turn_idx"].astype("float64")
+    for got in (got_sorted, got_range):
+        g = _canon(got)
+        g["turn_idx"] = g["turn_idx"].astype("float64")
+        r = _canon(ref)[g.columns]
+        pd.testing.assert_frame_equal(
+            g.astype(str), r.astype(str), check_dtype=False
+        )
+
+
+def test_asof_zero_leakage(spark, transcripts):
+    """No matched_ts may exceed its anchor — strict <= (north rule)."""
+    anchors = gen_anchors(spark, transcripts, per_conv=6)
+    out = asof_join_sorted(
+        anchors,
+        transcripts.select("conv_id", "ts", "turn_idx"),
+        on="conv_id",
+        left_ts="anchor_ts",
+        right_order="turn_idx",
+    )
+    assert out.where(F.col("matched_ts") > F.col("anchor_ts")).count() == 0
+
+
+def test_asof_empty_right_side(spark, transcripts):
+    anchors = gen_anchors(spark, transcripts, per_conv=3)
+    empty = transcripts.where(F.lit(False)).select("conv_id", "ts", "turn_idx")
+    out = asof_join_sorted(
+        anchors, empty, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == anchors.count()
+    assert pdf["matched_ts"].isna().all()
+
+
+def test_asof_tie_break_latest_order_wins(spark):
+    """Duplicate right ts at the anchor: greatest right_order wins."""
+    left = spark.createDataFrame(
+        [("c", 100)], "conv_id string, anchor_ts long"
+    ).select("conv_id", F.timestamp_seconds("anchor_ts").alias("anchor_ts"))
+    right = spark.createDataFrame(
+        [("c", 100, 1, "a"), ("c", 100, 2, "b"), ("c", 50, 3, "x")],
+        "conv_id string, ts long, turn_idx int, v string",
+    ).select("conv_id", F.timestamp_seconds("ts").alias("ts"), "turn_idx", "v")
+    for fn, kw in (
+        (asof_join_sorted, {}),
+        (asof_join_rangejoin, {"left_keys": ["conv_id", "anchor_ts"]}),
+    ):
+        row = fn(
+            left, right, on="conv_id", left_ts="anchor_ts", right_order="turn_idx", **kw
+        ).collect()[0]
+        assert row["v"] == "b" and row["turn_idx"] == 2

@@ -1,0 +1,107 @@
+"""Dedup + similarity operators vs brute-force numpy/python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+    near_dup_pairs,
+    topk_cosine,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different text about spark shuffles here"),
+        (4, "short"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text, k=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(spark):
+    out = {r["rep_id"]: r["n_dupes"] for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 2 identical
+    assert out[1] == 1
+
+
+def test_jaccard_pairs_vs_bruteforce(spark):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-5
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH candidates must include exact dups and the 0.75-jaccard pair."""
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 2) in got  # identical docs always collide on every band
+    assert (0, 1) in got or (1, 2) in got  # high-jaccard likely collides
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(_docs(spark), max_hamming=60).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_topk_cosine_vs_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") == 3).select(F.col("embedding").alias("qe"))
+    got = [r["vec_id"] for r in topk_cosine(df, q, k=5).collect()]
+    v = vecs.astype(np.float64)
+    cos = (v @ v[3]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[3]))
+    expect = list(np.argsort(-cos)[:5])
+    assert got == expect
+
+
+def test_near_dup_pairs_within_bucket(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16).astype(np.float32)
+    # keep the LSH dims (first 8) clear of zero so the tiny perturbation
+    # cannot flip a bucket bit
+    base[:8] = np.sign(base[:8]) * (np.abs(base[:8]) + 0.5)
+    vecs = [base, base + 0.01 * rng.normal(size=16).astype(np.float32), -base]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in got  # near-identical, same sign bucket
+    assert (0, 2) not in got  # opposite bucket, excluded by LSH

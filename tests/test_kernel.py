@@ -1,0 +1,135 @@
+"""Feature kernel: hand-computed values, golden parity, zero leakage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from dane_visual_feature_extraction_worker_spark.kernel import (
+    FEATURE_DIM,
+    compute_features_pd,
+)
+from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+from tests.reference_impl import features_ref, sort_transcripts
+
+
+def _tiny_conv() -> pd.DataFrame:
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 01:00:00"]
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": np.array([0, 1, 2], dtype="int32"),
+            "role": ["user", "assistant", "user"],
+            "text": ["hello world", "", "bye"],
+            "tool": [None, "search", None],
+            "ts": ts,
+        }
+    )
+
+
+def test_kernel_hand_computed():
+    out = compute_features_pd(_tiny_conv())
+    f = np.stack(out["features"].to_numpy())
+    assert f.shape == (3, FEATURE_DIM)
+    # f0: turns so far
+    assert list(f[:, 0]) == [1.0, 2.0, 3.0]
+    # f1 cum chars: 11, 11, 14 ; f3 chars this turn
+    assert list(f[:, 1]) == [11.0, 11.0, 14.0]
+    assert list(f[:, 3]) == [11.0, 0.0, 3.0]
+    # f4 gaps: 0, 10, 3590
+    assert list(f[:, 4]) == [0.0, 10.0, 3590.0]
+    # session boundary: 3590 > 1800 -> sessions [0, 0, 1]
+    assert list(out["session_id"]) == [0, 0, 1]
+    # role one-hot cumulative: user counts f8 = 1,1,2
+    assert list(f[:, 8]) == [1.0, 1.0, 2.0]
+    # tool calls so far f12 = 0,1,1
+    assert list(f[:, 12]) == [0.0, 1.0, 1.0]
+    # turns in session f13 = 1,2,1 ; secs in session f14 = 0,10,0
+    assert list(f[:, 13]) == [1.0, 2.0, 1.0]
+    assert list(f[:, 14]) == [0.0, 10.0, 0.0]
+    # hashed bag is l2-normalized when text nonempty
+    assert abs(np.linalg.norm(f[0, 16:]) - 1.0) < 1e-6
+    assert np.linalg.norm(f[1, 16:]) == 0.0
+
+
+def test_kernel_distributed_matches_reference(transcripts, transcripts_pd):
+    got = pit_features(transcripts).toPandas()
+    got = got.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    ref = features_ref(sort_transcripts(transcripts_pd))
+    ref = ref.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    # keys + text-order invariants: exact (feature_extraction_test.py:56)
+    pd.testing.assert_series_equal(got["conv_id"], ref["conv_id"])
+    pd.testing.assert_series_equal(
+        got["turn_idx"].astype("int64"), ref["turn_idx"].astype("int64")
+    )
+    assert (got["session_id"].to_numpy() == ref["session_id"].to_numpy()).all()
+    # features: allclose (feature_extraction_test.py:58-60)
+    gf = np.stack(got["features"].to_numpy())
+    rf = np.stack(ref["features"].to_numpy())
+    assert gf.shape == rf.shape == (len(ref), FEATURE_DIM)
+    assert np.allclose(gf, rf, rtol=1e-6, atol=1e-6)
+
+
+def test_zero_temporal_leakage(spark, transcripts, transcripts_pd):
+    """Perturb/remove everything after an anchor: features at and before
+    the anchor must be bit-identical (north rule)."""
+    t = sort_transcripts(transcripts_pd)
+    conv = t["conv_id"].iloc[0]
+    g = t[t["conv_id"] == conv]
+    anchor = g["ts"].iloc[len(g) // 2]
+
+    full = compute_features_pd(g)
+    truncated = compute_features_pd(g[g["ts"] <= anchor])
+    n = len(truncated)
+    ff = np.stack(full["features"].to_numpy())[:n]
+    tf = np.stack(truncated["features"].to_numpy())
+    assert (ff == tf).all()  # bit-identical, not just allclose
+
+    # and through the distributed path: mutate future rows wildly
+    mutated = transcripts.withColumn(
+        "text",
+        F.when(F.col("ts") > F.lit(anchor), F.lit("LEAKED " * 50)).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "role",
+        F.when(F.col("ts") > F.lit(anchor), F.lit("system")).otherwise(F.col("role")),
+    )
+    base = (
+        pit_features(transcripts)
+        .where((F.col("conv_id") == conv) & (F.col("ts") <= F.lit(anchor)))
+        .toPandas()
+        .sort_values(["ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    mut = (
+        pit_features(mutated)
+        .where((F.col("conv_id") == conv) & (F.col("ts") <= F.lit(anchor)))
+        .toPandas()
+        .sort_values(["ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    bf = np.stack(base["features"].to_numpy())
+    mf = np.stack(mut["features"].to_numpy())
+    assert (bf == mf).all()
+
+
+def test_per_turn_text_equality_under_stable_order(transcripts, transcripts_pd):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering between engine and reference."""
+    got = (
+        transcripts.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    ref = transcripts_pd.sort_values(["conv_id", "turn_idx"], kind="mergesort")[
+        ["conv_id", "turn_idx", "text"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)

@@ -1,0 +1,98 @@
+"""Datagen determinism, interval join semantics, multimodal stub,
+windows/backfill spot checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dane_visual_feature_extraction_worker_spark.datagen import (
+    gen_intervals,
+    gen_transcripts,
+)
+from dane_visual_feature_extraction_worker_spark.multimodal import (
+    attach_payload,
+    decode_stub,
+    extract_features,
+    fake_decode,
+)
+from dane_visual_feature_extraction_worker_spark.operators.intervals import interval_join
+from dane_visual_feature_extraction_worker_spark.operators.windows import (
+    backfill_pit,
+    rolling_agg,
+)
+
+
+def test_datagen_parallelism_invariant(spark):
+    """Same rows at any partitioning — the property that makes the
+    local[8]-vs-local[32] scaling comparison apples-to-apples."""
+    a = gen_transcripts(spark, n_convs=8, avg_turns=10, partitions=2).toPandas()
+    b = gen_transcripts(spark, n_convs=8, avg_turns=10, partitions=16).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_interval_join_first_hit_and_sentinel(spark):
+    probes = spark.createDataFrame(
+        [("c", 5), ("c", 50)], "conv_id string, ts long"
+    ).select("conv_id", F.timestamp_seconds("ts").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("c", 0, 10, "early"), ("c", 3, 20, "late")],
+        "conv_id string, s long, e long, label string",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+        "label",
+    )
+    out = {
+        int(r["ts"].timestamp()): r
+        for r in interval_join(probes, intervals, probe_keys=["conv_id", "ts"]).collect()
+    }
+    # overlapping: first-by-start wins (data_handling.py:124-126)
+    assert out[5]["label"] == "early" and out[5]["shot_start"] == 0.0
+    # uncovered: sentinel -1 (data_handling.py:127-129)
+    assert out[50]["label"] is None
+    assert out[50]["shot_start"] == -1.0 and out[50]["shot_end"] == -1.0
+
+
+def test_backfill_and_rolling(spark):
+    df = spark.createDataFrame(
+        [("c", 0, None), ("c", 1, 5.0), ("c", 2, None), ("c", 3, 7.0)],
+        "conv_id string, turn_idx int, x double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("turn_idx") * 10))
+    ff = {
+        r["turn_idx"]: r["x_ff"]
+        for r in backfill_pit(df, ["x"], order=["ts", "turn_idx"], fill=-1.0).collect()
+    }
+    assert ff == {0: -1.0, 1: 5.0, 2: 5.0, 3: 7.0}
+    ra = {
+        r["turn_idx"]: (r["roll_cnt"], r["roll_sum"])
+        for r in rolling_agg(df, "x", k=1, order=["ts", "turn_idx"]).collect()
+    }
+    assert ra[1] == (1, 5.0) and ra[3] == (1, 7.0)  # window = prev+current
+    assert ra[2] == (1, 5.0)
+
+
+def test_multimodal_stub_and_fake_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in extract_features(attach_payload(docs)).collect()}
+    assert out[1]["n_bytes"] == 3
+    f1 = np.array(out[1]["features"])
+    expect = fake_decode(b"abc")
+    assert np.allclose(f1, expect)
+    assert out[2]["n_bytes"] == 0 and np.all(np.array(out[2]["features"]) == 0.0)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\xff\xd8")
+
+
+def test_gen_intervals_cover_and_overlap(spark):
+    t = gen_transcripts(spark, n_convs=5, avg_turns=10)
+    iv = gen_intervals(spark, t).toPandas()
+    assert (iv["end_ts"] > iv["start_ts"]).all()
+    assert iv.groupby("conv_id").size().min() >= 2

@@ -1,0 +1,60 @@
+"""Checkpoint/resume: killed job resumes without recomputation and the
+final table equals a never-killed run (north rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dane_visual_feature_extraction_worker_spark.checkpoint import CheckpointedRunner
+from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+
+
+def _runner(spark, tmp, tag, n_buckets=6):
+    return CheckpointedRunner(
+        spark,
+        output_dir=f"{tmp}/out_{tag}",
+        checkpoint_dir=f"{tmp}/cp_{tag}",
+        n_buckets=n_buckets,
+    )
+
+
+def test_resume_skips_done_work_and_output_identical(spark, transcripts, tmp_path):
+    tmp = str(tmp_path)
+
+    # reference: single uninterrupted run
+    ref = _runner(spark, tmp, "ref")
+    s = ref.run(transcripts, pit_features)
+    assert s["computed"] == 6 and s["skipped"] == 0
+
+    # crashed run: dies after 2 buckets
+    crash = _runner(spark, tmp, "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crash.run(transcripts, pit_features, fail_after=2)
+    assert len(crash.done_buckets()) == 2
+
+    # resume: only the remaining 4 buckets are computed
+    s2 = crash.run(transcripts, pit_features)
+    assert s2["skipped"] == 2 and s2["computed"] == 4 and s2["attempt"] == 2
+
+    a = ref.result().toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    b = crash.result().toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    assert len(a) == len(b) == transcripts.count()
+    assert (a["conv_id"] == b["conv_id"]).all()
+    fa = np.stack(a["features"].to_numpy())
+    fb = np.stack(b["features"].to_numpy())
+    assert (fa == fb).all()
+
+    # lineage/metrics recorded per bucket
+    cps = crash.load_checkpoints().toPandas()
+    assert set(cps["bucket"]) == set(range(6))
+    assert (cps["rows"] > 0).any() and (cps["ms"] >= 0).all()
+    assert cps["lineage"].str.contains('"step": "pipeline"').all()
+
+
+def test_rerun_is_full_noop(spark, transcripts, tmp_path):
+    tmp = str(tmp_path)
+    r = _runner(spark, tmp, "noop", n_buckets=4)
+    r.run(transcripts, pit_features)
+    s = r.run(transcripts, pit_features)
+    assert s["computed"] == 0 and s["skipped"] == 4
