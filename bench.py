@@ -1,0 +1,139 @@
+"""Benchmark harness: headline queries + flagship transcript pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "turns_per_sec": <flagship throughput>, "flagship_turns": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_QUERIES      (comma list; default = headline set).
+
+Each query is materialized with the no-op sink (format("noop")) so the
+full plan executes without sink I/O noise; the flagship pipeline writes
+real parquet (sink included — that's the production shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "asof_join",
+    "feature_vector_udf",
+    "rolling_agg",
+    "backfill_pit",
+    "sessionize_gaps",
+    "interval_join_shots",
+    "grouped_count",
+    "salted_hot_join",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "topk_similarity",
+    "tumbling_window_agg",
+]
+
+
+def build_spark(cpus: int):
+    from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
+
+    return get_spark(
+        EngineConfig(
+            app_name=f"bench-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 8),
+        )
+    )
+
+
+def flagship(spark, sf: float, out_dir: str) -> tuple[int, float]:
+    """As-of join + feature-gen over a generated transcript table at
+    ~sf-proportional scale; returns (n_turns, seconds)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.datagen import (
+        gen_anchors,
+        gen_transcripts,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_sorted,
+    )
+    from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+
+    n_convs = max(int(20000 * sf), 50)
+    t = gen_transcripts(spark, n_convs=n_convs, avg_turns=50, partitions=64)
+    src = os.path.join(out_dir, "transcripts")
+    t.write.mode("overwrite").parquet(src)
+    tr = spark.read.parquet(src)
+    n_turns = tr.count()
+
+    t0 = time.monotonic()
+    feats = pit_features(tr)
+    anchors = gen_anchors(spark, tr, per_conv=4)
+    asof = asof_join_sorted(
+        anchors,
+        tr.select("conv_id", "ts", "turn_idx", "role"),
+        on="conv_id",
+        left_ts="anchor_ts",
+        right_order="turn_idx",
+    )
+    feats.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
+    asof.write.mode("overwrite").parquet(os.path.join(out_dir, "asof"))
+    sec = time.monotonic() - t0
+    return n_turns, sec
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = build_spark(cpus)
+
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    names = [
+        q
+        for q in os.environ.get("BENCH_QUERIES", ",".join(HEADLINE)).split(",")
+        if q in qs
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="bench_flagship_")
+    try:
+        n_turns, fsec = flagship(spark, sf, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    timings["flagship_pipeline"] = round(fsec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + as-of/feature flagship "
+                f"on local[{cpus}]",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "flagship_turns": n_turns,
+                "turns_per_sec": round(n_turns / fsec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

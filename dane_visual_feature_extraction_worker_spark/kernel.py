@@ -58,11 +58,19 @@ FEATURE_SCHEMA = (
 )
 
 
+_TOKEN_CACHE: dict[str, int] = {}
+
+
 def _token_hash_bucket(tok: str) -> int:
-    h = 0
-    for ch in tok.encode("utf-8"):
-        h = (h * _POLY + ch) % _MOD
-    return h % _HASH_BUCKETS
+    b = _TOKEN_CACHE.get(tok)
+    if b is None:
+        h = 0
+        for ch in tok.encode("utf-8"):
+            h = (h * _POLY + ch) % _MOD
+        b = h % _HASH_BUCKETS
+        if len(_TOKEN_CACHE) < 1_000_000:  # bound worker memory
+            _TOKEN_CACHE[tok] = b
+    return b
 
 
 def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -95,16 +103,12 @@ def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
     if n:
         new_sess[0] = 1
     sess_id = np.cumsum(new_sess) - 1  # 0-based
-    # turns in current session / seconds since session start
-    sess_start_turn = np.zeros(n, dtype=np.int64)
-    sess_start_ts = np.zeros(n, dtype=np.float64)
-    start_t, start_ts = 0, ts_s[0] if n else 0.0
-    for i in range(n):  # tiny per-group loop over sessions boundaries
-        if new_sess[i]:
-            start_t, start_ts = i, ts_s[i]
-        sess_start_turn[i] = start_t
-        sess_start_ts[i] = start_ts
-    turns_in_sess = np.arange(n) - sess_start_turn + 1
+    # turns in current session / seconds since session start (vectorized:
+    # propagate the index of the last session boundary forward)
+    idx = np.arange(n)
+    sess_start_turn = np.maximum.accumulate(np.where(new_sess == 1, idx, 0))
+    sess_start_ts = ts_s[sess_start_turn] if n else np.zeros(0)
+    turns_in_sess = idx - sess_start_turn + 1
     sec_in_sess = ts_s - sess_start_ts
 
     role_oh = np.zeros((n, 4), dtype=np.float64)
@@ -153,16 +157,43 @@ def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def feature_vectors(transcripts: DataFrame) -> DataFrame:
-    """Distributed kernel: one Arrow group per conv_id via applyInPandas.
+def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Distributed kernel: bucket-grouped applyInPandas.
 
-    One shuffle on conv_id; within each group the kernel is vectorized
-    numpy (the reference's batched tensor math, feature_extraction.py:76,
-    with Arrow batching standing in for the DataLoader).
+    One shuffle on bucket(conv_id); per bucket the kernel iterates
+    conversations with a pandas groupby (sub-millisecond per group)
+    instead of one Spark group per conversation (~20-50 ms per group of
+    grouped-pandas overhead — ruinous at millions of conversations).
+    Bucket count bounds per-task memory and scales with the corpus;
+    conversations never split across buckets.
     """
+    if n_buckets is None:
+        n_buckets = int(
+            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            compute_features_pd(g)
+            for _, g in pdf.groupby("conv_id", sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "turn_idx": pd.Series(dtype="int32"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "session_id": pd.Series(dtype="int64"),
+                    "features": pd.Series(dtype=object),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    b = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets))
     return (
         transcripts.select(*cols)
-        .groupBy("conv_id")
-        .applyInPandas(compute_features_pd, schema=FEATURE_SCHEMA)
+        .withColumn("__b", b)
+        .groupBy("__b")
+        .applyInPandas(per_bucket, schema=FEATURE_SCHEMA)
     )

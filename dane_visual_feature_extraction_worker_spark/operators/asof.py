@@ -85,30 +85,44 @@ def asof_join_sorted(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_order: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Scale-path as-of join: cogrouped ``pandas.merge_asof`` per entity.
+    """Scale-path as-of join: bucket-cogrouped ``pandas.merge_asof``.
 
-    Plan shape: both sides shuffle once on ``on`` (hash partition), each
-    group arrives as a pandas frame via Arrow, merge_asof does a linear
-    sorted merge. No data explosion, no window over an unbounded range
-    join — per-entity cost is O(n log n) for the sort + O(n) merge.
+    Entities are hashed into ``n_buckets`` buckets and the cogroup runs
+    per BUCKET, not per entity: pyspark's grouped-pandas machinery costs
+    ~20-50 ms per group in serialization/setup, so grouping by raw
+    entity key (millions of small groups at corpus scale) drowns the
+    actual merge. Per bucket, ``merge_asof(by=on)`` does the per-entity
+    as-of matching vectorized in one call. Bucket count bounds per-task
+    memory (bucket ≈ corpus/n_buckets); entity groups never split across
+    buckets, so no partition-boundary state is needed.
+
+    Zero leakage: direction='backward' + allow_exact_matches=True ⇒
+    matched_ts <= anchor ts, strictly nothing after the anchor.
+    Tie-break: among equal matched_ts within an entity the greatest
+    ``right_order`` wins (rows sorted ascending; merge_asof takes the
+    last positioned match).
     """
+    if n_buckets is None:
+        n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     l_cols = left.columns
     r_extra = [c for c in right.columns if c not in (on, right_ts)]
+    lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)))
     # fresh key name on the right avoids self-join lineage ambiguity when
     # left was derived from right (common: anchors = agg of transcripts)
     r = right.select(
         F.col(on).alias("__r_on"),
         F.col(right_ts).alias("matched_ts"),
         *[F.col(c) for c in r_extra],
-    )
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col("__r_on")), F.lit(n_buckets)))
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
         + ["`matched_ts` timestamp"]
         + [
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in r.schema.fields
-            if f.name not in ("__r_on", "matched_ts")
+            if f.name not in ("__r_on", "matched_ts", "__b")
         ]
     )
     order_cols = ["matched_ts"] + ([right_order] if right_order else [])
@@ -121,19 +135,21 @@ def asof_join_sorted(
             for c in r_extra:
                 out[c] = None
             return out[l_cols + ["matched_ts"] + r_extra]
-        # stable sort: among equal matched_ts the LAST row in this order
-        # wins inside merge_asof, so sort ascending by tie-break too.
+        # stable sort by ts (merge_asof contract), tie-break column last
+        # so the LAST positioned row among equal ts is the winner
         rdf = rdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         out = pd.merge_asof(
             ldf,
-            rdf.drop(columns=["__r_on"]),
+            rdf.drop(columns=["__b"]),
             left_on=left_ts,
             right_on="matched_ts",
+            left_by=on,
+            right_by="__r_on",
             direction="backward",  # matched_ts <= ts: zero leakage
             allow_exact_matches=True,
         )
         return out[l_cols + ["matched_ts"] + r_extra]
 
-    return left.groupBy(on).cogroup(r.groupBy("__r_on")).applyInPandas(
+    return lb.groupBy("__b").cogroup(r.groupBy("__b")).applyInPandas(
         merge, schema=out_schema
     )

@@ -32,15 +32,16 @@ def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
-def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
-    """Positional word k-grams (0-indexed Spark arrays; content matches
-    DuckDB's 1-indexed comprehension)."""
-    a = _tokens(text_col)
+def _shingles_from_tokens(a: F.Column, k: int = 3) -> F.Column:
+    """Positional word k-grams from a *materialized* token-array column.
+
+    The token array must be a real column (not an inline split()
+    expression): project-collapse would otherwise re-inline the regex
+    split once per gram element — measured 8x slower. slice+array_join
+    references the array once per gram."""
     n = F.size(a)
     idx = F.sequence(F.lit(0), n - k)  # valid when n >= k
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(a, i + j + 1) for j in range(k)]
-    )
+    gram = lambda i: F.array_join(F.slice(a, i + 1, k), " ")  # noqa: E731
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
@@ -56,10 +57,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    return (
-        docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-    )
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    return toks.select(
+        F.col(id_col), F.explode(_shingles_from_tokens(F.col("__toks"), k)).alias("shingle")
+    ).distinct()
 
 
 def jaccard_pairs(
@@ -75,8 +76,12 @@ def jaccard_pairs(
     shingle, uniform) → count intersections per pair → join per-doc
     distinct-shingle counts (broadcastable) → Jaccard filter. Output
     ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
+
+    The shingle table feeds four plan branches (both join sides + both
+    count sides); Catalyst does not reuse the exchange across them, so
+    it is persisted (MEMORY_AND_DISK, LRU-evicted) — measured 3x.
     """
-    sh = shingle_table(docs, id_col, text_col, k)
+    sh = shingle_table(docs, id_col, text_col, k).persist()
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     s2 = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -117,31 +122,41 @@ def minhash_lsh_pairs(
     candidates. Output distinct ``(doc_a, doc_b)``.
     """
     sh = shingle_table(docs, id_col, text_col, k)
-    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
-    mh = (
-        sh.withColumn("seed", F.explode(seeds))
-        .groupBy(id_col, "seed")
-        .agg(
+    # all K minhashes in ONE aggregation pass (no seed explosion: K
+    # parallel min() aggregates over the same 1x shingle stream — one
+    # shuffle of |shingles| rows instead of K x |shingles|)
+    mh = sh.groupBy(id_col).agg(
+        *[
             F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("mh")
-        )
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.floor(F.col("seed") / band_size))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
-    )
+    n_bands = n_hashes // band_size
+    bands = mh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    bands = bands.persist()  # two join branches below; no exchange reuse
     b1 = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (

@@ -31,8 +31,12 @@ def _stop_ratio(tokens: F.Column, stops: list[str]) -> F.Column:
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram-free heuristic language ID: stopword-hit ratio per
-    language list; argmax with 0.02 floor else 'unknown'."""
-    t = _tokens(text_col)
+    language list; argmax with 0.02 floor else 'unknown'.
+
+    Tokens are materialized into a column first so project-collapse
+    cannot re-inline the regex split per reference (see dedup.py)."""
+    docs = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
     en = _stop_ratio(t, EN_STOP)
     nl = _stop_ratio(t, NL_STOP)
     pred = (
@@ -51,9 +55,13 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality features + scalar score in [0,1]:
     length band, mean token length band, stopword presence."""
-    t = _tokens(text_col)
+    docs = docs.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("__nch"),
+        _tokens(text_col).alias("__toks"),
+    )
+    t = F.col("__toks")
     n_tok = F.size(t)
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.col("__nch")
     avg_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
     stop = _stop_ratio(t, EN_STOP)
     score = (
@@ -73,8 +81,15 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     regex token count (letter runs / digit runs / single punctuation)."""
-    t = _tokens(text_col)
-    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    docs = docs.select(
+        F.col(id_col),
+        _tokens(text_col).alias("__toks"),
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).alias("__bpe"),
+    )
+    t = F.col("__toks")
+    bpe = F.col("__bpe")
     return docs.select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
