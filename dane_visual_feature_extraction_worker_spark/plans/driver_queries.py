@@ -914,3 +914,74 @@ def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["checkpoint_resume"] = checkpoint_resume
+
+
+def asof_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative as-of physical path (inequality join + window
+    dedup) — same semantics as ``asof_join``; both paths are exposed so
+    the driver verifies them independently."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_rangejoin,
+    )
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join_rangejoin(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="click_id",
+        left_keys=["user_id", "purchase_id"],
+    )
+
+
+def rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 time form: trailing 1-hour window ending AT the anchor
+    (rangeBetween on epoch seconds — leakage-free)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_seconds("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("value").over(w).alias("troll_cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "troll_sum"
+        ),
+    )
+
+
+ORACLES.update(
+    {
+        "asof_join_range": ORACLES["asof_join"],
+        "rolling_time_agg": """
+            SELECT event_id, user_id, ts,
+                   count(value) OVER w AS troll_cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     AS troll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+    }
+)
+QUERIES.update(
+    {"asof_join_range": asof_join_range, "rolling_time_agg": rolling_time_agg}
+)

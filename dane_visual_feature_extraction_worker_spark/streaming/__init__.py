@@ -1,0 +1,10 @@
+"""Structured Streaming twins of the batch operators (stretch goal,
+SURVEY.md §2C: the reference is batch-per-queue-message; these map the
+same semantics onto unbounded inputs)."""
+
+from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+    streaming_session_stats,
+    streaming_tumbling_agg,
+)
+
+__all__ = ["streaming_session_stats", "streaming_tumbling_agg"]

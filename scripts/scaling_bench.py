@@ -1,0 +1,121 @@
+"""Scaling-efficiency evidence: the same flagship job at local[8] vs
+local[32] on byte-identical input (north rule: >=0.8 efficiency N->4N).
+
+No real cluster exists in this sandbox, so per BASELINE.md the two
+"cluster sizes" are two local parallelism levels with a fresh JVM each
+(subprocess isolation). The input is generated once to parquet so both
+sizes read the same bytes; each size runs the job twice and reports the
+warm run (excludes JVM/Python-worker spin-up, which on a real cluster is
+amortized across a long job).
+
+Writes BENCH/BASELINE.md. Usage:
+    python scripts/scaling_bench.py [n_convs] [avg_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
+from dane_visual_feature_extraction_worker_spark.datagen import gen_anchors
+from dane_visual_feature_extraction_worker_spark.operators.asof import asof_join_sorted
+from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+
+cpus = {cpus}
+spark = get_spark(EngineConfig(
+    app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
+    shuffle_partitions=max(cpus * 2, 16)))
+tr = spark.read.parquet({src!r})
+n = tr.count()
+
+def job(tag):
+    t0 = time.monotonic()
+    pit_features(tr).write.mode("overwrite").parquet({out!r} + f"/feat_{{cpus}}_" + tag)
+    anchors = gen_anchors(spark, tr, per_conv=4)
+    asof_join_sorted(anchors, tr.select("conv_id","ts","turn_idx","role"),
+                     on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+                     ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}_" + tag)
+    return time.monotonic() - t0
+
+warm = job("w0")
+t = min(job("w1"), job("w2"))
+print(json.dumps({{"cpus": cpus, "turns": n, "sec": t, "warmup_sec": warm,
+                   "turns_per_sec": n / t}}))
+"""
+
+
+def run_size(cpus: int, src: str, out: str) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, src=src, out=out)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr[-3000:])
+        raise RuntimeError(f"child local[{cpus}] failed")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    src = os.path.join(tmp, "transcripts")
+
+    # generate once — both sizes read identical bytes
+    gen = CHILD_GEN.format(repo=REPO, n_convs=n_convs, avg_turns=avg_turns, src=src)
+    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, text=True)
+
+    r8 = run_size(8, src, tmp)
+    r32 = run_size(32, src, tmp)
+    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    report = {
+        "input_turns": r8["turns"],
+        "local8": r8,
+        "local32": r32,
+        "speedup_8_to_32": round(r32["turns_per_sec"] / r8["turns_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — scaling efficiency (N -> 4N)\n\n"
+            "Same flagship job (pit_features kernel + as-of join, parquet\n"
+            "sink) on byte-identical pre-generated transcript parquet;\n"
+            "fresh JVM per size; warm timing (best of 2 after warm-up).\n\n"
+            f"| config | turns | sec | turns/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {r8['turns']} | {r8['sec']:.2f} | {r8['turns_per_sec']:.0f} |\n"
+            f"| local[32] | {r32['turns']} | {r32['sec']:.2f} | {r32['turns_per_sec']:.0f} |\n\n"
+            f"**Speedup 8→32 (4x cores): {report['speedup_8_to_32']}x — "
+            f"scaling efficiency {report['scaling_efficiency']} "
+            f"(target ≥ 0.8: {'PASS' if report['pass'] else 'FAIL'})**\n\n"
+            "Efficiency = (throughput_32 / throughput_8) / 4. See\n"
+            "scripts/scaling_bench.py; BASELINE.md for methodology.\n"
+        )
+
+
+CHILD_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
+from dane_visual_feature_extraction_worker_spark.datagen import gen_transcripts
+spark = get_spark(EngineConfig(app_name="gen", master="local[32]", shuffle_partitions=64))
+gen_transcripts(spark, n_convs={n_convs}, avg_turns={avg_turns}, partitions=64
+    ).write.mode("overwrite").parquet({src!r})
+"""
+
+
+if __name__ == "__main__":
+    main()
