@@ -23,9 +23,13 @@ from pyspark.sql import DataFrame, Window
 from dane_visual_feature_extraction_worker_spark.kernel import feature_vectors
 
 
-def pit_features(transcripts: DataFrame) -> DataFrame:
-    """Features + per-session bounds for every (conv_id, ts) anchor."""
-    fv = feature_vectors(transcripts)
+def pit_features(transcripts: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Features + per-session bounds for every (conv_id, ts) anchor.
+
+    ``n_buckets`` sizes the kernel's pandas buckets — pick so one bucket
+    (≈ corpus/n_buckets rows incl. text) fits executor memory; defaults
+    to spark.sql.shuffle.partitions."""
+    fv = feature_vectors(transcripts, n_buckets=n_buckets)
     w = Window.partitionBy("conv_id", "session_id")
     return fv.select(
         "conv_id",

@@ -33,16 +33,20 @@ from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_featu
 cpus = {cpus}
 spark = get_spark(EngineConfig(
     app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
-    shuffle_partitions=max(cpus * 2, 16)))
+    shuffle_partitions=max(cpus * 2, 16),
+    extra_conf={{"spark.driver.memory": "48g"}}))
+N_BUCKETS = 256  # bounds per-bucket pandas memory independent of cpus
 tr = spark.read.parquet({src!r})
 n = tr.count()
 
 def job(tag):
     t0 = time.monotonic()
-    pit_features(tr).write.mode("overwrite").parquet({out!r} + f"/feat_{{cpus}}_" + tag)
+    pit_features(tr, n_buckets=N_BUCKETS).write.mode("overwrite").parquet(
+        {out!r} + f"/feat_{{cpus}}_" + tag)
     anchors = gen_anchors(spark, tr, per_conv=4)
     asof_join_sorted(anchors, tr.select("conv_id","ts","turn_idx","role"),
-                     on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+                     on="conv_id", left_ts="anchor_ts", right_order="turn_idx",
+                     n_buckets=N_BUCKETS,
                      ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}_" + tag)
     return time.monotonic() - t0
 
@@ -59,7 +63,7 @@ def run_size(cpus: int, src: str, out: str) -> dict:
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     if p.returncode != 0:
-        sys.stderr.write(p.stderr[-3000:])
+        sys.stderr.write(p.stderr[-8000:])
         raise RuntimeError(f"child local[{cpus}] failed")
     return json.loads(p.stdout.strip().splitlines()[-1])
 
