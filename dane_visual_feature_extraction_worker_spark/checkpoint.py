@@ -116,10 +116,23 @@ class CheckpointedRunner:
         ``fail_after``: crash injection for resume tests — raises after
         N buckets complete (simulates a killed job).
         """
+        from dane_visual_feature_extraction_worker_spark.provenance import (
+            ProvenanceTracker,
+        )
+
         done = self.done_buckets()
         pending = [b for b in range(self.n_buckets) if b not in done]
         attempt = 1 + (
             self.load_checkpoints().agg(F.max("attempt")).collect()[0][0] or 0
+        )
+        prov = ProvenanceTracker(
+            "checkpointed_run",
+            params={
+                "n_buckets": self.n_buckets,
+                "entity_col": self.entity_col,
+                "attempt": attempt,
+                "pending": len(pending),
+            },
         )
         src = source.withColumn("__bucket", bucket_of(self.entity_col, self.n_buckets))
         completed = 0
@@ -128,8 +141,10 @@ class CheckpointedRunner:
             part = src.where(F.col("__bucket") == b).drop("__bucket")
             out = pipeline(part)
             path = os.path.join(self.output_dir, f"bucket={b}")
-            out.write.mode("overwrite").parquet(path)
-            rows = self.spark.read.parquet(path).count()
+            with prov.step("bucket", bucket=b) as ps:
+                out.write.mode("overwrite").parquet(path)
+                rows = self.spark.read.parquet(path).count()
+                ps.output_data = {"rows": rows, "path": path}
             ms = (time.monotonic() - t0) * 1000.0
             self._record(
                 {
@@ -153,12 +168,17 @@ class CheckpointedRunner:
             completed += 1
             if fail_after is not None and completed >= fail_after:
                 raise RuntimeError(f"injected failure after {completed} buckets")
-        return {
+        summary = {
             "attempt": attempt,
             "skipped": len(done),
             "computed": completed,
             "n_buckets": self.n_buckets,
         }
+        prov.persist(
+            os.path.join(self.output_dir, f"_provenance_attempt{attempt}.json"),
+            output_data=summary,
+        )
+        return summary
 
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.output_dir)

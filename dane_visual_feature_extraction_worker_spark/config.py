@@ -24,7 +24,12 @@ class EngineConfig:
     app_name: str = "dane-feature-engine"
     master: str | None = None  # None -> local[$SPARK_GRAFT_CPUS or *]
     shuffle_partitions: int = 32
-    arrow_batch_size: int = 256  # mirrors reference batch_size=256
+    # Arrow transfer batch. The reference's DataLoader uses 256
+    # (feature_extraction.py:76) but 256-row Arrow batches strangle
+    # UDF transfer at scale (measured 2-5x); execution semantics are
+    # batch-size-invariant, so default to 10k and keep 256 for tests
+    # that mirror the reference shape.
+    arrow_batch_size: int = 10_000
     feature_dim: int = 32
     session_gap_seconds: float = 1800.0
     max_partition_bytes: str = "128m"

@@ -102,7 +102,10 @@ def gen_transcripts(
         F.timestamp_micros(
             (
                 F.unix_timestamp(F.lit(EPOCH)).cast("long") * 1_000_000
-                + (F.col("conv_n") * F.lit(86_400_000_000))  # convs start a day apart
+                # convs start a day apart, wrapped to a 10-year window so
+                # timestamps stay inside pandas' datetime64[ns] range at
+                # any conv count (ns max = year 2262)
+                + (F.pmod(F.col("conv_n"), F.lit(3650)) * F.lit(86_400_000_000))
                 + (F.col("off_s") * 1_000_000).cast("long")
             )
         ),

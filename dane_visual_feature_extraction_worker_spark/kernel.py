@@ -46,6 +46,10 @@ from dane_visual_feature_extraction_worker_spark.functions import ts_seconds_pd
 
 FEATURE_DIM = 32
 SESSION_GAP_S = 1800.0
+# default entity-bucket count for grouped-pandas kernels: bounds per-task
+# pandas memory and amortizes per-group overhead; ~4-15k rows/bucket at
+# the bench scales measured best (buckets with no data cost nothing)
+DEFAULT_KERNEL_BUCKETS = 2048
 _ROLE_IDX = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
 _HASH_BUCKETS = 16
 # small odd multiplier polynomial-hash; deterministic across platforms
@@ -62,15 +66,154 @@ _TOKEN_CACHE: dict[str, int] = {}
 
 
 def _token_hash_bucket(tok: str) -> int:
+    """Token -> bag bucket. CRC32 so the JVM (F.crc32) and Python
+    (zlib.crc32) sides agree bit-for-bit."""
+    import zlib
+
     b = _TOKEN_CACHE.get(tok)
     if b is None:
-        h = 0
-        for ch in tok.encode("utf-8"):
-            h = (h * _POLY + ch) % _MOD
-        b = h % _HASH_BUCKETS
+        b = zlib.crc32(tok.encode("utf-8")) % _HASH_BUCKETS
         if len(_TOKEN_CACHE) < 1_000_000:  # bound worker memory
             _TOKEN_CACHE[tok] = b
     return b
+
+
+def with_text_features(transcripts: DataFrame) -> DataFrame:
+    """JVM-side text features: chars, words, l2-normalized 16-bucket
+    token bag (bag0..bag15), role_code, has_tool.
+
+    Whole-stage-codegen'd column expressions — Python never touches the
+    text, which is what keeps the kernel memory-light and scalable (text
+    handling in the Python workers was the measured scaling ceiling).
+    Staged selects materialize toks/hashes so project-collapse cannot
+    re-inline the regex split / crc32 per reference (see dedup.py)."""
+    roles = (
+        F.when(F.col("role") == "user", 0)
+        .when(F.col("role") == "assistant", 1)
+        .when(F.col("role") == "tool", 2)
+        .when(F.col("role") == "system", 3)
+        .otherwise(-1)
+    )
+    s1 = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        roles.alias("role_code"),
+        F.col("tool").isNotNull().cast("int").alias("has_tool"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double").alias("chars"),
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    s2 = s1.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "role_code",
+        "has_tool",
+        "chars",
+        F.size("__toks").cast("double").alias("words"),
+        F.transform(
+            F.col("__toks"), lambda t: F.pmod(F.crc32(t), F.lit(_HASH_BUCKETS))
+        ).alias("__h"),
+    )
+    raw = [
+        F.size(F.filter(F.col("__h"), lambda h: h == b)).cast("double").alias(f"__c{b}")
+        for b in range(_HASH_BUCKETS)
+    ]
+    s3 = s2.select(
+        "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars", "words", *raw
+    )
+    norm_sq = None
+    for b in range(_HASH_BUCKETS):
+        t = F.col(f"__c{b}") * F.col(f"__c{b}")
+        norm_sq = t if norm_sq is None else norm_sq + t
+    s4 = s3.withColumn("__norm", F.sqrt(norm_sq))
+    bags = [
+        F.when(F.col("__norm") > 0, F.col(f"__c{b}") / F.col("__norm"))
+        .otherwise(F.lit(0.0))
+        .alias(f"bag{b}")
+        for b in range(_HASH_BUCKETS)
+    ]
+    return s4.select(
+        "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars", "words", *bags
+    )
+
+
+def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Numeric-only bucket kernel over ``with_text_features`` output:
+    pure float prefix ops per conversation slice — no strings cross the
+    Arrow boundary."""
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype=object),
+                "turn_idx": pd.Series(dtype="int32"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "session_id": pd.Series(dtype="int64"),
+                "features": pd.Series(dtype=object),
+            }
+        )
+    ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()
+    chars = pdf["chars"].to_numpy()
+    words = pdf["words"].to_numpy()
+    role_code = pdf["role_code"].to_numpy()
+    has_tool = pdf["has_tool"].to_numpy(dtype=np.float64)
+    bag = np.column_stack([pdf[f"bag{b}"].to_numpy() for b in range(_HASH_BUCKETS)])
+
+    codes, _ = pd.factorize(pdf["conv_id"], sort=False)
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], n]
+
+    feats = np.empty((n, FEATURE_DIM), dtype=np.float64)
+    sess_all = np.empty(n, dtype=np.int64)
+    role_eq = {r: (role_code == j).astype(np.float64) for r, j in _ROLE_IDX.items()}
+    for a, b in zip(starts, ends):
+        m = b - a
+        tss = ts_s[a:b]
+        gaps = np.diff(tss, prepend=tss[0])
+        gaps[0] = 0.0
+        idx1 = np.arange(1, m + 1, dtype=np.float64)
+        cum_chars = np.cumsum(chars[a:b])
+        cum_gaps = np.cumsum(gaps)
+        new_sess = (gaps > SESSION_GAP_S).astype(np.int64)
+        new_sess[0] = 1
+        sess_id = np.cumsum(new_sess) - 1
+        idx = np.arange(m)
+        sess_start = np.maximum.accumulate(np.where(new_sess == 1, idx, 0))
+        out = feats[a:b]
+        out[:, 0] = idx1
+        out[:, 1] = cum_chars
+        out[:, 2] = cum_chars / idx1
+        out[:, 3] = chars[a:b]
+        out[:, 4] = gaps
+        out[:, 5] = cum_gaps / idx1
+        out[:, 6] = np.maximum.accumulate(gaps)
+        out[:, 7] = sess_id
+        for _r, j in _ROLE_IDX.items():
+            out[:, 8 + j] = np.cumsum(role_eq[_r][a:b])
+        out[:, 12] = np.cumsum(has_tool[a:b])
+        out[:, 13] = idx - sess_start + 1
+        out[:, 14] = tss - tss[sess_start]
+        out[:, 15] = words[a:b]
+        out[:, 16:] = bag[a:b]
+        sess_all[a:b] = sess_id
+
+    f32 = feats.astype(np.float32)
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "ts": pdf["ts"],
+            "session_id": sess_all,
+            "features": list(f32),
+        }
+    )
 
 
 def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -259,17 +402,15 @@ def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> Dat
     conversations never split across buckets.
     """
     if n_buckets is None:
-        n_buckets = int(
-            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_buckets = DEFAULT_KERNEL_BUCKETS
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return compute_features_bucket(pdf)
+        return compute_features_numeric(pdf)
 
     b = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets))
     return (
-        transcripts.select(*cols)
+        with_text_features(transcripts.select(*cols))
         .withColumn("__b", b)
         .groupBy("__b")
         .applyInPandas(per_bucket, schema=FEATURE_SCHEMA)

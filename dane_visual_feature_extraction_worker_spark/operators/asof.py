@@ -105,7 +105,11 @@ def asof_join_sorted(
     last positioned match).
     """
     if n_buckets is None:
-        n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        from dane_visual_feature_extraction_worker_spark.kernel import (
+            DEFAULT_KERNEL_BUCKETS,
+        )
+
+        n_buckets = DEFAULT_KERNEL_BUCKETS
     l_cols = left.columns
     r_extra = [c for c in right.columns if c not in (on, right_ts)]
     lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)))

@@ -33,9 +33,9 @@ from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_featu
 cpus = {cpus}
 spark = get_spark(EngineConfig(
     app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
-    shuffle_partitions=max(cpus * 2, 16),
+    shuffle_partitions=cpus,
     extra_conf={{"spark.driver.memory": "48g"}}))
-N_BUCKETS = 256  # bounds per-bucket pandas memory independent of cpus
+N_BUCKETS = None  # engine default (DEFAULT_KERNEL_BUCKETS)
 tr = spark.read.parquet({src!r})
 n = tr.count()
 
@@ -51,7 +51,7 @@ def job(tag):
     return time.monotonic() - t0
 
 warm = job("w0")
-t = min(job("w1"), job("w2"))
+t = min(job("w1"), job("w2"), job("w3"))
 print(json.dumps({{"cpus": cpus, "turns": n, "sec": t, "warmup_sec": warm,
                    "turns_per_sec": n / t}}))
 """
