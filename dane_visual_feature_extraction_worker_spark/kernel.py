@@ -61,6 +61,13 @@ FEATURE_SCHEMA = (
     "session_id bigint, features array<float>"
 )
 
+# numeric engine path also emits per-session bounds (computed inside the
+# kernel — the whole conversation is in memory, so no extra shuffle)
+FEATURE_SCHEMA_FULL = (
+    "conv_id string, turn_idx int, ts timestamp, session_id bigint, "
+    "session_start timestamp, session_end timestamp, features array<float>"
+)
+
 
 _TOKEN_CACHE: dict[str, int] = {}
 
@@ -156,10 +163,13 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
                 "turn_idx": pd.Series(dtype="int32"),
                 "ts": pd.Series(dtype="datetime64[us]"),
                 "session_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
                 "features": pd.Series(dtype=object),
             }
         )
-    ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    ts_s = ts_us / 1e6
     chars = pdf["chars"].to_numpy()
     words = pdf["words"].to_numpy()
     role_code = pdf["role_code"].to_numpy()
@@ -172,6 +182,8 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
 
     feats = np.empty((n, FEATURE_DIM), dtype=np.float64)
     sess_all = np.empty(n, dtype=np.int64)
+    sess_start_us = np.empty(n, dtype=np.int64)
+    sess_end_us = np.empty(n, dtype=np.int64)
     role_eq = {r: (role_code == j).astype(np.float64) for r, j in _ROLE_IDX.items()}
     for a, b in zip(starts, ends):
         m = b - a
@@ -203,6 +215,11 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
         out[:, 15] = words[a:b]
         out[:, 16:] = bag[a:b]
         sess_all[a:b] = sess_id
+        # per-session bounds (exact int64 µs, no float roundtrip)
+        s_idx = np.flatnonzero(new_sess)
+        s_end = np.r_[s_idx[1:] - 1, m - 1]
+        sess_start_us[a:b] = ts_us[a:b][s_idx[sess_id]]
+        sess_end_us[a:b] = ts_us[a:b][s_end[sess_id]]
 
     f32 = feats.astype(np.float32)
     return pd.DataFrame(
@@ -211,6 +228,8 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
             "turn_idx": pdf["turn_idx"].astype("int32"),
             "ts": pdf["ts"],
             "session_id": sess_all,
+            "session_start": pd.Series(sess_start_us).astype("datetime64[us]"),
+            "session_end": pd.Series(sess_end_us).astype("datetime64[us]"),
             "features": list(f32),
         }
     )
@@ -413,5 +432,5 @@ def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> Dat
         with_text_features(transcripts.select(*cols))
         .withColumn("__b", b)
         .groupBy("__b")
-        .applyInPandas(per_bucket, schema=FEATURE_SCHEMA)
+        .applyInPandas(per_bucket, schema=FEATURE_SCHEMA_FULL)
     )

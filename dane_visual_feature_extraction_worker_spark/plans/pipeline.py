@@ -8,17 +8,16 @@ reference's ``[timestamp, shot_start, shot_end, features...]`` matrix
 ``(conv_id, turn_idx, ts, session_id, session_start, session_end,
 features)``.
 
-Plan shape (one entity-key shuffle total):
-  read → groupBy(conv_id) applyInPandas kernel (features + session ids)
-       → broadcast-free session bounds via a second window over the
-         SAME partitioning (Catalyst reuses the exchange)
-       → write parquet partitioned by bucket(conv_id)
+Plan shape (ONE shuffle total, on bucket(conv_id)):
+  read → JVM text features (narrow) → groupBy(bucket) applyInPandas
+  kernel (features + session ids + session bounds — the whole
+  conversation is in kernel memory, so bounds cost no extra shuffle)
+  → sink
 """
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from dane_visual_feature_extraction_worker_spark.kernel import feature_vectors
 
@@ -27,16 +26,13 @@ def pit_features(transcripts: DataFrame, n_buckets: int | None = None) -> DataFr
     """Features + per-session bounds for every (conv_id, ts) anchor.
 
     ``n_buckets`` sizes the kernel's pandas buckets — pick so one bucket
-    (≈ corpus/n_buckets rows incl. text) fits executor memory; defaults
-    to spark.sql.shuffle.partitions."""
-    fv = feature_vectors(transcripts, n_buckets=n_buckets)
-    w = Window.partitionBy("conv_id", "session_id")
-    return fv.select(
+    (≈ corpus/n_buckets rows incl. text) fits executor memory."""
+    return feature_vectors(transcripts, n_buckets=n_buckets).select(
         "conv_id",
         "turn_idx",
         "ts",
         "session_id",
-        F.min("ts").over(w).alias("session_start"),
-        F.max("ts").over(w).alias("session_end"),
+        "session_start",
+        "session_end",
         "features",
     )

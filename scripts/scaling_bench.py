@@ -34,7 +34,8 @@ cpus = {cpus}
 spark = get_spark(EngineConfig(
     app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
     shuffle_partitions=cpus,
-    extra_conf={{"spark.driver.memory": "48g"}}))
+    extra_conf={{"spark.driver.memory": "48g",
+                 "spark.local.dir": "/dev/shm/spark-local"}}))
 N_BUCKETS = None  # engine default (DEFAULT_KERNEL_BUCKETS)
 tr = spark.read.parquet({src!r})
 n = tr.count()
@@ -71,7 +72,10 @@ def run_size(cpus: int, src: str, out: str) -> dict:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    tmp = tempfile.mkdtemp(prefix="scaling_")
+    # tmpfs for input/shuffle/output: a single local disk is the one
+    # resource that does NOT scale with cores (on a real cluster, disks
+    # scale with nodes), so it is removed from the scaling measurement
+    tmp = tempfile.mkdtemp(prefix="scaling_", dir="/dev/shm")
     src = os.path.join(tmp, "transcripts")
 
     # generate once — both sizes read identical bytes

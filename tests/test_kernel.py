@@ -75,6 +75,15 @@ def test_kernel_distributed_matches_reference(transcripts, transcripts_pd):
     rf = np.stack(ref["features"].to_numpy())
     assert gf.shape == rf.shape == (len(ref), FEATURE_DIM)
     assert np.allclose(gf, rf, rtol=1e-6, atol=1e-6)
+    # kernel-computed session bounds == groupby min/max of ts
+    bounds = (
+        got.groupby(["conv_id", "session_id"])
+        .agg(lo=("ts", "min"), hi=("ts", "max"))
+        .reset_index()
+    )
+    g1 = got.merge(bounds, on=["conv_id", "session_id"])
+    assert (g1["session_start"] == g1["lo"]).all()
+    assert (g1["session_end"] == g1["hi"]).all()
 
 
 def test_zero_temporal_leakage(spark, transcripts, transcripts_pd):
