@@ -75,9 +75,12 @@ def flagship(spark, sf: float, out_dir: str) -> tuple[int, float]:
     tr = spark.read.parquet(src)
     n_turns = tr.count()
 
+    anchors = gen_anchors(spark, tr, per_conv=4)
+    anchors.write.mode("overwrite").parquet(os.path.join(out_dir, "anchors"))
+    anchors = spark.read.parquet(os.path.join(out_dir, "anchors"))
+
     t0 = time.monotonic()
     feats = pit_features(tr)
-    anchors = gen_anchors(spark, tr, per_conv=4)
     asof = asof_join_sorted(
         anchors,
         tr.select("conv_id", "ts", "turn_idx", "role"),

@@ -26,7 +26,6 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
-from dane_visual_feature_extraction_worker_spark.datagen import gen_anchors
 from dane_visual_feature_extraction_worker_spark.operators.asof import asof_join_sorted
 from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
 
@@ -38,21 +37,25 @@ spark = get_spark(EngineConfig(
                  "spark.local.dir": "/dev/shm/spark-local"}}))
 N_BUCKETS = None  # engine default (DEFAULT_KERNEL_BUCKETS)
 tr = spark.read.parquet({src!r})
+anchors = spark.read.parquet({src!r} + "_anchors")
 n = tr.count()
 
 def job(tag):
     t0 = time.monotonic()
+    # fixed path per phase: tmpfs must not accumulate one copy per rep
     pit_features(tr, n_buckets=N_BUCKETS).write.mode("overwrite").parquet(
-        {out!r} + f"/feat_{{cpus}}_" + tag)
-    anchors = gen_anchors(spark, tr, per_conv=4)
+        {out!r} + f"/feat_{{cpus}}")
     asof_join_sorted(anchors, tr.select("conv_id","ts","turn_idx","role"),
                      on="conv_id", left_ts="anchor_ts", right_order="turn_idx",
                      n_buckets=N_BUCKETS,
-                     ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}_" + tag)
+                     ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}")
     return time.monotonic() - t0
 
+import shutil
 warm = job("w0")
 t = min(job("w1"), job("w2"), job("w3"))
+shutil.rmtree({out!r} + f"/feat_{{cpus}}", ignore_errors=True)
+shutil.rmtree({out!r} + f"/asof_{{cpus}}", ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "turns": n, "sec": t, "warmup_sec": warm,
                    "turns_per_sec": n / t}}))
 """
@@ -118,10 +121,12 @@ CHILD_GEN = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
-from dane_visual_feature_extraction_worker_spark.datagen import gen_transcripts
+from dane_visual_feature_extraction_worker_spark.datagen import gen_anchors, gen_transcripts
 spark = get_spark(EngineConfig(app_name="gen", master="local[32]", shuffle_partitions=64))
 gen_transcripts(spark, n_convs={n_convs}, avg_turns={avg_turns}, partitions=64
     ).write.mode("overwrite").parquet({src!r})
+tr = spark.read.parquet({src!r})
+gen_anchors(spark, tr, per_conv=4).repartition(64).write.mode("overwrite").parquet({src!r} + "_anchors")
 """
 
 
