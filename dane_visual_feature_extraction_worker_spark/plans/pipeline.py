@@ -27,12 +27,13 @@ def pit_features(transcripts: DataFrame, n_buckets: int | None = None) -> DataFr
 
     ``n_buckets`` sizes the kernel's pandas buckets — pick so one bucket
     (≈ corpus/n_buckets rows incl. text) fits executor memory."""
-    return feature_vectors(transcripts, n_buckets=n_buckets).select(
-        "conv_id",
-        "turn_idx",
-        "ts",
-        "session_id",
-        "session_start",
-        "session_end",
-        "features",
-    )
+    return feature_vectors(transcripts, n_buckets=n_buckets)
+
+
+def pit_features_array(
+    transcripts: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """Array-form output (fixture schema); flat form is the scale sink."""
+    from dane_visual_feature_extraction_worker_spark.kernel import with_feature_array
+
+    return with_feature_array(pit_features(transcripts, n_buckets))

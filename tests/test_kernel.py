@@ -10,7 +10,7 @@ from dane_visual_feature_extraction_worker_spark.kernel import (
     FEATURE_DIM,
     compute_features_pd,
 )
-from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features_array as pit_features
 from tests.reference_impl import features_ref, sort_transcripts
 
 

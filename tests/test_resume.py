@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from dane_visual_feature_extraction_worker_spark.checkpoint import CheckpointedRunner
-from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
+from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features_array as pit_features
 
 
 def _runner(spark, tmp, tag, n_buckets=6):
