@@ -446,3 +446,106 @@ def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> Dat
         .groupBy("__b")
         .applyInPandas(per_bucket, schema=FEATURE_SCHEMA_FULL)
     )
+
+
+def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
+    """Pure-Catalyst physical strategy: the same 32 features as window
+    expressions — NO Python stage at all.
+
+    Every f0..f15 is a per-conversation prefix op (cumsum / running
+    max / last-ignorenulls) over rows sorted by (ts, turn_idx); the bag
+    columns f16..f31 are already JVM-side (``with_text_features``). A
+    running-frame window aggregate accumulates rows one at a time in
+    sort order — the SAME sequential double arithmetic as the numpy
+    kernel's cumsum — so the float32 outputs are bit-identical to
+    ``compute_features_numeric`` (asserted in tests/test_kernel.py).
+
+    Plan: ONE shuffle (hash on conv_id) + one sort for the main window;
+    the session-bounds window partitions on (conv_id, session_id),
+    which hash(conv_id) already clusters, so Catalyst adds only a
+    partition-local re-sort, no second exchange. Removing the Arrow
+    transfer + Python workers is what lifts multi-core scaling
+    efficiency (BENCH/BASELINE.md): whole-stage codegen end to end.
+    """
+    from pyspark.sql import Window
+
+    from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    tf = with_text_features(transcripts.select(*cols))
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    # epoch micros / 1e6 as double, same value path as the numpy kernel
+    # (route via epoch_seconds: parquet reads give TIMESTAMP_NTZ, which
+    # cannot cast to double directly)
+    ts_s = epoch_seconds("ts")
+    lag_ts = F.lag(ts_s, 1).over(w)
+    gap = F.coalesce(ts_s - lag_ts, F.lit(0.0))
+    rn = F.row_number().over(w).cast("double")
+
+    s1 = tf.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "role_code",
+        "has_tool",
+        "chars",
+        "words",
+        *[f"bag{b}" for b in range(_HASH_BUCKETS)],
+        ts_s.alias("__ts_s"),
+        gap.alias("__gap"),
+        rn.alias("__rn"),
+        # new-session flag: first row of the conv, or gap > threshold
+        F.when(lag_ts.isNull() | (ts_s - lag_ts > SESSION_GAP_S), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    )
+    s2 = s1.select(
+        "*",
+        (F.sum("__new").over(wrun) - 1).cast("bigint").alias("session_id"),
+        # index/ts of the most recent session boundary (running last)
+        F.last(F.when(F.col("__new") == 1, F.col("__rn")), ignorenulls=True)
+        .over(wrun)
+        .alias("__sess_rn"),
+        F.last(F.when(F.col("__new") == 1, F.col("__ts_s")), ignorenulls=True)
+        .over(wrun)
+        .alias("__sess_ts"),
+        F.sum("chars").over(wrun).alias("__cum_chars"),
+        F.sum("__gap").over(wrun).alias("__cum_gaps"),
+        F.max("__gap").over(wrun).alias("__max_gap"),
+        *[
+            F.sum((F.col("role_code") == j).cast("double")).over(wrun).alias(f"__r{j}")
+            for j in range(4)
+        ],
+        F.sum(F.col("has_tool").cast("double")).over(wrun).alias("__cum_tool"),
+    )
+    ws = Window.partitionBy("conv_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ff = F.col  # shorthand
+    feats = [
+        ff("__rn").cast("float").alias("f0"),
+        ff("__cum_chars").cast("float").alias("f1"),
+        (ff("__cum_chars") / ff("__rn")).cast("float").alias("f2"),
+        ff("chars").cast("float").alias("f3"),
+        ff("__gap").cast("float").alias("f4"),
+        (ff("__cum_gaps") / ff("__rn")).cast("float").alias("f5"),
+        ff("__max_gap").cast("float").alias("f6"),
+        ff("session_id").cast("float").alias("f7"),
+        *[ff(f"__r{j}").cast("float").alias(f"f{8 + j}") for j in range(4)],
+        ff("__cum_tool").cast("float").alias("f12"),
+        (ff("__rn") - ff("__sess_rn") + 1).cast("float").alias("f13"),
+        (ff("__ts_s") - ff("__sess_ts")).cast("float").alias("f14"),
+        ff("words").cast("float").alias("f15"),
+        *[ff(f"bag{b}").cast("float").alias(f"f{16 + b}") for b in range(_HASH_BUCKETS)],
+    ]
+    return s2.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "ts",
+        "session_id",
+        F.min("ts").over(ws).alias("session_start"),
+        F.max("ts").over(ws).alias("session_end"),
+        *feats,
+    )

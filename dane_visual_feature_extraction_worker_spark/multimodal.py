@@ -45,20 +45,31 @@ def decode_stub(payload: bytes) -> "np.ndarray":
 
 def fake_decode(payload: bytes) -> "np.ndarray":
     """Deterministic stand-in decode: byte-statistics feature vector
-    (length, mean, std, min, max, first/last byte, checksum%997)."""
+    (length, mean, std, min, max, first/last byte, checksum%997).
+
+    Engine-portable float discipline: byte sums / squared sums are exact
+    integers in IEEE double (≤ 255²·n ≪ 2^53), so mean = sum/n and
+    std = sqrt(sum_sq/n − mean²) are each ONE float op from exact
+    inputs — any SQL engine reproduces them bit-for-bit (the np.std
+    two-pass formula would not round-trip)."""
     if len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    n = float(len(b))
+    s = float(int(b.sum()))
+    sq = float(int((b * b).sum()))
+    mean = s / n
+    var = sq / n - mean * mean
     return np.array(
         [
-            float(len(b)),
-            float(b.mean()),
-            float(b.std()),
+            n,
+            mean,
+            float(np.sqrt(var if var > 0.0 else 0.0)),
             float(b.min()),
             float(b.max()),
             float(b[0]),
             float(b[-1]),
-            float(int(b.sum()) % 997),
+            float(int(s) % 997),
         ],
         dtype=np.float32,
     )

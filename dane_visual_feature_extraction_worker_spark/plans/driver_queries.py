@@ -186,10 +186,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- joins
 
-def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE flagship (A5 degenerate): for each purchase anchor, the latest
-    click with click.ts <= purchase.ts per user — scale path
-    (cogrouped merge_asof, operators/asof.py)."""
+def _asof_sides(spark: SparkSession, sf_dir: str):
     e = _events(spark, sf_dir)
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -203,6 +200,30 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("value").alias("click_value"),
     )
+    return purchases, clicks
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship (A5 degenerate): for each purchase anchor, the latest
+    click with click.ts <= purchase.ts per user — default scale path:
+    pure-JVM union-window as-of (operators/asof.py asof_join_union;
+    one shuffle + one sort, whole-stage codegen, no Python)."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_union,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join_union(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id",
+    )
+
+
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow physical path of the same as-of semantics: bucket-cogrouped
+    ``pandas.merge_asof`` (the reference-shaped vectorized batch kernel).
+    Verified against the identical oracle as ``asof_join``."""
+    purchases, clicks = _asof_sides(spark, sf_dir)
     return asof_join_sorted(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
         right_order="click_id",
@@ -588,11 +609,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming<=8, 60-bit sigs). Non-SQL op:
-    rows-only driver check; exactness covered by pytest vs pandas."""
+    """SimHash near-dup pairs (Hamming<=8, 60-bit sigs). Banding with
+    max_hamming+1 chunks has exact recall (pigeonhole), so the DuckDB
+    oracle is a brute-force all-pairs Hamming filter over the same
+    majority-vote signatures."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_documents(spark, sf_dir), max_hamming=8)
+
+
+def _simhash_oracle_sql(max_hamming: int = 8, bits: int = 60) -> str:
+    """Brute-force SimHash oracle: same tokenization (lower, \\s+ split,
+    drop empties), token hash = first 15 md5 hex chars as a 60-bit int
+    (bit b = bit b%4 of hex digit 15 - b//4), per-bit majority vote,
+    popcount of XOR <= max_hamming over all pairs."""
+    digits = ",\n                   ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1) AS g{i}"
+        for i in range(1, 16)
+    )
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (g{15 - b // 4} // {1 << (b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), hx AS (
+          SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok
+        ), dg AS (
+          SELECT doc_id,
+                   {digits}
+          FROM hx
+        ), vt AS (
+          SELECT doc_id,
+                   {votes}
+          FROM dg GROUP BY doc_id
+        ), sg AS (
+          SELECT doc_id, {sig} AS sig FROM vt
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,13 +736,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub-decode feature vectors (rows-only check; array output)."""
+    """Stub-decode feature vectors, flattened to f0..f7 doubles for the
+    driver comparator (raw array<float> is unhashable in its pandas
+    canonicalization — VERDICT r1). fake_decode's byte-stats are exact
+    integer sums in double, so the DuckDB oracle reproduces every float
+    bit-for-bit from ascii() bytes (documents are ASCII by generation).
+    The array form stays available via multimodal.extract_features and
+    is covered by pytest."""
     from dane_visual_feature_extraction_worker_spark.multimodal import (
         attach_payload,
         extract_features,
     )
 
-    return extract_features(attach_payload(_documents(spark, sf_dir)))
+    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
+    return mm.select(
+        "doc_id",
+        *[
+            _r6(F.element_at("features", i + 1).cast("double")).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 _COS_SQL = """
@@ -703,19 +785,31 @@ ORACLES.update(
                                   for i in range(1, len(a) - 1)]) AS shingle
                    FROM arr WHERE len(a) >= 3),
             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 1000),
+            cand AS (
+              SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+              FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+              JOIN rare r ON r.shingle = s1.shingle
+              WHERE s1.doc_id < s2.doc_id
+            ),
             pairs AS (
               SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
                      count(*) AS inter
               FROM sh s1 JOIN sh s2
                 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
               GROUP BY 1, 2
+            ),
+            paired AS (
+              SELECT p.* FROM pairs p
+              JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
             )
             SELECT doc_a, doc_b,
                    floor((inter * 1.0 / (ca.n + cb.n - inter)) * 1000000.0)
                      / 1000000.0 AS jaccard
-            FROM pairs
-            JOIN cnt ca ON ca.doc_id = pairs.doc_a
-            JOIN cnt cb ON cb.doc_id = pairs.doc_b
+            FROM paired
+            JOIN cnt ca ON ca.doc_id = paired.doc_a
+            JOIN cnt cb ON cb.doc_id = paired.doc_b
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
         """,
         "dedup_minhash_lsh": r"""
@@ -845,6 +939,55 @@ ORACLES.update(
                    md5(text) AS payload_md5
             FROM documents
         """,
+        "simhash_dedup": _simhash_oracle_sql(max_hamming=8, bits=60),
+        "multimodal_features": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                         i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(bs) AS n,
+                     CAST(list_sum(bs) AS DOUBLE) AS sm,
+                     CAST(list_sum(list_transform(bs, x -> x * x)) AS DOUBLE)
+                       AS sq,
+                     CAST(list_min(bs) AS DOUBLE) AS mn,
+                     CAST(list_max(bs) AS DOUBLE) AS mx,
+                     CAST(bs[1] AS DOUBLE) AS fb,
+                     CAST(bs[len(bs)] AS DOUBLE) AS lb
+              FROM b
+            ), f AS (
+              SELECT doc_id, n, sm / n AS mean,
+                     sqrt(greatest(sq / n - (sm / n) * (sm / n), 0.0)) AS sd,
+                     mn, mx, fb, lb, CAST(CAST(sm AS BIGINT) % 997 AS DOUBLE)
+                       AS ck
+              FROM s WHERE n > 0
+            ), r32 AS (  -- float32 round-trip to match array<float>
+              SELECT doc_id,
+                     CAST(CAST(n AS REAL) AS DOUBLE) AS f0,
+                     CAST(CAST(mean AS REAL) AS DOUBLE) AS f1,
+                     CAST(CAST(sd AS REAL) AS DOUBLE) AS f2,
+                     CAST(CAST(mn AS REAL) AS DOUBLE) AS f3,
+                     CAST(CAST(mx AS REAL) AS DOUBLE) AS f4,
+                     CAST(CAST(fb AS REAL) AS DOUBLE) AS f5,
+                     CAST(CAST(lb AS REAL) AS DOUBLE) AS f6,
+                     CAST(CAST(ck AS REAL) AS DOUBLE) AS f7
+              FROM f
+              UNION ALL
+              SELECT doc_id, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+              FROM s WHERE n = 0
+            )
+            SELECT doc_id,
+                   floor(f0 * 1000000.0) / 1000000.0 AS f0,
+                   floor(f1 * 1000000.0) / 1000000.0 AS f1,
+                   floor(f2 * 1000000.0) / 1000000.0 AS f2,
+                   floor(f3 * 1000000.0) / 1000000.0 AS f3,
+                   floor(f4 * 1000000.0) / 1000000.0 AS f4,
+                   floor(f5 * 1000000.0) / 1000000.0 AS f5,
+                   floor(f6 * 1000000.0) / 1000000.0 AS f6,
+                   floor(f7 * 1000000.0) / 1000000.0 AS f7
+            FROM r32
+        """,
     }
 )
 
@@ -971,6 +1114,7 @@ def rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES.update(
     {
         "asof_join_range": ORACLES["asof_join"],
+        "asof_join_pandas": ORACLES["asof_join"],
         "rolling_time_agg": """
             SELECT event_id, user_id, ts,
                    count(value) OVER w AS troll_cnt,
@@ -983,5 +1127,9 @@ ORACLES.update(
     }
 )
 QUERIES.update(
-    {"asof_join_range": asof_join_range, "rolling_time_agg": rolling_time_agg}
+    {
+        "asof_join_range": asof_join_range,
+        "asof_join_pandas": asof_join_pandas,
+        "rolling_time_agg": rolling_time_agg,
+    }
 )

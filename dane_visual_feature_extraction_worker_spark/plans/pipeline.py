@@ -8,26 +8,44 @@ reference's ``[timestamp, shot_start, shot_end, features...]`` matrix
 ``(conv_id, turn_idx, ts, session_id, session_start, session_end,
 features)``.
 
-Plan shape (ONE shuffle total, on bucket(conv_id)):
-  read → JVM text features (narrow) → groupBy(bucket) applyInPandas
-  kernel (features + session ids + session bounds — the whole
-  conversation is in kernel memory, so bounds cost no extra shuffle)
-  → sink
+Two physical strategies, identical output (bit-for-bit, asserted in
+tests/test_kernel.py):
+
+- ``windows`` (default, the scale path): pure-Catalyst window plan —
+  read → JVM text features (narrow) → window prefix aggregates over
+  (conv_id ORDER BY ts, turn_idx) → sink. ONE shuffle, zero Python:
+  whole-stage codegen end to end, so throughput scales with cores
+  (no Python-worker memory-bandwidth ceiling — BENCH/BASELINE.md).
+- ``pandas``: bucket-grouped applyInPandas Arrow kernel (the
+  reference-shaped vectorized batch kernel; also the fixture oracle).
+  read → JVM text features → groupBy(bucket) applyInPandas → sink.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from dane_visual_feature_extraction_worker_spark.kernel import feature_vectors
+from dane_visual_feature_extraction_worker_spark.kernel import (
+    feature_vectors,
+    feature_vectors_windows,
+)
 
 
-def pit_features(transcripts: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def pit_features(
+    transcripts: DataFrame,
+    n_buckets: int | None = None,
+    strategy: str = "windows",
+) -> DataFrame:
     """Features + per-session bounds for every (conv_id, ts) anchor.
 
-    ``n_buckets`` sizes the kernel's pandas buckets — pick so one bucket
-    (≈ corpus/n_buckets rows incl. text) fits executor memory."""
-    return feature_vectors(transcripts, n_buckets=n_buckets)
+    ``strategy``: 'windows' (pure-JVM Catalyst plan, default) or
+    'pandas' (Arrow kernel; ``n_buckets`` sizes its pandas buckets —
+    pick so one bucket ≈ corpus/n_buckets rows fits executor memory)."""
+    if strategy == "windows":
+        return feature_vectors_windows(transcripts)
+    if strategy == "pandas":
+        return feature_vectors(transcripts, n_buckets=n_buckets)
+    raise ValueError(f"unknown strategy: {strategy!r}")
 
 
 def pit_features_array(

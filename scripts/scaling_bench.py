@@ -26,7 +26,7 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from dane_visual_feature_extraction_worker_spark import EngineConfig, get_spark
-from dane_visual_feature_extraction_worker_spark.operators.asof import asof_join_sorted
+from dane_visual_feature_extraction_worker_spark.operators.asof import asof_join_union
 from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
 
 cpus = {cpus}
@@ -35,7 +35,6 @@ spark = get_spark(EngineConfig(
     shuffle_partitions=cpus,
     extra_conf={{"spark.driver.memory": "48g",
                  "spark.local.dir": "/dev/shm/spark-local"}}))
-N_BUCKETS = None  # engine default (DEFAULT_KERNEL_BUCKETS)
 tr = spark.read.parquet({src!r})
 anchors = spark.read.parquet({src!r} + "_anchors")
 n = tr.count()
@@ -43,12 +42,13 @@ n = tr.count()
 def job(tag):
     t0 = time.monotonic()
     # fixed path per phase: tmpfs must not accumulate one copy per rep
-    pit_features(tr, n_buckets=N_BUCKETS).write.mode("overwrite").parquet(
+    # both stages are pure-JVM plans (window kernel + union as-of):
+    # whole-stage codegen end to end, no Python workers
+    pit_features(tr).write.mode("overwrite").parquet(
         {out!r} + f"/feat_{{cpus}}")
-    asof_join_sorted(anchors, tr.select("conv_id","ts","turn_idx","role"),
-                     on="conv_id", left_ts="anchor_ts", right_order="turn_idx",
-                     n_buckets=N_BUCKETS,
-                     ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}")
+    asof_join_union(anchors, tr.select("conv_id","ts","turn_idx","role"),
+                    on="conv_id", left_ts="anchor_ts", right_order="turn_idx",
+                    ).write.mode("overwrite").parquet({out!r} + f"/asof_{{cpus}}")
     return time.monotonic() - t0
 
 import shutil
@@ -103,9 +103,10 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling efficiency (N -> 4N)\n\n"
-            "Same flagship job (pit_features kernel + as-of join, parquet\n"
-            "sink) on byte-identical pre-generated transcript parquet;\n"
-            "fresh JVM per size; warm timing (best of 2 after warm-up).\n\n"
+            "Same flagship job (pure-JVM window-plan pit_features +\n"
+            "union-window as-of join, parquet sink) on byte-identical\n"
+            "pre-generated transcript parquet; fresh JVM per size; warm\n"
+            "timing (best of 3 after warm-up).\n\n"
             f"| config | turns | sec | turns/sec |\n|---|---|---|---|\n"
             f"| local[8]  | {r8['turns']} | {r8['sec']:.2f} | {r8['turns_per_sec']:.0f} |\n"
             f"| local[32] | {r32['turns']} | {r32['sec']:.2f} | {r32['turns_per_sec']:.0f} |\n\n"

@@ -105,3 +105,74 @@ def test_near_dup_pairs_within_bucket(spark):
     got = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs(df, threshold=0.9).collect()}
     assert (0, 1) in got  # near-identical, same sign bucket
     assert (0, 2) not in got  # opposite bucket, excluded by LSH
+
+
+def test_simhash_recall_exact_at_mid_hamming(spark):
+    """Recall contract (VERDICT r1): banding with max_hamming+1 chunks
+    must find EVERY pair with Hamming <= max_hamming — including
+    distances 4..8, which the old 4x15-bit banding silently missed.
+    Brute-force the signatures, compare pair sets."""
+    import itertools
+
+    import numpy as np
+
+    # corpus of small perturbations -> many pairs across Hamming 0..20
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(40):
+        toks = list(base)
+        for _ in range(int(rng.integers(0, 4))):
+            toks[int(rng.integers(len(toks)))] = f"w{int(rng.integers(60))}"
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    for mh in (4, 8):
+        expect = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= mh
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_pairs(df, max_hamming=mh).collect()
+        }
+        assert got == expect, f"max_hamming={mh}: {len(got)} vs {len(expect)}"
+    # sanity: the corpus actually exercises the 4..8 range
+    dists = [bin(sigs[a] ^ sigs[b]).count("1")
+             for a, b in itertools.combinations(sorted(sigs), 2)]
+    assert any(4 <= d <= 8 for d in dists)
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """df-cap (VERDICT r1): a stop-shingle present in every doc must not
+    feed the candidate self-join, and exact Jaccard values must still be
+    computed over the FULL shingle sets of surviving candidates."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    # every doc contains the hot prefix; docs 0/1 are real near-dups
+    hot = "the quick brown"
+    docs = [(0, hot + " fox jumps over the lazy dog tonight"),
+            (1, hot + " fox jumps over the lazy dog today"),
+            (2, hot + " completely different words entirely here now"),
+            (3, hot + " unrelated content about spark window plans yes")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.3, max_df=3).collect()
+    }
+    # pair (0,1): shares many non-hot shingles -> candidate; its jaccard
+    # counts ALL common shingles incl. the hot ones (exact value)
+    sh = shingle_table(df).toPandas()
+    sets = sh.groupby("doc_id")["shingle"].apply(set)
+    expect_01 = len(sets[0] & sets[1]) / len(sets[0] | sets[1])
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - expect_01) < 1e-5
+    # pairs sharing ONLY hot shingles are not candidates (and are below
+    # threshold anyway)
+    assert (2, 3) not in got

@@ -58,3 +58,30 @@ def test_rerun_is_full_noop(spark, transcripts, tmp_path):
     r.run(transcripts, pit_features)
     s = r.run(transcripts, pit_features)
     assert s["computed"] == 0 and s["skipped"] == 4
+
+
+def test_source_scanned_once_per_attempt(spark, transcripts, tmp_path):
+    """End-to-end proof of the staging fix (VERDICT r1): an accumulator
+    UDF on the *source* counts every row materialized from it. After a
+    full run over N buckets the count equals n_rows × 1 — the source was
+    scanned once (staged), not once per bucket."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, LongType())
+    n_rows = transcripts.count()
+    src = transcripts.withColumn("turn_idx", tick_udf(F.col("turn_idx").cast("long")))
+
+    r = _runner(spark, str(tmp_path), "scan1", n_buckets=5)
+    s = r.run(src, pit_features)
+    assert s["computed"] == 5 and s["source_scans"] == 1
+    assert acc.value == n_rows, (
+        f"source scanned {acc.value / n_rows:.1f}x, expected exactly once"
+    )
+    assert r.result().count() == n_rows
