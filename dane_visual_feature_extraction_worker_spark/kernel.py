@@ -112,8 +112,12 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
         roles.alias("role_code"),
         F.col("tool").isNotNull().cast("int").alias("has_tool"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double").alias("chars"),
+        # (?U): Unicode-aware \s so the JVM tokenizer agrees with the
+        # Python oracle's str.split() on NBSP & friends (ADVICE r1).
+        # (Residual edge: U+001C..1F separators — Python isspace() true,
+        # Unicode White_Space false — are not treated as spaces here.)
         F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"(?U)\s+"),
             lambda t: t != "",
         ).alias("__toks"),
     )

@@ -114,3 +114,38 @@ def extract_features(mm: DataFrame, decode=fake_decode) -> DataFrame:
             )
 
     return mm.mapInPandas(run, schema=MM_SCHEMA)
+
+
+def read_binary_files(spark, path: str, pattern: str = "*") -> DataFrame:
+    """Production blob ingestion: ``spark.read.format("binaryFile")``.
+
+    The reference's real input is files on disk — ``keyframes/*.jpg``,
+    ``spectrograms/*_{rate}.npz`` (data_handling.py:31-51). Distributed,
+    that directory scan becomes the binaryFile source: one row per blob
+    with (path, modificationTime, length, content), filterable by glob
+    BEFORE read (pathGlobFilter pushes into file listing). Output uses
+    the same contract schema as ``attach_payload``, so
+    ``extract_features`` runs unchanged on real files; ``doc_id`` is a
+    deterministic hash of the file name (stable across re-lists).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext == "jpg", "image/jpeg")
+        .when(ext == "jpeg", "image/jpeg")
+        .when(ext == "png", "image/png")
+        .when(ext == "npz", "application/x-npz")
+        .when(ext == "wav", "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        mime.alias("mime"),
+        F.col("length").cast("int").alias("n_bytes_meta"),
+        F.col("path").alias("source_path"),
+    )

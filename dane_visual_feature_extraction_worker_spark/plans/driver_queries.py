@@ -705,11 +705,31 @@ def topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_BITS = 4  # 16 buckets at test SF; production sizes via lsh_bits_for
+
+
+def topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS (matmul pandas-UDF) physical path of brute-force cosine
+    top-10 — identical output to ``topk_similarity`` (same oracle): the
+    matmul only gates candidacy; survivors are re-scored with the
+    oracle-reproducible JVM fold."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        topk_cosine_blas,
+    )
+
+    return topk_cosine_blas(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-5 (scale path of A24)."""
+    """Random-hyperplane sign-LSH bucketed approximate top-5 (scale path
+    of A24). Hyperplanes are seeded constants shared with the oracle."""
     from dane_visual_feature_extraction_worker_spark.operators.similarity import ann_topk
 
-    return ann_topk(_embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=5)
+    return ann_topk(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=5, n_bits=_ANN_BITS
+    )
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,7 +738,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_pairs,
     )
 
-    return near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3)
+    return near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.3, n_bits=_ANN_BITS
+    )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,9 +787,23 @@ _COS_SQL = """
     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
 """
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+def _bucket_sql(v: str, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of operators.similarity.lsh_bucket: same seeded
+    Rademacher hyperplane constants, same sequential double fold."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    signs = hyperplane_signs(n_bits, dim)
+    terms = []
+    for i in range(n_bits):
+        h = "[" + ", ".join(f"{float(s):.1f}" for s in signs[i]) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({v}, {h}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
 
 ORACLES.update(
     {
@@ -908,13 +944,22 @@ ORACLES.update(
             ORDER BY {_COS_SQL.format(a="embedding", b="qe")} DESC, vec_id
             LIMIT 10
         """,
+        "topk_blas": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(({_COS_SQL.format(a="embedding", b="qe")})
+                         * 1000000.0) / 1000000.0 AS cos
+            FROM embeddings CROSS JOIN q
+            ORDER BY {_COS_SQL.format(a="embedding", b="qe")} DESC, vec_id
+            LIMIT 10
+        """,
         "ann_lsh": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            qb AS (SELECT qe, {_BUCKET_SQL.format(v="qe")} AS bucket FROM q),
+            qb AS (SELECT qe, {_bucket_sql("qe", _ANN_BITS)} AS bucket FROM q),
             cand AS (
               SELECT e.vec_id, qb.bucket, e.embedding, qb.qe
               FROM embeddings e CROSS JOIN qb
-              WHERE {_BUCKET_SQL.format(v="e.embedding")} = qb.bucket
+              WHERE {_bucket_sql("e.embedding", _ANN_BITS)} = qb.bucket
             )
             SELECT vec_id, bucket,
                    floor(({_COS_SQL.format(a="embedding", b="qe")})
@@ -925,7 +970,7 @@ ORACLES.update(
         """,
         "embedding_near_dup": f"""
             WITH b AS (SELECT vec_id, embedding,
-                              {_BUCKET_SQL.format(v="embedding")} AS bucket
+                              {_bucket_sql("embedding", _ANN_BITS)} AS bucket
                        FROM embeddings)
             SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
                    floor(({_COS_SQL.format(a="l.embedding", b="r.embedding")})
@@ -1002,6 +1047,7 @@ QUERIES.update(
         "token_count": token_count,
         "doc_fingerprint": doc_fingerprint,
         "topk_similarity": topk_similarity,
+        "topk_blas": topk_blas,
         "ann_lsh": ann_lsh,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
@@ -1091,6 +1137,36 @@ def asof_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dependency_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: fetch the dependency's latest stored result per entity and
+    join it into the consuming job (reference io_util.py:288-295
+    fetch_upstream_result). Upstream = latest click row per user;
+    consumers = purchases; -1 sentinel when no upstream exists."""
+    from dane_visual_feature_extraction_worker_spark.checkpoint import lookup_upstream
+
+    e = _events(spark, sf_dir)
+    upstream = lookup_upstream(
+        e.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("up_ts"),
+            F.col("event_id").alias("up_id"),
+            F.col("value").alias("up_value"),
+        ),
+        entity_col="user_id",
+        order=["up_ts", "up_id"],
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return purchases.join(upstream, "user_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.coalesce("up_value", F.lit(-1.0)).alias("up_value"),
+        F.coalesce("up_id", F.lit(-1)).alias("up_id"),
+    )
+
+
 def rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 time form: trailing 1-hour window ending AT the anchor
     (rangeBetween on epoch seconds — leakage-free)."""
@@ -1115,6 +1191,21 @@ ORACLES.update(
     {
         "asof_join_range": ORACLES["asof_join"],
         "asof_join_pandas": ORACLES["asof_join"],
+        "dependency_lookup": """
+            WITH up AS (
+              SELECT user_id, ts AS up_ts, event_id AS up_id,
+                     value AS up_value
+              FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) = 1
+            )
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+                   coalesce(up.up_value, -1.0) AS up_value,
+                   coalesce(up.up_id, -1) AS up_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN up ON up.user_id = p.user_id
+        """,
         "rolling_time_agg": """
             SELECT event_id, user_id, ts,
                    count(value) OVER w AS troll_cnt,
@@ -1130,6 +1221,7 @@ QUERIES.update(
     {
         "asof_join_range": asof_join_range,
         "asof_join_pandas": asof_join_pandas,
+        "dependency_lookup": dependency_lookup,
         "rolling_time_agg": rolling_time_agg,
     }
 )

@@ -27,10 +27,15 @@ def streaming_session_stats(
 ) -> DataFrame:
     """Per-session rollup over an unbounded stream.
 
-    session_window merges rows whose gaps are < gap; the watermark lets
-    Spark finalize (and drop state for) sessions older than it.
+    The watermark lets Spark finalize (and drop state for) sessions
+    older than it. Boundary semantics (ADVICE r1): the batch operator
+    starts a new session when gap is STRICTLY > gap_seconds, while
+    ``session_window`` ends a session at exactly prev_ts + gap (a row
+    landing exactly gap later starts a new one). Using a session gap of
+    gap_seconds + 1 microsecond makes the two agree at microsecond
+    timestamp granularity: diff >= gap+1µs  ⟺  diff > gap.
     """
-    gap = f"{int(gap_seconds)} seconds"
+    gap = f"{int(gap_seconds * 1_000_000) + 1} microseconds"
     return (
         stream.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("win"), F.col(entity))
