@@ -10,6 +10,7 @@ from dane_visual_feature_extraction_worker_spark.datagen import gen_anchors, gen
 from dane_visual_feature_extraction_worker_spark.operators.asof import (
     asof_join_rangejoin,
     asof_join_sorted,
+    asof_join_union,
 )
 from tests.reference_impl import asof_join_ref
 
@@ -24,6 +25,9 @@ def test_asof_paths_match_bruteforce(spark, transcripts, transcripts_pd):
     right = transcripts.select("conv_id", "ts", "turn_idx", "role")
 
     got_sorted = asof_join_sorted(
+        anchors, right, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+    ).toPandas()
+    got_union = asof_join_union(
         anchors, right, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
     ).toPandas()
     got_range = asof_join_rangejoin(
@@ -44,7 +48,7 @@ def test_asof_paths_match_bruteforce(spark, transcripts, transcripts_pd):
         right_order="turn_idx",
     )
     ref["turn_idx"] = ref["turn_idx"].astype("float64")
-    for got in (got_sorted, got_range):
+    for got in (got_sorted, got_range, got_union):
         g = _canon(got)
         g["turn_idx"] = g["turn_idx"].astype("float64")
         r = _canon(ref)[g.columns]
@@ -88,9 +92,37 @@ def test_asof_tie_break_latest_order_wins(spark):
     ).select("conv_id", F.timestamp_seconds("ts").alias("ts"), "turn_idx", "v")
     for fn, kw in (
         (asof_join_sorted, {}),
+        (asof_join_union, {}),
         (asof_join_rangejoin, {"left_keys": ["conv_id", "anchor_ts"]}),
     ):
         row = fn(
             left, right, on="conv_id", left_ts="anchor_ts", right_order="turn_idx", **kw
         ).collect()[0]
         assert row["v"] == "b" and row["turn_idx"] == 2
+
+
+def test_asof_union_empty_right_and_pure_jvm_plan(spark, transcripts):
+    """Union path: empty right side yields all-null matches, and the
+    executed plan has ZERO Python stages and ONE shuffle exchange."""
+    anchors = gen_anchors(spark, transcripts, per_conv=3)
+    empty = transcripts.where(F.lit(False)).select("conv_id", "ts", "turn_idx")
+    out = asof_join_union(
+        anchors, empty, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == anchors.count() and pdf["matched_ts"].isna().all()
+
+    import re
+
+    # truncate input lineage (gen_anchors aggregates transcripts, which
+    # adds its own exchanges) so the count isolates the join itself
+    a2 = anchors.localCheckpoint(eager=True)
+    r2 = transcripts.select("conv_id", "ts", "turn_idx").localCheckpoint(eager=True)
+    full = asof_join_union(
+        a2, r2, on="conv_id", left_ts="anchor_ts", right_order="turn_idx"
+    )
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Pandas|Python", plan)
+    # both union children read the cached transcripts fixture; the only
+    # exchange is the window's hash partitioning on the entity key
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -142,3 +142,42 @@ def test_per_turn_text_equality_under_stable_order(transcripts, transcripts_pd):
         ["conv_id", "turn_idx", "text"]
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_window_strategy_bit_identical_and_pure_jvm(transcripts):
+    """The pure-Catalyst window plan (r2 scale path) must reproduce the
+    Arrow kernel's float32 output BIT-FOR-BIT (same sequential double
+    arithmetic in the same order) with zero Python stages and one
+    exchange."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.pipeline import (
+        pit_features,
+    )
+
+    a = (
+        pit_features(transcripts, strategy="pandas")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = (
+        pit_features(transcripts, strategy="windows")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (av == bv).all(), f"column {c} differs"
+
+    src = transcripts.localCheckpoint(eager=True)
+    plan = (
+        pit_features(src, strategy="windows")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Pandas|Python", plan)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
