@@ -28,6 +28,7 @@ sys.path.insert(0, REPO)
 
 HEADLINE = [
     "asof_join",
+    "asof_join_pandas",
     "feature_vector_udf",
     "rolling_agg",
     "backfill_pit",
@@ -38,6 +39,10 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "topk_similarity",
+    "topk_blas",
+    "simhash_dedup",
+    "multimodal_features",
+    "dependency_lookup",
     "tumbling_window_agg",
 ]
 
@@ -64,7 +69,7 @@ def flagship(spark, sf: float, out_dir: str) -> tuple[int, float]:
         gen_transcripts,
     )
     from dane_visual_feature_extraction_worker_spark.operators.asof import (
-        asof_join_sorted,
+        asof_join_union,
     )
     from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
 
@@ -81,7 +86,7 @@ def flagship(spark, sf: float, out_dir: str) -> tuple[int, float]:
 
     t0 = time.monotonic()
     feats = pit_features(tr)
-    asof = asof_join_sorted(
+    asof = asof_join_union(
         anchors,
         tr.select("conv_id", "ts", "turn_idx", "role"),
         on="conv_id",

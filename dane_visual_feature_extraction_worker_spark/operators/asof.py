@@ -105,11 +105,14 @@ def asof_join_sorted(
     last positioned match).
     """
     if n_buckets is None:
-        from dane_visual_feature_extraction_worker_spark.kernel import (
-            DEFAULT_KERNEL_BUCKETS,
-        )
-
-        n_buckets = DEFAULT_KERNEL_BUCKETS
+        # size buckets from the session's parallelism, not a constant:
+        # r1's fixed 2048 buckets paid ~2048x cogroup/pandas setup at
+        # small SF (bench-dominant, VERDICT r1). 4x shuffle partitions
+        # balances skew while keeping per-group overhead amortized;
+        # callers with huge corpora pass an explicit count to bound
+        # per-task memory instead.
+        sp = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_buckets = max(4 * sp, 64)
     l_cols = left.columns
     r_extra = [c for c in right.columns if c not in (on, right_ts)]
     lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)))
@@ -216,8 +219,14 @@ def asof_join_union(
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
     )
     u = r_side.unionByName(l_side)
+    # xxhash64 prefix on the (string) entity key: distinct 8-byte
+    # numeric prefixes restore the sorter's prefix comparator (string
+    # keys share long prefixes — measured sort drag at 30M+ rows); the
+    # raw key stays in the partition spec so hash collisions cannot
+    # merge entities.
+    u = u.withColumn("__kh", F.xxhash64("__k"))
     w = (
-        Window.partitionBy("__k")
+        Window.partitionBy("__kh", "__k")
         .orderBy("__ts", "__tag", "__ord")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

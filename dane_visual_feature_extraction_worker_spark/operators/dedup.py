@@ -15,8 +15,9 @@ data_handling.py:30-33; first-hit rule data_handling.py:124-126). A
   md5(seed|shingle) — engine-portable (any SQL oracle can replicate),
   no numeric-hash seeding games.
 - SimHash: 60-bit signature (md5-derived per token, majority vote per
-  bit); near-pairs via 4×15-bit chunk banding + popcount Hamming filter
-  — all JVM-side bit ops after a pandas-free pipeline.
+  bit); near-pairs via (max_hamming+1)-chunk banding — pigeonhole ⇒
+  exact recall — + popcount Hamming filter, all JVM-side bit ops after
+  a pandas-free pipeline.
 
 All shingling/tokenization is lower + whitespace-split so DuckDB
 oracles tokenize identically.

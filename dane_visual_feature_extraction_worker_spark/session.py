@@ -41,6 +41,10 @@ def get_spark(cfg: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", "8g")
     )
+    if cfg.offheap_size:
+        b = b.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", cfg.offheap_size
+        )
     if cfg.master is not None or SparkSession.getActiveSession() is None:
         b = b.master(cfg.resolved_master)
     for k, v in cfg.extra_conf.items():

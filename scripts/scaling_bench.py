@@ -106,7 +106,11 @@ def main() -> None:
             "Same flagship job (pure-JVM window-plan pit_features +\n"
             "union-window as-of join, parquet sink) on byte-identical\n"
             "pre-generated transcript parquet; fresh JVM per size; warm\n"
-            "timing (best of 3 after warm-up).\n\n"
+            "timing (best of 3 after warm-up). Engine session default\n"
+            "spark.memory.offHeap (Tungsten pages off-heap): on-heap\n"
+            "sorter pages drove G1 into collection storms at 32 threads\n"
+            "(measured 4-5x spikes) — off-heap removes the GC ceiling\n"
+            "that otherwise caps multi-core scaling.\n\n"
             f"| config | turns | sec | turns/sec |\n|---|---|---|---|\n"
             f"| local[8]  | {r8['turns']} | {r8['sec']:.2f} | {r8['turns_per_sec']:.0f} |\n"
             f"| local[32] | {r32['turns']} | {r32['sec']:.2f} | {r32['turns_per_sec']:.0f} |\n\n"
