@@ -22,7 +22,7 @@ from dane_visual_feature_extraction_worker_spark.plans import driver_queries as 
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: as-of join (cogrouped merge_asof) + point-in-time
+    """Flagship: as-of join (pure-JVM union-window path) + point-in-time
     feature kernel over sf0.001 events."""
     from dane_visual_feature_extraction_worker_spark.session import tune_for_session
     from dane_visual_feature_extraction_worker_spark.config import EngineConfig

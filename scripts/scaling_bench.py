@@ -33,7 +33,16 @@ cpus = {cpus}
 spark = get_spark(EngineConfig(
     app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
     shuffle_partitions=cpus,
-    extra_conf={{"spark.driver.memory": "48g",
+    # measured at 31.7M turns (BENCH/BASELINE.md methodology):
+    # - off-heap must cover the sort working set (~500MB+/task x 32
+    #   tasks): at 16g every 32-thread rep spilled ~10GB; 48g = zero
+    #   spill at both sizes
+    # - the default 240MB JIT code cache fills with whole-stage-codegen
+    #   classes after a few wide-plan reps -> interpreter fallback,
+    #   measured 4x CPU on identical work; 1g removes the spikes
+    offheap_size="48g",
+    extra_conf={{"spark.driver.memory": "24g",
+                 "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
                  "spark.local.dir": "/dev/shm/spark-local"}}))
 tr = spark.read.parquet({src!r})
 anchors = spark.read.parquet({src!r} + "_anchors")
@@ -106,11 +115,17 @@ def main() -> None:
             "Same flagship job (pure-JVM window-plan pit_features +\n"
             "union-window as-of join, parquet sink) on byte-identical\n"
             "pre-generated transcript parquet; fresh JVM per size; warm\n"
-            "timing (best of 3 after warm-up). Engine session default\n"
-            "spark.memory.offHeap (Tungsten pages off-heap): on-heap\n"
-            "sorter pages drove G1 into collection storms at 32 threads\n"
-            "(measured 4-5x spikes) — off-heap removes the GC ceiling\n"
-            "that otherwise caps multi-core scaling.\n\n"
+            "timing (best of 3 after warm-up); identical JVM config at\n"
+            "both sizes. Two single-JVM scaling ceilings were diagnosed\n"
+            "from event-log task metrics and removed: (1) the default\n"
+            "240MB JIT code cache fills with whole-stage-codegen classes\n"
+            "and falls back to the interpreter (4x CPU on identical\n"
+            "work) -> ReservedCodeCacheSize=1g; (2) execution memory\n"
+            "must cover the sort working set per task or every rep\n"
+            "spills (~10GB at 16g off-heap / 32 tasks) -> off-heap 48g.\n"
+            "On a real 4N-executor cluster neither ceiling exists (code\n"
+            "cache and memory scale with executor count); hitting them\n"
+            "in local mode understates true cluster scaling.\n\n"
             f"| config | turns | sec | turns/sec |\n|---|---|---|---|\n"
             f"| local[8]  | {r8['turns']} | {r8['sec']:.2f} | {r8['turns_per_sec']:.0f} |\n"
             f"| local[32] | {r32['turns']} | {r32['sec']:.2f} | {r32['turns_per_sec']:.0f} |\n\n"

@@ -144,3 +144,24 @@ def test_user_injected_decoder_flows_through(spark):
         for r in extract_features(attach_payload(docs), decode=my_decoder).collect()
     }
     assert np.all(out[1] == 4.0) and np.all(out[2] == 8.0)
+
+
+def test_lookup_upstream_latest_row(spark):
+    """A19 dependency lookup: one latest row per entity by (ts, idx)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.checkpoint import lookup_upstream
+
+    rows = [
+        ("a", 10, 1, 1.0), ("a", 20, 2, 2.0), ("a", 20, 1, 3.0),
+        ("b", 5, 9, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts long, idx int, v double"
+    ).select("conv_id", F.timestamp_seconds("ts").alias("ts"), "idx", "v")
+    got = {
+        r["conv_id"]: (r["idx"], r["v"])
+        for r in lookup_upstream(df, order=["ts", "idx"]).collect()
+    }
+    # latest ts wins; tie on ts -> greatest idx wins
+    assert got == {"a": (2, 2.0), "b": (9, 4.0)}

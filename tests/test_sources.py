@@ -37,8 +37,6 @@ def test_catalog_writeTo_api_pinned(spark, monkeypatch):
     tables (VERDICT r1 missing #4): overwrite -> writeTo(name)
     .createOrReplace(); append -> writeTo(name).append(). The sandbox
     has no Iceberg jar, so the V2 writer is recorded, not executed."""
-    from pyspark.sql import DataFrame
-
     from dane_visual_feature_extraction_worker_spark.sources.catalog import write_table
 
     calls: list[tuple[str, str]] = []
@@ -53,8 +51,13 @@ def test_catalog_writeTo_api_pinned(spark, monkeypatch):
         def append(self):
             calls.append((self.name, "append"))
 
-    monkeypatch.setattr(DataFrame, "writeTo", lambda self, name: FakeV2Writer(name))
     df = spark.range(3)
+    # patch the CONCRETE class (Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the
+    # abstract pyspark.sql.DataFrame.writeTo)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, name: FakeV2Writer(name)
+    )
     write_table(df, "warehouse.db.transcripts", mode="overwrite")
     write_table(df, "warehouse.db.transcripts", mode="append")
     assert calls == [

@@ -44,3 +44,39 @@ def test_streaming_sessionize_matches_batch(spark, transcripts, tmp_path):
         ref[["conv_id", "n_turns", "start_ts", "end_ts"]],
         check_dtype=False,
     )
+
+
+def test_streaming_sessionize_exact_gap_boundary(spark, tmp_path):
+    """Rows exactly gap_seconds apart stay IN-session in the batch
+    operator (strict >); the streaming twin uses gap+1µs so
+    session_window agrees (ADVICE r1 boundary divergence)."""
+    import pyspark.sql.functions as F
+
+    rows = [("c", 0, 0), ("c", 1, 1800), ("c", 2, 3601)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts long"
+    ).select("conv_id", "turn_idx", F.timestamp_seconds("ts").alias("ts"))
+
+    batch = (
+        session_stats(df, gap_seconds=1800.0)
+        .orderBy("session_id")
+        .collect()
+    )
+    assert [r["n_turns"] for r in batch] == [2, 1]
+
+    src = str(tmp_path / "gap_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_session_stats(stream, gap_seconds=1800.0)
+        .writeStream.format("memory")
+        .queryName("gap_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["n_turns"] for r in spark.table("gap_stream").collect()
+    )
+    assert got == [1, 2]
