@@ -346,21 +346,38 @@ def feature_vector_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
-            drop=True
-        )
+        # whole-BUCKET kernel (many users per Spark group — grouped-
+        # pandas costs ~ms per group, so bucket-grouping amortizes it;
+        # same pattern as kernel.compute_features_numeric): one sort,
+        # then per-user numpy slices.
+        pdf = pdf.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
         n = len(pdf)
         val = pdf["value"].to_numpy(dtype=np.float64)
         # exact decimal arithmetic: values carry 2 decimals; cumsum in
         # integer cents is order-independent and bit-stable
         cents = np.round(val * 100.0).astype(np.int64)
         ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()
-        idx1 = np.arange(1, n + 1, dtype=np.float64)
-        cum = np.cumsum(cents) / 100.0
-        gaps = np.diff(ts_s, prepend=ts_s[0] if n else 0.0)
-        if n:
-            gaps[0] = 0.0
-        err = np.cumsum((pdf["event_type"] == "error").to_numpy(dtype=np.float64))
+        err_flag = (pdf["event_type"] == "error").to_numpy(dtype=np.float64)
+
+        idx1 = np.empty(n)
+        cum = np.empty(n)
+        gaps = np.empty(n)
+        err = np.empty(n)
+        vmax = np.empty(n)
+        codes, _ = pd.factorize(pdf["user_id"], sort=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if n else []
+        ends = np.r_[starts[1:], n] if n else []
+        for a, b in zip(starts, ends):
+            m = b - a
+            idx1[a:b] = np.arange(1, m + 1, dtype=np.float64)
+            cum[a:b] = np.cumsum(cents[a:b]) / 100.0
+            g = np.diff(ts_s[a:b], prepend=ts_s[a])
+            g[0] = 0.0
+            gaps[a:b] = g
+            err[a:b] = np.cumsum(err_flag[a:b])
+            vmax[a:b] = np.maximum.accumulate(val[a:b])
         out = pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
@@ -372,7 +389,7 @@ def feature_vector_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "f3": np.floor(gaps * 1e6) / 1e6,
                 "f4": pdf["props"].str.len().astype(np.float64),
                 "f5": err,
-                "f6": np.maximum.accumulate(val),
+                "f6": vmax,
                 "f7": np.floor(
                     (pdf["event_id"].to_numpy(dtype=np.int64) * 2654435761)
                     % 1_000_000
@@ -383,7 +400,12 @@ def feature_vector_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out
 
-    return e.groupBy("user_id").applyInPandas(kern, schema=schema)
+    b = F.pmod(F.xxhash64(F.col("user_id")), F.lit(64))
+    return (
+        e.withColumn("__b", b)
+        .groupBy("__b")
+        .applyInPandas(lambda pdf: kern(pdf.drop(columns="__b")), schema=schema)
+    )
 
 
 # --------------------------------------------------------------- oracles
@@ -1167,6 +1189,133 @@ def dependency_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of ``sessionize_gaps``: session_window
+    over a bounded availableNow stream (gap+1µs so the window's closed-
+    at-exactly-gap boundary matches the batch strict-> semantics). The
+    oracle is the same per-session rollup SQL — this verifies STREAMING
+    results against DuckDB, not just batch."""
+    import uuid
+
+    from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+        streaming_session_stats,
+    )
+
+    e = _events(spark, sf_dir)
+    # the streaming file source needs a DIRECTORY; events.parquet is a
+    # single file, so stream the dir with a glob filter
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP; the testdata parquet reads as
+    # TIMESTAMP_NTZ (session tz pinned UTC, so the cast is stable)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_session_stats(
+        stream, gap_seconds=3600.0, entity="user_id", ts="ts", watermark="1 hour"
+    )
+    name = f"ss_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    tbl = spark.table(name)
+    res = spark.createDataFrame(tbl.collect(), tbl.schema)  # detach from sink
+    spark.catalog.dropTempView(name)
+    return res.select(
+        "user_id", F.col("n_turns").alias("n_events"), "start_ts", "end_ts"
+    )
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``tumbling_window_agg`` (counts): watermarked
+    F.window over an availableNow stream, verified against the same
+    date_trunc rollup in DuckDB."""
+    import uuid
+
+    from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+        streaming_tumbling_agg,
+    )
+
+    e = _events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_tumbling_agg(
+        stream, duration="1 day", ts="ts", entity="event_type", watermark="1 hour"
+    )
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    tbl = spark.table(name)
+    res = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
+    return res.select("window_start", "event_type", "n")
+
+
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-entity running totals whose state store persists across
+    micro-batches/restarts (cross-batch resume covered by
+    tests/test_streaming.py). Over one bounded pass the totals equal a
+    plain GROUP BY — the DuckDB oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dane_visual_feature_extraction_worker_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    e = _events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = running_totals(stream, entity="user_id", ts="ts", text="props")
+    name = f"srt_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="srt_ckpt_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        tbl = spark.table(name)
+        res = spark.createDataFrame(tbl.collect(), tbl.schema)
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return res.select(
+        F.col("entity").cast("bigint").alias("user_id"),
+        "n_turns",
+        "chars_total",
+        # back to NTZ so the comparator sees the same tz-naive dtype as
+        # every other entry (session tz is UTC, the cast is lossless)
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+    )
+
+
 def rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 time form: trailing 1-hour window ending AT the anchor
     (rangeBetween on epoch seconds — leakage-free)."""
@@ -1191,6 +1340,36 @@ ORACLES.update(
     {
         "asof_join_range": ORACLES["asof_join"],
         "asof_join_pandas": ORACLES["asof_join"],
+        "streaming_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "streaming_tumbling": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "stateful_running_totals": """
+            SELECT user_id, count(*) AS n_turns,
+                   CAST(sum(length(coalesce(props, ''))) AS BIGINT)
+                     AS chars_total,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
         "dependency_lookup": """
             WITH up AS (
               SELECT user_id, ts AS up_ts, event_id AS up_id,
@@ -1222,6 +1401,9 @@ QUERIES.update(
         "asof_join_range": asof_join_range,
         "asof_join_pandas": asof_join_pandas,
         "dependency_lookup": dependency_lookup,
+        "streaming_sessionize": streaming_sessionize,
+        "streaming_tumbling": streaming_tumbling,
+        "stateful_running_totals": stateful_running_totals,
         "rolling_time_agg": rolling_time_agg,
     }
 )

@@ -80,3 +80,58 @@ def test_streaming_sessionize_exact_gap_boundary(spark, tmp_path):
         r["n_turns"] for r in spark.table("gap_stream").collect()
     )
     assert got == [1, 2]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must SURVIVE across micro-batches
+    and restarts (same checkpoint dir) — batch 2's totals include batch
+    1's rows, matching a batch aggregate over the union."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    src = str(tmp_path / "state_src")
+    ckpt = str(tmp_path / "state_ckpt")
+    b1 = spark.createDataFrame(
+        [("a", 0, "hello", 10), ("a", 1, "world!", 20), ("b", 0, "x", 30)],
+        "conv_id string, turn_idx int, text string, t long",
+    ).select("conv_id", "turn_idx", "text", F.timestamp_seconds("t").alias("ts"))
+    b1.write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        rows: dict = {}
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                rows[r["entity"]] = (r["n_turns"], r["chars_total"])
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            running_totals(stream, entity="conv_id", ts="ts", text="text")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    got1 = run_pass()
+    assert got1["a"] == (2, 11) and got1["b"] == (1, 1)
+
+    # batch 2 arrives later; a NEW query with the SAME checkpoint resumes
+    # the state store (only new files are processed, totals accumulate)
+    b2 = spark.createDataFrame(
+        [("a", 2, "again", 40), ("c", 0, "new", 50)],
+        "conv_id string, turn_idx int, text string, t long",
+    ).select("conv_id", "turn_idx", "text", F.timestamp_seconds("t").alias("ts"))
+    b2.write.mode("append").parquet(src)
+    got2 = run_pass()
+    assert got2["a"] == (3, 16)  # 11 + len("again")
+    assert got2["c"] == (1, 3)
