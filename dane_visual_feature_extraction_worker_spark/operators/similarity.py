@@ -249,3 +249,76 @@ def topk_cosine_blas(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF bucket assignment: each vector goes to its nearest centroid
+    (max cosine; centroid id ties break low). ``centroids`` is a small
+    (cid, cvec) table — broadcast; one pass over the corpus, then a
+    window picks the argmax. The inverted-file layout is the classic
+    scale path for vector search: queries probe only the nearest
+    centroid's bucket(s) instead of the full corpus."""
+    from pyspark.sql import Window
+
+    j = emb.join(F.broadcast(centroids))
+    scored = j.withColumn(
+        "__cos", _dot(F.col(vec_col), F.col("cvec")) / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, brute-force only their buckets.
+
+    Centroids are data-derived but deterministic and engine-portable:
+    the vectors with the ``n_centroids`` smallest ids (a fixed seed
+    sample — one k-means iteration away from 'real' IVF, chosen so a
+    SQL oracle replicates the index exactly). At corpus scale,
+    n_centroids ~ sqrt(N) bounds each bucket near sqrt(N)."""
+    from pyspark.sql import Window
+
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    # query's nprobe nearest centroids
+    qc = query.join(F.broadcast(centroids)).withColumn(
+        "__cos", _dot(F.col("qe"), F.col("cvec")) / (_norm(F.col("qe")) * _norm(F.col("cvec")))
+    )
+    wq = Window.partitionBy(F.lit(1)).orderBy(F.desc("__cos"), F.col("cid"))
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("cid", "qe")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid")
+    c = cand.withColumn(
+        "cos",
+        _dot(F.col(vec_col), F.col("qe")) / (_norm(F.col(vec_col)) * _norm(F.col("qe"))),
+    )
+    return (
+        c.select(id_col, "cid", (F.floor(F.col("cos") * 1e6) / 1e6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )

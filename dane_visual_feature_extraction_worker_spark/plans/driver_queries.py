@@ -754,6 +754,21 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: inverted-file buckets from 16 data-derived
+    centroids (the 16 smallest vec_ids — deterministic so the oracle
+    rebuilds the identical index), nprobe=2."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs (cos > 0.3 within LSH bucket)."""
     from dane_visual_feature_extraction_worker_spark.operators.similarity import (
@@ -990,6 +1005,38 @@ ORACLES.update(
             ORDER BY {_COS_SQL.format(a="embedding", b="qe")} DESC, vec_id
             LIMIT 5
         """,
+        "ivf_ann": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              ORDER BY vec_id LIMIT 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY ({_COS_SQL.format(a="e.embedding", b="c.cvec")})
+                                  DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN c
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            probes AS (
+              SELECT cid, qe FROM (
+                SELECT c.cid, q.qe,
+                       row_number() OVER (
+                         ORDER BY ({_COS_SQL.format(a="q.qe", b="c.cvec")})
+                                  DESC, c.cid) AS rn
+                FROM c CROSS JOIN q
+              ) WHERE rn <= 2
+            )
+            SELECT a.vec_id, a.cid,
+                   floor(({_COS_SQL.format(a="a.embedding", b="p.qe")})
+                         * 1000000.0) / 1000000.0 AS cos
+            FROM assigned a JOIN probes p ON a.cid = p.cid
+            ORDER BY {_COS_SQL.format(a="a.embedding", b="p.qe")} DESC, a.vec_id
+            LIMIT 5
+        """,
         "embedding_near_dup": f"""
             WITH b AS (SELECT vec_id, embedding,
                               {_bucket_sql("embedding", _ANN_BITS)} AS bucket
@@ -1071,6 +1118,7 @@ QUERIES.update(
         "topk_similarity": topk_similarity,
         "topk_blas": topk_blas,
         "ann_lsh": ann_lsh,
+        "ivf_ann": ivf_ann,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
         "multimodal_features": multimodal_features,

@@ -176,3 +176,29 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     # pairs sharing ONLY hot shingles are not candidates (and are below
     # threshold anyway)
     assert (2, 3) not in got
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with nprobe == n_centroids scans everything: its top-k must
+    equal the brute-force scan exactly (index loses nothing when every
+    bucket is probed)."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qe"))
+    brute = [r["vec_id"] for r in topk_cosine(df, q, k=5).collect()]
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, k=5, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == brute
+    # nprobe=1 is a subset of the corpus -> results come from one bucket
+    one = ivf_topk(df, q, k=5, n_centroids=8, nprobe=1).collect()
+    assert len({r["cid"] for r in one}) == 1
