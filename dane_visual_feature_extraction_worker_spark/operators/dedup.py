@@ -74,20 +74,21 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by k-gram Jaccard >= threshold.
 
-    Plan: shingle inverted index → drop *hot* shingles (document
-    frequency > ``max_df`` — stop-shingle practice; without the cap a
-    shingle appearing in 10⁵ docs emits 10¹⁰ candidate pairs, VERDICT
-    r1) → self-equi-join on the remaining shingles (each contributes
-    ≤ max_df² pairs — bounded) → distinct candidate pairs → join each
-    side's FULL shingle set and compute the EXACT Jaccard via
-    array_intersect, so the cap only gates candidate generation, never
-    the similarity value. Semantics: a pair is reported iff jaccard >=
+    Plan: shingle inverted index annotated with document frequency (one
+    window shuffle) → *hot* shingles (df > ``max_df``, stop-shingle
+    practice; without the cap a shingle appearing in 10⁵ docs emits
+    10¹⁰ candidate pairs, VERDICT r1) are excluded from the self-join
+    (each surviving shingle contributes ≤ max_df² pairs — bounded) →
+    per-pair rare-intersection counts from one groupBy → exact
+    correction adds |hot_a ∩ hot_b| from tiny per-doc hot-shingle
+    arrays, so the cap only gates candidate generation, never the
+    Jaccard value. Semantics: a pair is reported iff jaccard >=
     threshold AND the docs share >= 1 non-hot shingle (near-dups share
     many shingles, almost all non-hot). Output ``(doc_a, doc_b,
     jaccard)`` with doc_a < doc_b.
 
-    The shingle table feeds several plan branches; Catalyst does not
-    reuse the exchange across them, so it is persisted
+    The windowed shingle table feeds several plan branches; Catalyst
+    does not reuse the exchange across them, so it is persisted
     (MEMORY_AND_DISK, LRU-evicted) — measured 3x.
     """
     # every shingle row gets its document
@@ -228,16 +229,33 @@ def simhash_signatures(
     ).where(F.col("tok") != "")
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     tok = tok.withColumn("h", h)
-    votes = [
+    # packed per-bit one-counters: 3 bits per aggregate column in 21-bit
+    # fields (count cap 2^21 ≈ 2M tokens/doc) — 20 sum buffers instead
+    # of 60, one shuffle with map-side partial aggregation. Majority
+    # vote for bit b: 2·cnt_b > n_tokens (same semantics as the ±1 sum).
+    n_packs = (bits + 2) // 3
+    packs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
+            sum(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), 3 * k + j).bitwiseAND(F.lit(1)).cast("bigint"),
+                    21 * j,
+                )
+                for j in range(3)
+                if 3 * k + j < bits
+            )
+        ).alias(f"p{k}")
+        for k in range(n_packs)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packs)
+    mask = F.lit((1 << 21) - 1)
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        k, j = divmod(b, 3)
+        cnt = F.shiftright(F.col(f"p{k}"), 21 * j).bitwiseAND(mask)
+        bit = F.when(cnt * 2 > F.col("__n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select(F.col(id_col), sig.alias("simhash"))
