@@ -9,16 +9,21 @@ dane-visual-feature-extraction-worker) as a distributed Spark engine:
 - windowed features (lag/lead, rolling, backfill, sessionize) (reference
   precedent: misc/spectrogram_example2/get_sepectogram.py:22-55 anchored
   windows),
-- a vectorized Arrow/pandas feature kernel in deterministic batches
-  (reference: feature_extraction.py:17-32 apply_model @ batch 256),
+- a D=32 feature kernel with two bit-identical physical strategies: a
+  pure-Catalyst window plan (default scale path, zero Python) and a
+  vectorized Arrow/pandas kernel in deterministic batches (reference:
+  feature_extraction.py:17-32 apply_model @ batch 256),
 - checkpointed, resumable execution with per-partition lineage/metrics
   (reference: provenance.py, worker.py:84-89),
 - training-data-pipeline operators: dedup (exact/minhash/simhash/jaccard),
-  similarity search, text quality, multimodal column plumbing.
+  similarity search (brute-force/BLAS/sign-LSH/IVF), text quality,
+  multimodal column plumbing,
+- Structured Streaming twins (session/tumbling windows) and a custom
+  stateful operator (applyInPandasWithState).
 
-Design: DataFrame/Catalyst everywhere; pandas UDFs (Arrow) only for the
-kernels Spark cannot express (merge_asof, feature vector math). No RDDs,
-no per-row Python UDFs.
+Design: DataFrame/Catalyst everywhere; pandas UDFs (Arrow) only where
+built-ins cannot express the semantics. No RDDs, no per-row Python UDFs
+in any hot path.
 """
 
 __version__ = "0.1.0"
