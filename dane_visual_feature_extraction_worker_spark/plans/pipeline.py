@@ -55,3 +55,33 @@ def pit_features_array(
     from dane_visual_feature_extraction_worker_spark.kernel import with_feature_array
 
     return with_feature_array(pit_features(transcripts, n_buckets))
+
+
+def write_features(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_day: bool = True,
+    ts_col: str = "ts",
+) -> None:
+    """Production feature sink: parquet partitioned by event date.
+
+    Day partitions give readers partition pruning on the time axis (a
+    backfill touching one week rewrites 7 partitions, not the table) —
+    with ``spark.sql.sources.partitionOverwriteMode=dynamic`` an
+    ``overwrite`` replaces only the partitions present in ``df``
+    (idempotent re-runs of a date range, the batch analogue of the
+    reference's per-job output replacement, io_util.py:182-203)."""
+    import pyspark.sql.functions as F
+
+    w = df
+    if partition_by_day:
+        w = df.withColumn("ds", F.to_date(F.col(ts_col)))
+        (
+            w.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ds")
+            .parquet(path)
+        )
+    else:
+        w.write.mode(mode).parquet(path)

@@ -1,0 +1,75 @@
+"""Table maintenance: small-file compaction for parquet table dirs.
+
+At 10^12-turn scale the per-bucket/resumable write pattern
+(checkpoint.py) and streaming sinks produce many small files; readers
+then pay per-file open/footer costs and lose row-group locality. On
+Iceberg this is `rewrite_data_files`; for plain parquet dirs this
+helper rewrites a table to ~``target_mb`` files. Deterministic layout:
+optional ``sort_by`` re-clusters (e.g. (conv_id, ts)) so downstream
+entity scans prune via min/max row-group stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` (a parquet dir) into ~target_mb files.
+
+    Returns {files_before, files_after, bytes}. Write-then-swap via a
+    sibling ``<path>.__compact__`` dir so a crash mid-compaction leaves
+    the original table intact (the half-written temp dir is simply
+    re-created on retry).
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_bytes = dir_bytes(path)
+    files_before = sum(
+        1
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(n_bytes / (target_mb * 1024 * 1024)))
+    if sort_by:
+        out: DataFrame = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
+    tmp = path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = sum(
+        1
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": n_bytes,
+    }

@@ -64,3 +64,63 @@ def test_catalog_writeTo_api_pinned(spark, monkeypatch):
         ("warehouse.db.transcripts", "createOrReplace"),
         ("warehouse.db.transcripts", "append"),
     ]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction rewrites a many-file table into few files with the
+    same rows; sort_by re-clusters for min/max pruning."""
+    import os
+
+    from dane_visual_feature_extraction_worker_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "tbl")
+    spark.range(10_000).selectExpr(
+        "id", "id % 7 AS k", "cast(id as string) AS s"
+    ).repartition(40).write.mode("overwrite").parquet(p)
+    before = spark.read.parquet(p)
+    before_pd = before.toPandas().sort_values("id").reset_index(drop=True)
+
+    stats = compact_parquet(spark, p, target_mb=128, sort_by=["k", "id"])
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(p)
+    after_pd = after.toPandas().sort_values("id").reset_index(drop=True)
+    assert len(after_pd) == 10_000
+    assert (after_pd["id"].to_numpy() == before_pd["id"].to_numpy()).all()
+    n_parquet = sum(
+        1 for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    assert n_parquet == stats["files_after"]
+
+
+def test_write_features_day_partitions_dynamic_overwrite(spark, tmp_path):
+    """Day-partitioned sink + dynamic overwrite: rewriting one day must
+    not clobber other days' partitions."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.plans.pipeline import (
+        write_features,
+    )
+
+    p = str(tmp_path / "feat")
+    d1 = spark.createDataFrame(
+        [("a", 0, 1.0, "2024-01-01 10:00:00"), ("b", 0, 2.0, "2024-01-02 10:00:00")],
+        "conv_id string, turn_idx int, f0 double, t string",
+    ).select("conv_id", "turn_idx", "f0", F.to_timestamp("t").alias("ts"))
+    write_features(d1, p)
+    assert spark.read.parquet(p).count() == 2
+
+    # rewrite ONLY 2024-01-02 with new content
+    d2 = spark.createDataFrame(
+        [("c", 0, 9.0, "2024-01-02 11:00:00")],
+        "conv_id string, turn_idx int, f0 double, t string",
+    ).select("conv_id", "turn_idx", "f0", F.to_timestamp("t").alias("ts"))
+    write_features(d2, p)
+    out = spark.read.parquet(p)
+    days = {str(r["ds"]): r["conv_id"] for r in out.collect()}
+    assert days["2024-01-01"] == "a"      # survived the overwrite
+    assert days["2024-01-02"] == "c"      # replaced
+    assert out.count() == 2
