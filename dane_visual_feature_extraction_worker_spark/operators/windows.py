@@ -126,3 +126,66 @@ def tumbling_agg(
         .withColumn("window_end", F.col("win.end"))
         .drop("win")
     )
+
+
+def salted_running_sum(
+    df,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    value: str = "chars",
+    block_seconds: float = 86_400.0,
+    out: str = "running_sum",
+    order: list[str] | None = None,
+):
+    """Skew-safe running sum: two-phase salted prefix aggregation.
+
+    A plain running window serializes each entity into ONE task — a hot
+    conversation with 10^8 turns becomes a straggler no matter how many
+    executors exist (AQE cannot split a window partition). This is the
+    classic fix for prefix aggregates (north rule: salted-key skew
+    mitigation):
+
+    1. salt by TIME RANGE: ``block = floor(epoch(ts)/block_seconds)`` —
+       blocks respect the (entity, ts) order, so intra-block prefix sums
+       are computed in parallel across (entity, block) partitions;
+    2. per-(entity, block) totals (tiny: one row per block) get a
+       cumulative offset via a window over blocks — #blocks rows, never
+       a bottleneck;
+    3. join the offsets back (broadcastable when the block table is
+       small) and add.
+
+    Result is bit-identical to ``sum(value) over (partition by entity
+    order by ts, ... rows unbounded preceding)`` — asserted in
+    tests/test_misc_ops.py — because addition order within and across
+    blocks matches the global order... for INTEGER/decimal values.
+    (For float values the block-boundary regrouping can differ by ULPs;
+    use a decimal cast for exact parity, as the engine does elsewhere.)
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
+
+    order = list(order) if order else [ts]
+    blk = F.floor(epoch_seconds(ts) / F.lit(float(block_seconds))).alias("__blk")
+    d = df.withColumn("__blk", blk)
+    w_in = (
+        Window.partitionBy(entity, "__blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = d.withColumn("__intra", F.sum(value).over(w_in))
+    totals = d.groupBy(entity, "__blk").agg(F.sum(value).alias("__tot"))
+    w_blk = (
+        Window.partitionBy(entity)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_blk), F.lit(0))
+    ).select(entity, "__blk", "__off")
+    return (
+        intra.join(offsets, [entity, "__blk"])
+        .withColumn(out, F.col("__intra") + F.col("__off"))
+        .drop("__blk", "__intra", "__off")
+    )

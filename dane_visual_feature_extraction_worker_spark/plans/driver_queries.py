@@ -1364,6 +1364,29 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted prefix sum (operators/windows.py):
+    result identical to the plain running window, so the oracle is the
+    unsalted SQL. Decimal cents keep block regrouping exact."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        salted_running_sum,
+    )
+
+    e = _events(spark, sf_dir).withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_running_sum(
+        e, entity="user_id", ts="ts", value="__cents", block_seconds=86_400.0,
+        out="__run_cents", order=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("__run_cents").cast("double") / 100.0).alias("running_value"),
+    )
+
+
 def rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 time form: trailing 1-hour window ending AT the anchor
     (rangeBetween on epoch seconds — leakage-free)."""
@@ -1388,6 +1411,14 @@ ORACLES.update(
     {
         "asof_join_range": ORACLES["asof_join"],
         "asof_join_pandas": ORACLES["asof_join"],
+        "salted_running_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE) / 100.0 AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "streaming_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts,
@@ -1449,6 +1480,7 @@ QUERIES.update(
         "asof_join_range": asof_join_range,
         "asof_join_pandas": asof_join_pandas,
         "dependency_lookup": dependency_lookup,
+        "salted_running_sum": salted_running_sum_q,
         "streaming_sessionize": streaming_sessionize,
         "streaming_tumbling": streaming_tumbling,
         "stateful_running_totals": stateful_running_totals,

@@ -165,3 +165,41 @@ def test_lookup_upstream_latest_row(spark):
     }
     # latest ts wins; tie on ts -> greatest idx wins
     assert got == {"a": (2, 2.0), "b": (9, 4.0)}
+
+
+def test_salted_running_sum_matches_plain_window(spark):
+    """Two-phase salted prefix sum == plain running window, including a
+    hot entity spanning many blocks (skew path, north rule)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        salted_running_sum,
+    )
+
+    # hot entity: 500 turns across ~6 one-day blocks; cold: 20 turns
+    rows = [("hot", i, i * 1000, (i * 7) % 13) for i in range(500)]
+    rows += [("cold", i, i * 50_000, (i * 3) % 5) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, t long, v long"
+    ).select("conv_id", "turn_idx", F.timestamp_seconds("t").alias("ts"), "v")
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["running_sum"]
+        for r in salted_running_sum(
+            df, entity="conv_id", ts="ts", value="v", block_seconds=86_400.0
+        ).collect()
+    }
+    w = Window.partitionBy("conv_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expect = {
+        (r["conv_id"], r["turn_idx"]): r["e"]
+        for r in df.withColumn("e", F.sum("v").over(w)).collect()
+    }
+    assert got == expect
+
+    # the intra-block phase partitions by (entity, block): the hot
+    # entity's work is split across blocks instead of one task
+    plan = salted_running_sum(df, value="v")._jdf.queryExecution().executedPlan().toString()
+    assert "__blk" in plan
