@@ -149,3 +149,80 @@ def read_binary_files(spark, path: str, pattern: str = "*") -> DataFrame:
         F.col("length").cast("int").alias("n_bytes_meta"),
         F.col("path").alias("source_path"),
     )
+
+
+def frame_sample(
+    mm: DataFrame, frame_bytes: int = 16, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads: treat each payload as a
+    sequence of fixed-size frames and keep every ``stride``-th one —
+    the reference's keyframe extraction shape (it consumes pre-sampled
+    keyframes/*.jpg per shot, data_handling.py:31-40; here the sampling
+    itself is distributed). mapInPandas over Arrow batches; emits one
+    row per SAMPLED frame (explode shape) with the frame's offset and
+    digest, so downstream feature extraction parallelizes per frame.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, offs, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload if payload is not None else b""
+                n_frames = len(p) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    off = fi * frame_bytes
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(off)
+                    digests.append(
+                        hashlib.md5(p[off : off + frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype=object),
+                }
+            )
+
+    return mm.mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx int, byte_offset int, frame_md5 string",
+    )
+
+
+def resize_payload(mm: DataFrame, out_len: int = 8) -> DataFrame:
+    """Nearest-neighbor 'resize' of a binary payload to ``out_len``
+    samples (the 1-D stand-in for image resize — reference preprocesses
+    keyframes to a fixed input shape before the model). Sample i reads
+    source byte floor(i * n / out_len); zero-padded when the payload is
+    shorter than out_len. Deterministic + byte-exact, so an oracle can
+    recompute every sample; the Spark plumbing (Arrow batches, schema,
+    flat sample columns) is the production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf["payload"]
+                ],
+            }
+            samples = []
+            for payload in pdf["payload"]:
+                p = payload if payload is not None else b""
+                n = len(p)
+                if n == 0:
+                    samples.append([0] * out_len)
+                else:
+                    samples.append([p[(i * n) // out_len] for i in range(out_len)])
+            for i in range(out_len):
+                cols[f"s{i}"] = pd.Series(
+                    [s[i] for s in samples], dtype="int32"
+                )
+            yield pd.DataFrame(cols)
+
+    scols = ", ".join(f"s{i} int" for i in range(out_len))
+    return mm.mapInPandas(run, schema=f"doc_id bigint, n_bytes int, {scols}")

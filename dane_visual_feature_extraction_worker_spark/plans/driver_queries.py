@@ -817,6 +817,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 4th 16-byte frame);
+    oracle recomputes each sampled frame's md5 from text substrings
+    (payload = UTF-8 of ASCII text)."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        attach_payload,
+        frame_sample,
+    )
+
+    return frame_sample(
+        attach_payload(_documents(spark, sf_dir)), frame_bytes=16, stride=4
+    )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor payload resize to 8 samples; oracle recomputes
+    sample bytes via ascii(substr(text, floor(i*n/8)+1, 1))."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        attach_payload,
+        resize_payload,
+    )
+
+    return resize_payload(attach_payload(_documents(spark, sf_dir)), out_len=8)
+
+
 _COS_SQL = """
   list_sum(list_transform(list_zip({a}, {b}),
            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -1054,6 +1079,31 @@ ORACLES.update(
             FROM documents
         """,
         "simhash_dedup": _simhash_oracle_sql(max_hamming=8, bits=60),
+        "multimodal_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(range(0, length(text) // 16)) AS frame_idx
+              FROM documents
+            )
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(frame_idx * 16 AS INT) AS byte_offset,
+                   md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16))
+                     AS frame_md5
+            FROM f WHERE frame_idx % 4 = 0
+        """,
+        "multimodal_resize": (
+            """
+            SELECT doc_id, length(text) AS n_bytes,
+            """
+            + ",\n".join(
+                f"""CASE WHEN length(text) = 0 THEN 0
+                    ELSE ascii(substr(text,
+                         CAST(({i} * length(text)) // 8 + 1 AS INT), 1))
+                    END AS s{i}"""
+                for i in range(8)
+            )
+            + "\nFROM documents"
+        ),
         "multimodal_features": """
             WITH b AS (
               SELECT doc_id,
@@ -1122,6 +1172,8 @@ QUERIES.update(
         "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
         "multimodal_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_resize": multimodal_resize,
     }
 )
 

@@ -203,3 +203,36 @@ def test_salted_running_sum_matches_plain_window(spark):
     # entity's work is split across blocks instead of one task
     plan = salted_running_sum(df, value="v")._jdf.queryExecution().executedPlan().toString()
     assert "__blk" in plan
+
+
+def test_frame_sample_and_resize(spark):
+    """Hand-computed frame sampling + nearest-neighbor resize."""
+    import hashlib
+
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        attach_payload,
+        frame_sample,
+        resize_payload,
+    )
+
+    text = "".join(chr(65 + (i % 26)) for i in range(40))  # 40 ASCII bytes
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    mm = attach_payload(docs)
+
+    frames = {
+        (r["doc_id"], r["frame_idx"]): (r["byte_offset"], r["frame_md5"])
+        for r in frame_sample(mm, frame_bytes=16, stride=2).collect()
+    }
+    # 40 bytes -> 2 full frames (0,1); stride 2 keeps frame 0 only
+    assert set(frames) == {(1, 0)}
+    assert frames[(1, 0)] == (
+        0,
+        hashlib.md5(text[:16].encode()).hexdigest(),
+    )
+
+    rows = {r["doc_id"]: r for r in resize_payload(mm, out_len=4).collect()}
+    b = text.encode()
+    assert [rows[1][f"s{i}"] for i in range(4)] == [
+        b[(i * 40) // 4] for i in range(4)
+    ]
+    assert rows[2]["n_bytes"] == 0 and rows[2]["s0"] == 0
