@@ -307,14 +307,35 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "ck"
     )
-    return (
+    # first-matching-chunk dedup: a pair matching in several chunks
+    # surfaces once per chunk; instead of a distinct() — a full shuffle
+    # of EVERY candidate row, which dominates at corpus scale — keep the
+    # pair only on its smallest matching chunk, a pure codegen predicate
+    # over x = sig_a XOR sig_b (chunk c matches ⟺ its masked x bits are
+    # zero). Locally this trades a little CPU for the shuffle; at scale
+    # the shuffle is the bottleneck.
+    joined = (
         a.join(b, ["chunk", "ck"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        .withColumn("__x", F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )
+
+    def _xz(c: int) -> F.Column:  # chunk c of __x is all-zero (matches)
+        return (
+            F.shiftright(F.col("__x"), offs[c]).bitwiseAND(
+                F.lit((1 << widths[c]) - 1)
+            )
+            == 0
         )
+
+    no_smaller = F.lit(True)
+    for c in range(1, n_bands):
+        cond = F.lit(True)
+        for cp in range(c):
+            cond = cond & ~_xz(cp)
+        no_smaller = F.when(F.col("chunk") == c, cond).otherwise(no_smaller)
+    return (
+        joined.where(no_smaller)
+        .select("doc_a", "doc_b", F.bit_count("__x").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
