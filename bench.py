@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "topk_similarity",
     "topk_blas",
+    "ivf_ann",
+    "salted_running_sum",
+    "streaming_sessionize",
     "simhash_dedup",
     "multimodal_features",
     "dependency_lookup",
