@@ -631,7 +631,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming<=8, 60-bit sigs). Banding with
+    """SimHash near-dup pairs (Hamming<=8, 120-bit two-word sigs —
+    13-14-bit band keys, VERDICT r2 scale fix). Banding with
     max_hamming+1 chunks has exact recall (pigeonhole), so the DuckDB
     oracle is a brute-force all-pairs Hamming filter over the same
     majority-vote signatures."""
@@ -640,34 +641,51 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_documents(spark, sf_dir), max_hamming=8)
 
 
-def _simhash_oracle_sql(max_hamming: int = 8, bits: int = 60) -> str:
+def _simhash_oracle_sql(max_hamming: int = 8, bits: int = 120) -> str:
     """Brute-force SimHash oracle: same tokenization (lower, \\s+ split,
-    drop empties), token hash = first 15 md5 hex chars as a 60-bit int
-    (bit b = bit b%4 of hex digit 15 - b//4), per-bit majority vote,
-    popcount of XOR <= max_hamming over all pairs."""
+    drop empties, cap at MAX_TOKENS), token hash word w = md5 hex chars
+    [15w+1, 15w+15] as a 60-bit int (bit b of word w = bit b%4 of hex
+    digit 15(w+1) - b//4), per-bit majority vote, total popcount of the
+    per-word XORs <= max_hamming over all pairs."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        MAX_TOKENS,
+        WORD_BITS,
+    )
+
+    n_words = (bits + WORD_BITS - 1) // WORD_BITS
+    word_bits = [min(WORD_BITS, bits - w * WORD_BITS) for w in range(n_words)]
     digits = ",\n                   ".join(
         f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1) AS g{i}"
-        for i in range(1, 16)
+        for i in range(1, 15 * n_words + 1)
     )
     votes = ",\n                   ".join(
-        f"sum(CASE WHEN (g{15 - b // 4} // {1 << (b % 4)}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(bits)
+        f"sum(CASE WHEN (g{15 * (w + 1) - b // 4} // {1 << (b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{w}_{b}"
+        for w, wb in enumerate(word_bits)
+        for b in range(wb)
     )
-    sig = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END)"
-        for b in range(bits)
+    sigs = ",\n               ".join(
+        " + ".join(
+            f"(CASE WHEN v{w}_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(wb)
+        )
+        + f" AS sig{w}"
+        for w, wb in enumerate(word_bits)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.sig{w}, b.sig{w}))" for w in range(n_words)
     )
     return f"""
         WITH tok AS (
-          SELECT doc_id, t AS tok FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '\\s+')) AS t
-            FROM documents
-          ) WHERE t <> ''
+          SELECT doc_id,
+                 unnest(list_slice(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''),
+                   1, {MAX_TOKENS})) AS tok
+          FROM documents
         ), hx AS (
-          SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok
+          SELECT doc_id, substr(md5(tok), 1, {15 * n_words}) AS hx FROM tok
         ), dg AS (
           SELECT doc_id,
                    {digits}
@@ -677,12 +695,14 @@ def _simhash_oracle_sql(max_hamming: int = 8, bits: int = 60) -> str:
                    {votes}
           FROM dg GROUP BY doc_id
         ), sg AS (
-          SELECT doc_id, {sig} AS sig FROM vt
+          SELECT doc_id,
+               {sigs}
+          FROM vt
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+               CAST({ham} AS INT) AS hamming
         FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        WHERE {ham} <= {max_hamming}
     """
 
 
@@ -1078,7 +1098,7 @@ ORACLES.update(
                    md5(text) AS payload_md5
             FROM documents
         """,
-        "simhash_dedup": _simhash_oracle_sql(max_hamming=8, bits=60),
+        "simhash_dedup": _simhash_oracle_sql(max_hamming=8, bits=120),
         "multimodal_frame_sample": """
             WITH f AS (
               SELECT doc_id, text,

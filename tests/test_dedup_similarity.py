@@ -128,12 +128,25 @@ def test_simhash_recall_exact_at_mid_hamming(spark):
         docs.append((i, " ".join(toks)))
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        simhash_signature_words,
+    )
+
+    sigs = {
+        r["doc_id"]: (r["sig0"], r["sig1"])
+        for r in simhash_signature_words(df, bits=120).collect()
+    }
+
+    def _ham(a, b):
+        return bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+            sigs[a][1] ^ sigs[b][1]
+        ).count("1")
+
     for mh in (4, 8):
         expect = {
-            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            (a, b): _ham(a, b)
             for a, b in itertools.combinations(sorted(sigs), 2)
-            if bin(sigs[a] ^ sigs[b]).count("1") <= mh
+            if _ham(a, b) <= mh
         }
         got = {
             (r["doc_a"], r["doc_b"]): r["hamming"]
@@ -141,9 +154,53 @@ def test_simhash_recall_exact_at_mid_hamming(spark):
         }
         assert got == expect, f"max_hamming={mh}: {len(got)} vs {len(expect)}"
     # sanity: the corpus actually exercises the 4..8 range
-    dists = [bin(sigs[a] ^ sigs[b]).count("1")
-             for a, b in itertools.combinations(sorted(sigs), 2)]
+    dists = [_ham(a, b) for a, b in itertools.combinations(sorted(sigs), 2)]
     assert any(4 <= d <= 8 for d in dists)
+
+
+def test_simhash_band_keys_wide_enough_for_corpus_scale():
+    """VERDICT r2 scale contract: at the default (bits=120, max_hamming
+    =8), every band key must be >= 12 bits wide — 4k+ buckets per band,
+    so the per-band self-join stays bounded at 10^9 docs (60-bit sigs
+    gave 6-7-bit keys -> quadratic)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        simhash_band_widths,
+    )
+
+    widths = simhash_band_widths(120, 8)
+    assert len(widths) == 9 and sum(widths) == 120
+    assert min(widths) >= 12
+
+
+def test_simhash_two_word_signatures_match_python_reference(spark):
+    """Bit-exact check of the packed-counter signature against a plain
+    Python majority-vote reference (both md5 words, empties dropped)."""
+    import hashlib
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        simhash_signature_words,
+    )
+
+    rows = [(0, "the quick brown fox"), (1, "pack my box with five dozen jugs"),
+            (2, "  spaced   out   tokens  "), (3, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["sig0"], r["sig1"])
+        for r in simhash_signature_words(df, bits=120).collect()
+    }
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t != ""]
+        words = [0, 0]
+        for w in range(2):
+            for b in range(60):
+                ones = 0
+                for t in toks:
+                    hx = hashlib.md5(t.encode()).hexdigest()[15 * w : 15 * w + 15]
+                    if (int(hx, 16) >> b) & 1:
+                        ones += 1
+                if 2 * ones > len(toks):
+                    words[w] |= 1 << b
+        assert got[doc_id] == tuple(words), doc_id
 
 
 def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
