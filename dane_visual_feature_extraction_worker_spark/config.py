@@ -71,3 +71,136 @@ class EngineConfig:
             return self.master
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         return f"local[{cpus}]"
+
+
+def check_setting(value, t: type, optional: bool = False) -> bool:
+    """Type check for one config key (reference base_util.py:148-151:
+    ``check_setting(setting, t, optional)`` — None passes only when
+    optional). bool is NOT an int here, mirroring YAML semantics."""
+    if value is None:
+        return optional
+    if t is int and isinstance(value, bool):
+        return False
+    if t is float and isinstance(value, int) and not isinstance(value, bool):
+        return True  # YAML '1800' for a float knob is fine
+    return isinstance(value, t)
+
+
+class ConfigValidationError(ValueError):
+    """Raised with the exact failing key, reference-style
+    (base_util.py:33 ``assert check_setting(...), "RABBITMQ.HOST"``)."""
+
+
+def _require(cond: bool, key: str) -> None:
+    if not cond:
+        raise ConfigValidationError(f"Configuration error: {key}")
+
+
+def validate_config_tree(tree: dict, validate_file_paths: bool = True) -> None:
+    """Assert-style validation of the YAML tree BEFORE materialization.
+
+    Mirrors the reference's validate_config walk (base_util.py:21-131):
+    every key is presence- and type-checked, failures name the key; the
+    optional file-path pass checks that parent dirs of path-valued keys
+    exist (base_util.py:154-175 __validate_parent_dirs analogue).
+    """
+    _require(isinstance(tree, dict) and bool(tree), "<root>")
+    eng = tree.get("ENGINE")
+    _require(isinstance(eng, dict), "ENGINE")
+    _require(check_setting(eng.get("APP_NAME"), str), "ENGINE.APP_NAME")
+    _require(check_setting(eng.get("MASTER"), str, True), "ENGINE.MASTER")
+    _require(
+        check_setting(eng.get("SHUFFLE_PARTITIONS"), int),
+        "ENGINE.SHUFFLE_PARTITIONS",
+    )
+    _require(
+        check_setting(eng.get("ARROW_BATCH_SIZE"), int),
+        "ENGINE.ARROW_BATCH_SIZE",
+    )
+    _require(check_setting(eng.get("FEATURE_DIM"), int), "ENGINE.FEATURE_DIM")
+    _require(
+        check_setting(eng.get("SESSION_GAP_SECONDS"), float),
+        "ENGINE.SESSION_GAP_SECONDS",
+    )
+    _require(
+        check_setting(eng.get("MAX_PARTITION_BYTES"), str),
+        "ENGINE.MAX_PARTITION_BYTES",
+    )
+    _require(check_setting(eng.get("AQE"), bool), "ENGINE.AQE")
+    _require(
+        check_setting(eng.get("OFFHEAP_SIZE"), str, True),
+        "ENGINE.OFFHEAP_SIZE",
+    )
+    paths = tree.get("PATHS", {})
+    _require(isinstance(paths, dict), "PATHS")
+    _require(
+        check_setting(paths.get("CHECKPOINT_DIR"), str, True),
+        "PATHS.CHECKPOINT_DIR",
+    )
+    spark = tree.get("SPARK", {})
+    _require(isinstance(spark, dict), "SPARK")
+    extra = spark.get("EXTRA_CONF", {})
+    _require(isinstance(extra, dict), "SPARK.EXTRA_CONF")
+    for k, v in extra.items():
+        _require(
+            isinstance(k, str) and isinstance(v, (str, int, bool)),
+            f"SPARK.EXTRA_CONF.{k}",
+        )
+    if validate_file_paths and paths.get("CHECKPOINT_DIR"):
+        parent = os.path.dirname(
+            os.path.abspath(str(paths["CHECKPOINT_DIR"]).rstrip("/"))
+        )
+        _require(os.path.isdir(parent), "PATHS.CHECKPOINT_DIR (parent dir)")
+
+
+def layer_trees(*trees: dict) -> dict:
+    """Layered config merge, later overrides earlier — the reference's
+    home-config → base_config.yml → config.yml precedence
+    (base_util.py:10-16). Dicts merge recursively; scalars/lists
+    replace."""
+    out: dict = {}
+    for tree in trees:
+        for k, v in (tree or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = layer_trees(out[k], v)
+            else:
+                out[k] = v
+    return out
+
+
+def load_yaml_config(
+    *paths: str, validate_file_paths: bool = True
+) -> EngineConfig:
+    """Load + validate an :class:`EngineConfig` from layered YAML files.
+
+    ``paths`` are applied in order, later files overriding earlier —
+    the reference's config layering. Raises
+    :class:`ConfigValidationError` naming the failing key; never
+    returns a partially-valid config.
+    """
+    import yaml
+
+    layers = []
+    for p in paths:
+        with open(p, "r") as f:
+            layers.append(yaml.safe_load(f) or {})
+    tree = layer_trees(*layers)
+    validate_config_tree(tree, validate_file_paths=validate_file_paths)
+    eng = tree["ENGINE"]
+    paths_sec = tree.get("PATHS", {})
+    extra = {
+        k: str(v) for k, v in tree.get("SPARK", {}).get("EXTRA_CONF", {}).items()
+    }
+    return EngineConfig(
+        app_name=eng["APP_NAME"],
+        master=eng.get("MASTER"),
+        shuffle_partitions=eng["SHUFFLE_PARTITIONS"],
+        arrow_batch_size=eng["ARROW_BATCH_SIZE"],
+        feature_dim=eng["FEATURE_DIM"],
+        session_gap_seconds=float(eng["SESSION_GAP_SECONDS"]),
+        max_partition_bytes=eng["MAX_PARTITION_BYTES"],
+        aqe=eng["AQE"],
+        offheap_size=eng.get("OFFHEAP_SIZE"),
+        checkpoint_dir=paths_sec.get("CHECKPOINT_DIR"),
+        extra_conf=extra,
+    )
