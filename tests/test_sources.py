@@ -96,6 +96,41 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert n_parquet == stats["files_after"]
 
 
+def test_compact_swap_crash_recovery(spark, tmp_path):
+    """ADVICE r2: the swap must never leave a moment with NO table.
+    Simulate a crash between the two renames (original moved aside to
+    __old__, temp not yet promoted): the next compaction recovers the
+    original and completes."""
+    import os
+    import shutil
+
+    from dane_visual_feature_extraction_worker_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "tbl2")
+    spark.range(1_000).selectExpr("id", "id % 3 AS k").repartition(
+        8
+    ).write.mode("overwrite").parquet(p)
+
+    # crash state: original renamed aside, compacted temp half-written
+    os.rename(p, p + ".__old__")
+    os.makedirs(p + ".__compact__")
+    assert not os.path.exists(p)
+
+    stats = compact_parquet(spark, p, target_mb=128)
+    assert stats["files_after"] >= 1
+    assert spark.read.parquet(p).count() == 1_000
+    assert not os.path.exists(p + ".__old__")
+
+    # completed-swap-with-dead-cleanup state: stale __old__ beside a
+    # live table is dropped, live table untouched
+    shutil.copytree(p, p + ".__old__")
+    compact_parquet(spark, p, target_mb=128)
+    assert spark.read.parquet(p).count() == 1_000
+    assert not os.path.exists(p + ".__old__")
+
+
 def test_write_features_day_partitions_dynamic_overwrite(spark, tmp_path):
     """Day-partitioned sink + dynamic overwrite: rewriting one day must
     not clobber other days' partitions."""
