@@ -226,3 +226,152 @@ def resize_payload(mm: DataFrame, out_len: int = 8) -> DataFrame:
 
     scols = ", ".join(f"s{i} int" for i in range(out_len))
     return mm.mapInPandas(run, schema=f"doc_id bigint, n_bytes int, {scols}")
+
+
+# --- real 2-D decode path (PPM) --------------------------------------
+#
+# The reference's per-item transform is decode → resize to a fixed
+# (H, W) → z-normalize with config constants: keyframes get
+# Normalize + Resize(dim_v, antialias=True) (data_handling.py:62-69),
+# spectrograms get (x - 1.93) / 17.89 (misc/spectrogram_example2/
+# get_sepectogram.py:63-64). Image codecs (PIL/torch) are absent in
+# this container, so the SHIPPED decoder handles PPM (P6) — a raw
+# uncompressed RGB format parseable with numpy alone — and the same
+# seam accepts an injected JPEG/PNG decoder in production.
+
+#: spectrogram z-normalization constants (get_sepectogram.py:63-64)
+ZNORM_MEAN = 1.93
+ZNORM_STD = 17.89
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Serialize an (H, W, 3) uint8 array as binary PPM (P6)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Parse binary PPM (P6) into an (H, W, 3) uint8 array.
+
+    Header = magic, width, height, maxval separated by whitespace
+    (comments unsupported — fixture format), then raw RGB rows."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = h * w * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def resize_nn_2d(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor 2-D resize: output pixel (i, j) reads source
+    (floor(i*H/out_h), floor(j*W/out_w)) — exact integer index math, so
+    any engine (or a golden fixture) reproduces it byte-for-byte."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def znorm_2d(
+    img: "np.ndarray", mean: float = ZNORM_MEAN, std: float = ZNORM_STD
+) -> "np.ndarray":
+    """Z-score normalization with config constants, float32 like the
+    reference tensor path ((x - 1.93) / 17.89)."""
+    return (img.astype(np.float32) - np.float32(mean)) / np.float32(std)
+
+
+def decode_transform_2d(
+    mm: DataFrame,
+    out_h: int = 32,
+    out_w: int = 32,
+    mean: float = ZNORM_MEAN,
+    std: float = ZNORM_STD,
+    decode=decode_ppm,
+) -> DataFrame:
+    """Decode → resize(out_h, out_w) → z-normalize over binary payloads
+    — the reference's full per-item transform, distributed as one
+    mapInPandas stage (decoder initialized once per task via the
+    iterator form). Emits shape + summary columns per item; the
+    normalized tensor itself stays inside the stage (at 100 TB you
+    never materialize float tensors into a shuffle — downstream model
+    scoring fuses into the same stage, as the reference fuses transform
+    + forward pass in its DataLoader loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = decode  # once-per-task init seam
+        for pdf in batches:
+            src_h, src_w, zmean, zmin, zmax = [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = codec(bytes(payload) if payload is not None else b"")
+                z = znorm_2d(resize_nn_2d(img, out_h, out_w), mean, std)
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                zmean.append(float(z.mean(dtype=np.float64)))
+                zmin.append(float(z.min()))
+                zmax.append(float(z.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(src_h), dtype="int32"),
+                    "out_w": pd.Series([out_w] * len(src_w), dtype="int32"),
+                    "z_mean": pd.Series(zmean, dtype="float64"),
+                    "z_min": pd.Series(zmin, dtype="float64"),
+                    "z_max": pd.Series(zmax, dtype="float64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, src_h int, src_w int, out_h int, out_w int, "
+            "z_mean double, z_min double, z_max double"
+        ),
+    )
+
+
+def synth_ppm_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PPM fixture payloads from document text: an
+    (8 + id%5) × (8 + id%7) RGB image whose pixel bytes tile the text's
+    UTF-8 bytes (zeros for empty text). Spark-side (mapInPandas), so
+    fixture generation scales with the corpus like real ingestion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                h = 8 + int(doc_id) % 5
+                w = 8 + int(doc_id) % 7
+                bs = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                )
+                if bs.size == 0:
+                    bs = np.zeros(1, dtype=np.uint8)
+                img = np.resize(bs, (h, w, 3))  # tiles/truncates to fit
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
