@@ -296,27 +296,78 @@ def ivf_assign(
     with C ~ sqrt(N). Cosines use the same sequential JVM fold as the
     joined version, so emitted values are bit-identical to the oracle.
 
+    Plan-size discipline: each centroid is ONE array literal
+    (``F.lit(list)``) — per-element ``lit`` chains made analysis cost
+    scale with C × dim and dominated wall time at small SF. Centroid
+    norms are folded driver-side with the same sequential double
+    accumulation the JVM fold performs (float widening is exact), and
+    the row vector's norm is computed once per row, not once per
+    centroid — so per row the work is C dot-folds + 1 norm-fold.
+
     The inverted-file layout is the classic scale path for vector
     search: queries probe only the nearest centroid's bucket(s) instead
     of the full corpus."""
+    import math
+
     cents = sorted(centroids.collect(), key=lambda r: r["cid"])
     if not cents:
         raise ValueError("centroids table is empty")
-    scored = []
-    for r in cents:
-        cvec = F.array(*[F.lit(float(x)) for x in r["cvec"]])
-        cos = _dot(F.col(vec_col), cvec) / (_norm(F.col(vec_col)) * _norm(cvec))
-        scored.append(
-            F.struct(
-                cos.alias("cos"),
-                F.lit(-int(r["cid"])).cast("bigint").alias("negcid"),
-            )
+
+    def _pynorm(vals: list[float]) -> float:
+        acc = 0.0
+        for x in vals:  # same sequential fold as the JVM _norm
+            acc += x * x
+        return math.sqrt(acc)
+
+    # literals via SQL text, not F.lit(list): per-element py4j literal
+    # conversion cost scales with C x dim (~0.5 s at 16x64 and growing);
+    # the SQL parser takes the same values in ~ms. repr() round-trips
+    # doubles exactly, so values are bit-identical either way.
+    def _darr(vals: list[float]) -> F.Column:
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r["cvec"]) + ")"
+            for r in cents
         )
-    best = F.array_max(F.array(*scored))
-    return emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-best.getField("negcid")).alias("cid"),
+        + ")"
+    )
+    cids = F.expr(
+        "array(" + ",".join(f"{int(r['cid'])}L" for r in cents) + ")"
+    )
+    cnorms = _darr([_pynorm([float(x) for x in r["cvec"]]) for r in cents])
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+    def per_centroid(cv: F.Column, i: F.Column) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), cv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (F.col("__nv") * F.element_at(cnorms, i + 1))
+        return F.struct(
+            cos.alias("cos"),
+            (-F.element_at(cids, i + 1)).cast("bigint").alias("negcid"),
+        )
+
+    best = F.array_max(F.transform(cmat, per_centroid))
+    return (
+        emb.withColumn("__nv", nv)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best.getField("negcid")).alias("cid"),
+        )
     )
 
 
