@@ -373,7 +373,13 @@ def simhash_pairs(
     widths = simhash_band_widths(bits, max_hamming)
     offs = [sum(widths[:c]) for c in range(n_bands)]
     n_words = (bits + WORD_BITS - 1) // WORD_BITS
-    sig = simhash_signature_words(docs, id_col, text_col, bits)
+    # both sides of the per-band self-join read the signatures; without
+    # persist the token-explode + packed-counter aggregation — the
+    # dominant stage — executes twice (Catalyst does not reuse the
+    # exchange across self-join branches; same pattern as the persisted
+    # jaccard/minhash index tables). The signature table is tiny
+    # relative to the corpus: one (id, n_words x int64) row per doc.
+    sig = simhash_signature_words(docs, id_col, text_col, bits).persist()
     wcols = [F.col(f"sig{w}") for w in range(n_words)]
     chunks = sig.select(
         F.col(id_col),
@@ -424,18 +430,25 @@ def simhash_pairs(
     def _xz(c: int) -> F.Column:  # chunk c of __x is all-zero (matches)
         return _chunk_of_words(xcols, offs[c], widths[c]) == 0
 
-    no_smaller = F.lit(True)
-    for c in range(1, n_bands):
-        cond = F.lit(True)
-        for cp in range(c):
-            cond = cond & ~_xz(cp)
-        no_smaller = F.when(F.col("chunk") == c, cond).otherwise(no_smaller)
+    # keep the pair only on its FIRST matching chunk: position of the
+    # first all-zero XOR chunk (array_position over n_bands booleans —
+    # one linear scan, vs the quadratic nested when-chain it replaces)
+    first_zero = F.array_position(
+        F.array(*[_xz(c) for c in range(n_bands)]), F.lit(True)
+    )
+    no_smaller = F.col("chunk") + 1 == first_zero
     hamming = None
     for w in range(n_words):
         pc = F.bit_count(F.col(f"__x{w}"))
         hamming = pc if hamming is None else hamming + pc
+    # predicate order matters: the popcount Hamming test is 2 bit_count
+    # ops and kills ~99% of candidates on a dup-heavy corpus; the
+    # first-matching-chunk dedup predicate is ~n_bands^2/2 chunk
+    # extractions and only needs to run on survivors. Conjuncts
+    # evaluate left-to-right, so filter on hamming FIRST.
     return (
-        joined.where(no_smaller)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        joined.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
+        .where(no_smaller)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -371,6 +371,56 @@ def ivf_assign(
     )
 
 
+def ivf_assign_blas(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment, BLAS scale path for LARGE codebooks.
+
+    ``ivf_assign`` evaluates C cosine folds per row as Catalyst
+    expressions — the right plan while C is small (oracle-exact,
+    whole-plan JVM). At C ~ sqrt(N) (tens of thousands of centroids at
+    corpus scale) per-row expression folds are the wrong tool: the
+    codebook belongs in task memory as a numpy matrix and assignment is
+    one (batch x dim) @ (dim x C) matmul per Arrow batch — still
+    narrow, still zero shuffle, ~vectorized-BLAS throughput. Tie-break
+    matches ``ivf_assign`` (lowest cid wins: rows sorted by cid,
+    np.argmax returns the first maximum). Float64 matmul can disagree
+    with the sequential fold by ULPs on near-ties — irrelevant for ANN
+    bucketing (the index is approximate by contract); use
+    ``ivf_assign`` where oracle-exact assignment matters."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids.collect(), key=lambda r: r["cid"])
+    if not cents:
+        raise ValueError("centroids table is empty")
+    cids = np.array([int(r["cid"]) for r in cents], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in cents], dtype=np.float64)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            cos = (v @ cn.T) / np.where(vn == 0.0, 1.0, vn)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cid": cids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    return emb.mapInPandas(
+        assign, schema=f"{id_col} bigint, {vec_col} array<float>, cid bigint"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -379,6 +429,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 2,
+    assign_strategy: str = "narrow",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query, brute-force only their buckets.
@@ -387,7 +438,9 @@ def ivf_topk(
     the vectors with the ``n_centroids`` smallest ids (a fixed seed
     sample — one k-means iteration away from 'real' IVF, chosen so a
     SQL oracle replicates the index exactly). At corpus scale,
-    n_centroids ~ sqrt(N) bounds each bucket near sqrt(N)."""
+    n_centroids ~ sqrt(N) bounds each bucket near sqrt(N);
+    ``assign_strategy='blas'`` switches bucket assignment to the
+    mapInPandas matmul path for such large codebooks."""
     from pyspark.sql import Window
 
     centroids = (
@@ -395,7 +448,8 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigner = {"narrow": ivf_assign, "blas": ivf_assign_blas}[assign_strategy]
+    assigned = assigner(emb, centroids, id_col, vec_col)
     # query's nprobe nearest centroids
     qc = query.join(F.broadcast(centroids)).withColumn(
         "__cos", _dot(F.col("qe"), F.col("cvec")) / (_norm(F.col("qe")) * _norm(F.col("cvec")))
