@@ -1322,6 +1322,30 @@ def dependency_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming read of the events table, robust to both layouts:
+    a single ``events.parquet`` FILE (driver testdata) needs the parent
+    dir + a glob filter (the file source wants a directory), while an
+    ``events.parquet`` DIRECTORY of part files (any Spark-written
+    table, e.g. scaled bench data) is itself the source dir — the glob
+    would match zero part files and silently stream nothing."""
+    import os
+
+    e = _events(spark, sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(e.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # watermarks require TIMESTAMP; the testdata parquet reads as
+    # TIMESTAMP_NTZ (session tz pinned UTC, so the cast is stable)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of ``sessionize_gaps``: session_window
     over a bounded availableNow stream (gap+1µs so the window's closed-
@@ -1334,17 +1358,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_stats,
     )
 
-    e = _events(spark, sf_dir)
-    # the streaming file source needs a DIRECTORY; events.parquet is a
-    # single file, so stream the dir with a glob filter
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # watermarks require TIMESTAMP; the testdata parquet reads as
-    # TIMESTAMP_NTZ (session tz pinned UTC, so the cast is stable)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     out = streaming_session_stats(
         stream, gap_seconds=3600.0, entity="user_id", ts="ts", watermark="1 hour"
     )
@@ -1375,13 +1389,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_tumbling_agg,
     )
 
-    e = _events(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     out = streaming_tumbling_agg(
         stream, duration="1 day", ts="ts", entity="event_type", watermark="1 hour"
     )
@@ -1414,13 +1422,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_totals,
     )
 
-    e = _events(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     out = running_totals(stream, entity="user_id", ts="ts", text="props")
     name = f"srt_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="srt_ckpt_")
