@@ -45,6 +45,7 @@ HEADLINE = [
     "streaming_sessionize",
     "simhash_dedup",
     "multimodal_features",
+    "multimodal_decode2d",
     "dependency_lookup",
     "tumbling_window_agg",
 ]

@@ -35,12 +35,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--entity-col", default="conv_id")
     ap.add_argument("--session-gap-seconds", type=float, default=1800.0)
+    ap.add_argument(
+        "--config",
+        action="append",
+        default=[],
+        help="engine YAML config file(s); later files override earlier "
+        "(the reference's home -> base -> local layering). Validated "
+        "eagerly — a malformed config fails at submit, naming the key.",
+    )
     args = ap.parse_args(argv)
 
     # session comes from spark-submit's conf; only runtime knobs here
     spark = SparkSession.builder.appName("pit-feature-pipeline").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if args.config:
+        from dane_visual_feature_extraction_worker_spark.config import load_yaml_config
+
+        cfg = load_yaml_config(*args.config)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.arrow_batch_size),
+        )
+        for k, v in cfg.extra_conf.items():
+            spark.conf.set(k, v)
 
     from dane_visual_feature_extraction_worker_spark.checkpoint import CheckpointedRunner
     from dane_visual_feature_extraction_worker_spark.plans.pipeline import pit_features
