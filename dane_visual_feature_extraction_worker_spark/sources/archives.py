@@ -115,6 +115,88 @@ def tar_members_to_mm(members: DataFrame) -> DataFrame:
     )
 
 
+TAR_SINK_SCHEMA = (
+    "entity string, archive string, n_members int, n_bytes bigint"
+)
+
+
+def archive_sink(
+    df: DataFrame,
+    out_dir: str,
+    entity_col: str = "entity",
+    name_col: str = "member",
+    payload_col: str = "payload",
+    prefix: str = "out",
+    gz: bool = True,
+) -> DataFrame:
+    """A15 archive sink: one ``<prefix>__<entity>.tar(.gz)`` per entity,
+    written EXECUTOR-side, manifest rows back to the driver.
+
+    The reference tars each entity's output dir and ships it to object
+    storage (io_util.py:180-203 transfer_output — one archive per
+    source_id). Distributed: groupBy(entity) + applyInPandas, each
+    group serialized to one tarball under ``out_dir`` (a shared
+    filesystem / object-store mount); the returned DataFrame is the
+    manifest (entity, archive path, member count, payload bytes) — the
+    registration row the reference writes to its index (worker.py:
+    93-114). Determinism: members sorted by name, tar metadata zeroed,
+    gzip mtime fixed, so re-running an entity reproduces identical
+    bytes (idempotent overwrite).
+
+    Scale shape: parallelism across entities (the reference's queue
+    granularity); one archive's members must fit one task — the same
+    bound the reference's per-entity tar already implies."""
+    import gzip
+    import os
+    import re
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".tar.gz" if gz else ".tar"
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        entity = str(pdf[entity_col].iloc[0])
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", entity)
+        path = os.path.join(out_dir, f"{prefix}__{safe}{suffix}")
+        rows = sorted(
+            zip(pdf[name_col], pdf[payload_col]), key=lambda r: str(r[0])
+        )
+        total = 0
+        tmp = path + ".__tmp__"
+        with open(tmp, "wb") as raw:
+            if gz:
+                stream = gzip.GzipFile(
+                    filename="", mode="wb", fileobj=raw, mtime=0
+                )
+            else:
+                stream = raw
+            with tarfile.open(fileobj=stream, mode="w") as tf:
+                for name, payload in rows:
+                    data = bytes(payload) if payload is not None else b""
+                    info = tarfile.TarInfo(name=str(name))
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    tf.addfile(info, io.BytesIO(data))
+                    total += len(data)
+            if gz:
+                stream.close()
+        os.replace(tmp, path)  # atomic publish; reruns overwrite
+        return pd.DataFrame(
+            {
+                "entity": [entity],
+                "archive": [path],
+                "n_members": [len(rows)],
+                "n_bytes": [total],
+            }
+        )
+
+    return df.groupBy(entity_col).applyInPandas(
+        write_group, schema=TAR_SINK_SCHEMA
+    )
+
+
 def build_tar_archives(
     items: list[tuple[str, bytes]],
     out_dir: str,

@@ -145,3 +145,41 @@ def test_decode_transform_injected_decoder(spark):
     ).collect()[0]
     z = znorm_2d(np.full((2, 2, 3), 5, np.uint8))
     assert r["z_mean"] == pytest.approx(float(z.mean(dtype=np.float64)))
+
+
+def test_archive_sink_roundtrip(spark, tmp_path):
+    """A15 twin: per-entity tarballs written executor-side, manifest
+    returned; read_tar_members round-trips every payload, and re-running
+    reproduces byte-identical archives (idempotent publish)."""
+    import os
+
+    from dane_visual_feature_extraction_worker_spark.sources.archives import (
+        archive_sink,
+    )
+
+    rows = [
+        (f"ent{e}", f"files/{m}.bin", bytes([e * 16 + m]) * (m + 1))
+        for e in range(3)
+        for m in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity string, member string, payload binary"
+    )
+    out = str(tmp_path / "sink")
+    manifest = {r["entity"]: r for r in archive_sink(df, out).collect()}
+    assert set(manifest) == {"ent0", "ent1", "ent2"}
+    for e, r in manifest.items():
+        assert r["n_members"] == 4
+        assert os.path.exists(r["archive"])
+
+    back = read_tar_members(spark, out, pattern="out__*.tar.gz").collect()
+    got = {(r["archive"].split("out__")[1].split(".tar")[0], r["member"]):
+           bytes(r["payload"]) for r in back}
+    want = {(e, m): p for e, m, p in rows}
+    assert got == want
+
+    # idempotent: second run produces byte-identical archives
+    before = {e: open(r["archive"], "rb").read() for e, r in manifest.items()}
+    archive_sink(df, out).collect()
+    for e, r in manifest.items():
+        assert open(r["archive"], "rb").read() == before[e]
