@@ -125,3 +125,60 @@ def test_ivf_assignment_is_narrow_no_exchange(spark, tmp_path_factory):
     )
     for i in range(60):
         assert got[i] == int(np.argmax(cos[i])), i
+
+
+def test_simhash_signatures_cached_across_self_join(spark):
+    """Both sides of the per-band self-join must read the persisted
+    signature table (InMemoryTableScan x2) instead of recomputing the
+    token-explode + packed-counter aggregation per side."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(docs, max_hamming=8, bits=120)
+    plan = _plan(pairs)
+    # (HashAggregate also appears INSIDE each InMemoryRelation's
+    # embedded cached-plan string, so its count is not a useful signal)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_exact_dedup_single_uniform_shuffle(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(exact_dedup(docs))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "md5" in plan  # shuffle key is the digest, not raw text
+
+
+def test_ann_lsh_broadcasts_query_bucket(spark):
+    """ANN probe: the 1-row query bucket is broadcast; the corpus side
+    joins without a full shuffle of the embedding table."""
+    import numpy as np
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ann_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(100, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 0").selectExpr("embedding AS qe")
+    plan = _plan(ann_topk(emb, q, k=5, n_bits=4, dim=16))
+    assert "BroadcastHashJoin" in plan, plan
+    # corpus side must not hash-exchange on the join key
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(bucket", plan)) == 0
+    ), plan
