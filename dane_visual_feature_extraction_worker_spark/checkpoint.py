@@ -174,8 +174,14 @@ class CheckpointedRunner:
             out = pipeline(part)
             path = os.path.join(self.output_dir, f"bucket={b}")
             with prov.step("bucket", bucket=b) as ps:
-                out.write.mode("overwrite").parquet(path)
-                rows = self.spark.read.parquet(path).count()
+                # rows observed DURING the sink write (Observation) —
+                # the old write-then-read-back-count() re-scanned every
+                # bucket's output, a full second pass at 100 TB
+                from dane_visual_feature_extraction_worker_spark.provenance import (
+                    observed_write,
+                )
+
+                rows = int(observed_write(out, path)["rows"])
                 ps.output_data = {"rows": rows, "path": path}
             ms = (time.monotonic() - t0) * 1000.0
             self._record(

@@ -125,3 +125,29 @@ def stage_metrics_snapshot(spark: SparkSession, last_n: int = 20) -> list[dict]:
     except Exception as e:  # pragma: no cover - UI disabled or API drift
         out.append({"error": f"status API unavailable: {e}"})
     return out
+
+
+def observed_write(
+    df,
+    path: str,
+    metrics: list | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with in-flight metrics via ``Observation`` — the
+    sink pass itself produces (rows, ...) with ZERO extra jobs.
+
+    The naive pattern 'write, then read back and count()' costs a full
+    re-scan of everything just written — per bucket, per attempt, that
+    is a second pass over the output at 100 TB. ``df.observe`` attaches
+    an accumulator-backed aggregate to the existing write job instead
+    (the A20 metrics analogue: reference models.py:19-43 records
+    per-activity counts alongside the work, not via a second pass).
+    Returns the observed metrics dict; default metric is ``rows``.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cols = metrics if metrics else [F.count(F.lit(1)).alias("rows")]
+    df.observe(obs, *cols).write.mode(mode).parquet(path)
+    return obs.get

@@ -35,3 +35,35 @@ def test_stage_metrics_snapshot(spark, transcripts):
         "memory_spill_bytes",
     }
     assert keys <= set(snap[0])
+
+
+def test_observed_write_counts_without_second_scan(spark, tmp_path):
+    """observed_write returns sink-pass metrics; a tick-UDF accumulator
+    proves the source is materialized exactly ONCE (no read-back)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    from dane_visual_feature_extraction_worker_spark.provenance import (
+        observed_write,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, LongType())
+    df = spark.range(500).select(tick_udf(F.col("id")).alias("id"))
+    got = observed_write(
+        df,
+        str(tmp_path / "obs.parquet"),
+        metrics=[
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("id").alias("id_sum"),
+        ],
+    )
+    assert got["rows"] == 500
+    assert got["id_sum"] == 499 * 500 // 2
+    assert acc.value == 500  # one pass: write job only, no re-read
+    assert spark.read.parquet(str(tmp_path / "obs.parquet")).count() == 500
