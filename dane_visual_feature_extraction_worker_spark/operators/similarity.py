@@ -421,6 +421,46 @@ def ivf_assign_blas(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_strategy: str = "blas",
+) -> DataFrame:
+    """Lloyd-refined IVF codebook: seed = the ``n_centroids`` smallest
+    ids (deterministic), then ``iters`` rounds of assign → recenter.
+
+    Recentering is ONE aggregation with ``dim`` per-component ``avg``
+    buffers (map-side partial agg; shuffle carries C x dim doubles —
+    the codebook, not the corpus). Assignment per round is the narrow/
+    BLAS assigner — no N x C shuffle anywhere. Clusters that lose all
+    members simply drop out (classic Lloyd behavior; the index probes
+    whatever survives). Balanced buckets mean balanced probe fan-out at
+    query time — the reason real IVF k-means-refines instead of using
+    raw samples."""
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assigner = {"narrow": ivf_assign, "blas": ivf_assign_blas}[assign_strategy]
+    for _ in range(iters):
+        assigned = assigner(emb, cents, id_col, vec_col)
+        cents = assigned.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1))
+                    .cast("float")
+                    for i in range(dim)
+                ]
+            ).alias("cvec")
+        )
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -430,24 +470,40 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     assign_strategy: str = "narrow",
+    refine_iters: int = 0,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query, brute-force only their buckets.
 
-    Centroids are data-derived but deterministic and engine-portable:
-    the vectors with the ``n_centroids`` smallest ids (a fixed seed
-    sample — one k-means iteration away from 'real' IVF, chosen so a
-    SQL oracle replicates the index exactly). At corpus scale,
-    n_centroids ~ sqrt(N) bounds each bucket near sqrt(N);
-    ``assign_strategy='blas'`` switches bucket assignment to the
-    mapInPandas matmul path for such large codebooks."""
+    Default centroids are data-derived but deterministic and
+    engine-portable: the vectors with the ``n_centroids`` smallest ids
+    (a fixed seed sample, chosen so a SQL oracle replicates the index
+    exactly — the oracle-gated configuration). ``refine_iters > 0``
+    Lloyd-refines the codebook (:func:`kmeans_centroids`) for balanced
+    buckets — the production index build; results remain rows-only
+    verifiable (k-means averages are not practical to replay in SQL).
+    At corpus scale, n_centroids ~ sqrt(N) bounds each bucket near
+    sqrt(N); ``assign_strategy='blas'`` switches bucket assignment to
+    the mapInPandas matmul path for such large codebooks."""
     from pyspark.sql import Window
 
-    centroids = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
+    if refine_iters > 0:
+        centroids = kmeans_centroids(
+            emb,
+            n_centroids,
+            iters=refine_iters,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            assign_strategy=assign_strategy,
+        )
+    else:
+        centroids = (
+            emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
     assigner = {"narrow": ivf_assign, "blas": ivf_assign_blas}[assign_strategy]
     assigned = assigner(emb, centroids, id_col, vec_col)
     # query's nprobe nearest centroids

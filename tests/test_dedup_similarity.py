@@ -405,3 +405,62 @@ def test_ann_wide_bits_at_10x_scale(spark):
     assert len(got) >= 1
     # the query's own vector shares its bucket and tops the ranking
     assert got[0]["vec_id"] == 123
+
+
+def test_kmeans_refinement_improves_quantization(spark):
+    """Lloyd refinement must reduce quantization error (mean cosine
+    distance to the assigned centroid) vs the raw id-seeded codebook,
+    and ivf_topk(refine_iters=2) still returns sane neighbors."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ivf_assign_blas,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(31)
+    # 4 well-separated gaussian blobs
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.vstack(
+        [c + rng.normal(size=(100, 16)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    order = rng.permutation(len(vecs))
+    emb = spark.createDataFrame(
+        [(int(i), vecs[j].tolist()) for i, j in enumerate(order)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def quant_err(cents_df):
+        assigned = ivf_assign_blas(emb, cents_df)
+        cmap = {
+            r["cid"]: np.asarray(r["cvec"], dtype=np.float64)
+            for r in cents_df.collect()
+        }
+        rows = assigned.collect()
+        errs = []
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            c = cmap[r["cid"]]
+            errs.append(
+                1.0
+                - float(v @ c)
+                / (np.linalg.norm(v) * np.linalg.norm(c))
+            )
+        return float(np.mean(errs))
+
+    seed = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    refined = kmeans_centroids(
+        emb, n_centroids=4, iters=2, dim=16, assign_strategy="blas"
+    )
+    assert quant_err(refined) < quant_err(seed)
+
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("qe"))
+    got = ivf_topk(
+        emb, q, k=5, n_centroids=4, nprobe=1,
+        assign_strategy="blas", refine_iters=2, dim=16,
+    ).collect()
+    assert got[0]["vec_id"] == 0  # the query vector tops its own bucket
+    assert len(got) == 5
