@@ -1693,3 +1693,44 @@ QUERIES.update(
         "multimodal_decode2d": multimodal_decode2d,
     }
 )
+
+
+def tar_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 archive sink: documents grouped into 50 entities, one
+    deterministic tarball per entity written executor-side
+    (sources/archives.archive_sink — the reference's per-source_id
+    transfer_output tar, io_util.py:180-203); returns the manifest.
+    Oracle recomputes (n_members, payload bytes) per entity straight
+    from the documents table; the archive path column is excluded
+    (tmp-dir dependent), byte-level round-trip is covered by
+    tests/test_archives_decode2d.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.sources.archives import (
+        archive_sink,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_sink_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _documents(spark, sf_dir).select(
+        (F.col("doc_id") % 50).cast("string").alias("entity"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "member"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    manifest = archive_sink(docs, out_dir, prefix="assets")
+    return manifest.select("entity", "n_members", "n_bytes")
+
+
+ORACLES["tar_sink"] = """
+    SELECT CAST(doc_id % 50 AS VARCHAR) AS entity,
+           CAST(count(*) AS INT) AS n_members,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY 1
+"""
+QUERIES["tar_sink"] = tar_sink
