@@ -43,6 +43,7 @@ HEADLINE = [
     "ivf_ann",
     "salted_running_sum",
     "streaming_sessionize",
+    "streaming_sessionize_append",
     "simhash_dedup",
     "multimodal_features",
     "multimodal_decode2d",

@@ -1734,3 +1734,64 @@ ORACLES["tar_sink"] = """
     FROM documents GROUP BY 1
 """
 QUERIES["tar_sink"] = tar_sink
+
+
+def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming sessionization to a parquet sink — the
+    production twin of ``streaming_sessionize`` (whose complete-mode
+    memory sink materializes every session on the driver per trigger).
+    A per-user watermark-flush sentinel (timestamped > gap + watermark
+    delay past the real max ts) closes every real session before the
+    bounded run ends; sentinel sessions themselves never close, so the
+    emitted set is byte-identical to the batch rollup — verified by the
+    SAME DuckDB oracle. No driver materialization: the rollup streams
+    straight to distributed parquet."""
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+        session_sink_append,
+    )
+
+    gap_s, delay_s, margin_s = 3600.0, 3600.0, 7200.0
+    e = _events(spark, sf_dir)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="ss_append_")
+    sentinel = F.lit(max_ts) + F.expr(
+        f"INTERVAL {int(gap_s + delay_s + margin_s)} SECONDS"
+    )
+    flush_batch = e.select("user_id").distinct().select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        sentinel.cast(e.schema["ts"].dataType).alias("ts"),
+        F.col("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    flush_dir = f"{tmp}/flush"
+    flush_batch.write.mode("overwrite").parquet(flush_dir)
+
+    stream = _events_stream(spark, sf_dir)
+    flush = (
+        spark.readStream.schema(e.schema)
+        .parquet(flush_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    session_sink_append(
+        stream,
+        flush,
+        sink_dir,
+        ckpt_dir,
+        gap_seconds=gap_s,
+        entity="user_id",
+        ts="ts",
+        watermark="1 hour",
+    )
+    out = spark.read.parquet(sink_dir)
+    return out.select(
+        "user_id", F.col("n_turns").alias("n_events"), "start_ts", "end_ts"
+    )
+
+
+ORACLES["streaming_sessionize_append"] = ORACLES["streaming_sessionize"]
+QUERIES["streaming_sessionize_append"] = streaming_sessionize_append

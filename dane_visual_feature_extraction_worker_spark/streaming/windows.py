@@ -48,6 +48,57 @@ def streaming_session_stats(
     )
 
 
+def session_sink_append(
+    stream: DataFrame,
+    flush: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: float = 1800.0,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+    timeout_s: float = 600.0,
+) -> None:
+    """APPEND-mode session rollup to a file sink — the production shape.
+
+    Complete-mode + memory sink (streaming_session_stats harness)
+    materializes every session on the DRIVER each trigger; at corpus
+    scale the rollup must stream to a distributed sink in append mode,
+    where a session row is emitted exactly once, when the watermark
+    passes its close. The catch: append mode only emits sessions the
+    watermark has CLOSED, and a bounded (availableNow) run ends with
+    the watermark at max_event_time - delay — silently swallowing every
+    session newer than that. The fix is the classic watermark flusher:
+    union a tiny ``flush`` stream of sentinel rows timestamped far
+    enough past the real data (> gap + delay beyond max real ts per
+    entity) that (a) the final watermark passes every real session's
+    close, and (b) the sentinel sessions themselves are never closed,
+    so they never appear in the output. Result: byte-identical session
+    set to the batch operator, no driver materialization anywhere.
+    """
+    gap = f"{int(gap_seconds * 1_000_000) + 1} microseconds"
+    out = (
+        stream.unionByName(flush)
+        .withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("win"), F.col(entity))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts).alias("start_ts"),
+            F.max(ts).alias("end_ts"),
+        )
+        .select(entity, "n_turns", "start_ts", "end_ts")
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def streaming_tumbling_agg(
     stream: DataFrame,
     duration: str = "1 day",

@@ -135,3 +135,65 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     got2 = run_pass()
     assert got2["a"] == (3, 16)  # 11 + len("again")
     assert got2["c"] == (1, 3)
+
+
+def test_append_mode_session_sink_equals_batch(spark, tmp_path):
+    """Watermark-flush append mode: every real session emitted exactly
+    once to the file sink, sentinel sessions never appear, result set
+    equals the batch sessionizer."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        sessionize,
+    )
+    from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+        session_sink_append,
+    )
+
+    rows = []
+    for u in range(5):
+        t0 = 1_700_000_000 + u * 10
+        # two sessions per user: 3 events, then a > gap jump, then 2
+        for i in range(3):
+            rows.append((u * 100 + i, t0 + i * 60, u))
+        for i in range(2):
+            rows.append((u * 100 + 50 + i, t0 + 10_000 + i * 60, u))
+    src = spark.createDataFrame(
+        [(e, float(ts), u) for e, ts, u in rows], "event_id long, sec double, user_id long"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"), "user_id")
+    src_dir = str(tmp_path / "src")
+    src.write.mode("overwrite").parquet(src_dir)
+
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    flush = src.select("user_id").distinct().select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 12000 SECONDS")).alias("ts"),
+        "user_id",
+    )
+    flush_dir = str(tmp_path / "flush")
+    flush.write.mode("overwrite").parquet(flush_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    session_sink_append(
+        spark.readStream.schema(schema).parquet(src_dir),
+        spark.readStream.schema(schema).parquet(flush_dir),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        gap_seconds=1800.0,
+        entity="user_id",
+        ts="ts",
+        watermark="1 hour",
+    )
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert got.count() == 10  # 2 sessions x 5 users, no sentinel rows
+    assert got.where(F.col("n_turns") == 1).count() == 0  # no sentinels
+    batch = sessionize(
+        spark.read.parquet(src_dir), gap_seconds=1800.0, entity="user_id", ts="ts"
+    )
+    b = (
+        batch.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select("user_id", "n_turns", "start_ts", "end_ts")
+    )
+    a = {tuple(r) for r in got.collect()}
+    assert a == {tuple(r) for r in b.collect()}
