@@ -469,7 +469,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 2,
-    assign_strategy: str = "narrow",
+    assign_strategy: str = "auto",
     refine_iters: int = 0,
     dim: int = 64,
 ) -> DataFrame:
@@ -484,10 +484,15 @@ def ivf_topk(
     buckets — the production index build; results remain rows-only
     verifiable (k-means averages are not practical to replay in SQL).
     At corpus scale, n_centroids ~ sqrt(N) bounds each bucket near
-    sqrt(N); ``assign_strategy='blas'`` switches bucket assignment to
-    the mapInPandas matmul path for such large codebooks."""
+    sqrt(N). ``assign_strategy``: 'narrow' embeds the codebook as plan
+    literals (oracle-exact JVM folds — right while C is small), 'blas'
+    is the mapInPandas matmul path for large codebooks (plan-literal
+    size and per-row fold count both scale with C), 'auto' picks
+    narrow for C <= 64 and blas beyond."""
     from pyspark.sql import Window
 
+    if assign_strategy == "auto":
+        assign_strategy = "narrow" if n_centroids <= 64 else "blas"
     if refine_iters > 0:
         centroids = kmeans_centroids(
             emb,

@@ -1795,3 +1795,52 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_sessionize_append"] = ORACLES["streaming_sessionize"]
 QUERIES["streaming_sessionize_append"] = streaming_sessionize_append
+
+
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode tumbling rollup to a parquet sink — production twin
+    of ``streaming_tumbling`` (complete-mode memory sink). Per-entity
+    sentinel rows land > one window + watermark delay past the real max
+    ts, closing every real window; sentinel windows never emit. Same
+    oracle as the batch rollup."""
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.streaming.windows import (
+        tumbling_sink_append,
+    )
+
+    e = _events(spark, sf_dir)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="st_append_")
+    sentinel = F.lit(max_ts) + F.expr("INTERVAL 50 HOURS")  # > 1d + 1h delay
+    flush_batch = e.select("event_type").distinct().select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        sentinel.cast(e.schema["ts"].dataType).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.col("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    flush_dir = f"{tmp}/flush"
+    flush_batch.write.mode("overwrite").parquet(flush_dir)
+    flush = (
+        spark.readStream.schema(e.schema)
+        .parquet(flush_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    tumbling_sink_append(
+        _events_stream(spark, sf_dir),
+        flush,
+        sink_dir,
+        ckpt_dir,
+        duration="1 day",
+        entity="event_type",
+        ts="ts",
+        watermark="1 hour",
+    )
+    return spark.read.parquet(sink_dir).select("window_start", "event_type", "n")
+
+
+ORACLES["streaming_tumbling_append"] = ORACLES["streaming_tumbling"]
+QUERIES["streaming_tumbling_append"] = streaming_tumbling_append

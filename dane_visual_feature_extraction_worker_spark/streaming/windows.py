@@ -114,3 +114,38 @@ def streaming_tumbling_agg(
             F.col("win.start").alias("window_start"), entity, "n"
         )
     )
+
+
+def tumbling_sink_append(
+    stream: DataFrame,
+    flush: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    duration: str = "1 day",
+    ts: str = "ts",
+    entity: str = "conv_id",
+    watermark: str = "1 hour",
+    timeout_s: float = 600.0,
+) -> None:
+    """APPEND-mode tumbling rollup to a file sink (see
+    :func:`session_sink_append` for the watermark-flush rationale —
+    identical here, with window arithmetic instead of gaps): sentinel
+    rows must land > one window + delay past the real max ts so the
+    final watermark closes every real window; the sentinel's own window
+    is never passed by the watermark and never emits."""
+    out = (
+        stream.unionByName(flush)
+        .withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), duration).alias("win"), F.col(entity))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), entity, "n")
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
