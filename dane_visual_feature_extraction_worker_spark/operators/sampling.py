@@ -1,0 +1,106 @@
+"""Deterministic sampling / dataset-split operators.
+
+A training-data pipeline needs reproducible row selection: seeded
+`rand()` differs across engines, Spark versions, and even partition
+layouts, so none of it is auditable. These operators derive a uniform
+32-bit key from ``md5(salt | id)`` — pure column expressions, identical
+on any engine (the DuckDB oracles replay them digit-for-digit), stable
+under repartitioning, and independent per salt. Comparisons are
+INTEGER (key < floor(rate * 2^32)) — no float boundary anywhere.
+
+At 100 TB: narrow map over the scan (no shuffle, no sort, no global
+sample pass); changing the salt re-draws the sample without touching
+the data; split membership is a pure function of the row id, so
+train/val/test assignment is reproducible across runs and clusters —
+the property leakage audits depend on.
+
+Reference provenance: the reference selects work deterministically by
+entity id (one source_id per queue message, worker.py:66-90); these
+operators are the corpus-scale generalization of "which rows does this
+run own".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: key space: first 8 md5 hex digits = 32 uniform bits
+SAMPLE_SPACE = 1 << 32
+
+
+def sample_key(col: F.Column, salt: str = "sample") -> F.Column:
+    """Uniform int64 in [0, 2^32) from md5(salt|value) — the portable
+    per-row randomness primitive."""
+    hx = F.md5(F.concat_ws("|", F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * SAMPLE_SPACE)
+
+
+def sample_deterministic(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by id."""
+    return df.where(sample_key(F.col(id_col), salt) < F.lit(_threshold(rate)))
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test...) by cumulative
+    integer thresholds over the hash key. Weights must sum to 1;
+    assignment is exhaustive and disjoint by construction."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = sample_key(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = key < F.lit(_threshold(cum))
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample dominant
+    languages, keep all of rare ones) — the corpus-rebalancing
+    primitive. Strata absent from ``rates`` get ``default_rate``."""
+    key = sample_key(F.col(id_col), salt)
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        t = F.lit(_threshold(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(F.lit(_threshold(default_rate)))
+        if thr is not None
+        else F.lit(_threshold(default_rate))
+    )
+    return df.where(key < thr)

@@ -1844,3 +1844,106 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_tumbling_append"] = ORACLES["streaming_tumbling"]
 QUERIES["streaming_tumbling_append"] = streaming_tumbling_append
+
+
+def _sample_key_terms_sql() -> str:
+    """DuckDB twin of operators.sampling.sample_key: first 8 md5 hex
+    digits as a 32-bit integer (hx provided by the surrounding CTE)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1) "
+        f"* {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample: md5-keyed integer threshold,
+    identical on any engine / partition layout (operators/sampling.py).
+    Seeded rand() is not reproducible across engines; this is."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_deterministic,
+    )
+
+    return sample_deterministic(
+        _documents(spark, sf_dir), rate=0.2, salt="r3"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (0.8/0.1/0.1): split is a
+    pure function of doc_id — stable across runs, clusters, and
+    repartitioning, which is what leakage audits require."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        dataset_split,
+    )
+
+    return dataset_split(_documents(spark, sf_dir)).select("doc_id", "split")
+
+
+_STRAT_RATES = {"en": 0.3, "zh": 1.0, "es": 1.0, "de": 0.5, "fr": 0.5}
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample the dominant language, keep the
+    rare ones whole — per-stratum deterministic rates."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _documents(spark, sf_dir), rates=_STRAT_RATES, salt="strat"
+    ).select("doc_id", "lang")
+
+
+def _sampling_oracles() -> dict[str, str]:
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        _threshold,
+    )
+
+    k = _sample_key_terms_sql()
+    strat_case = " ".join(
+        f"WHEN lang = '{s}' THEN {_threshold(r)}"
+        for s, r in sorted(_STRAT_RATES.items())
+    )
+    return {
+        "dataset_sample": f"""
+            WITH h AS (
+              SELECT doc_id, lang, n_chars,
+                     md5('r3' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars FROM h
+            WHERE {k} < {_threshold(0.2)}
+        """,
+        "dataset_split": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5('split' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN {k} < {_threshold(0.8)} THEN 'train'
+                        WHEN {k} < {_threshold(0.8 + 0.1)} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "stratified_sample": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     md5('strat' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            )
+            SELECT doc_id, lang FROM h
+            WHERE {k} < (CASE {strat_case} ELSE 0 END)
+        """,
+    }
+
+
+ORACLES.update(_sampling_oracles())
+QUERIES.update(
+    {
+        "dataset_sample": dataset_sample,
+        "dataset_split": dataset_split_q,
+        "stratified_sample": stratified_sample_q,
+    }
+)

@@ -1,0 +1,86 @@
+"""Deterministic sampling / split operators: reproducibility is the
+whole point — same ids in, same sample out, on any layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+    SAMPLE_SPACE,
+    dataset_split,
+    sample_deterministic,
+    sample_key,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(10_000).select(F.col("id").alias("doc_id"))
+
+
+def test_sample_rate_and_determinism(spark, ids):
+    s1 = sample_deterministic(ids, 0.25, salt="a")
+    n = s1.count()
+    assert abs(n / 10_000 - 0.25) < 0.02  # binomial tolerance
+    # identical selection on rerun and after repartitioning
+    a = {r["doc_id"] for r in s1.collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_deterministic(
+            ids.repartition(17), 0.25, salt="a"
+        ).collect()
+    }
+    assert a == b
+    # different salt -> a different (independent) draw
+    c = {r["doc_id"] for r in sample_deterministic(ids, 0.25, salt="b").collect()}
+    assert a != c
+    overlap = len(a & c) / len(a)
+    assert abs(overlap - 0.25) < 0.05  # independent draws intersect at ~rate
+
+
+def test_sample_key_uniform_and_bounded(spark, ids):
+    stats = ids.select(sample_key(F.col("doc_id")).alias("k")).agg(
+        F.min("k"), F.max("k"), F.avg("k")
+    ).collect()[0]
+    assert 0 <= stats[0] and stats[1] < SAMPLE_SPACE
+    assert abs(stats[2] / SAMPLE_SPACE - 0.5) < 0.02
+
+
+def test_split_exhaustive_disjoint_stable(spark, ids):
+    out = dataset_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # exhaustive, disjoint
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # membership is a pure function of the id
+    again = dataset_split(ids.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = dict(out.collect())
+    for r in again.collect():
+        assert a[r["doc_id"]] == r["split"]
+
+
+def test_split_weights_validated():
+    # validation happens before any Spark work (df untouched)
+    with pytest.raises(ValueError):
+        dataset_split(None, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        sample_deterministic(None, 1.5)
+
+
+def test_stratified_rates(spark):
+    df = spark.range(9_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        df, rates={"en": 0.5, "de": 0.1}, default_rate=1.0
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["en"] / 3000 - 0.5) < 0.05
+    assert abs(counts["de"] / 3000 - 0.1) < 0.03
+    assert counts["zh"] == 3000  # default keeps the stratum whole
