@@ -49,7 +49,8 @@ def sample_deterministic(
     salt: str = "sample",
 ) -> DataFrame:
     """Keep ~rate of rows, deterministically by id."""
-    return df.where(sample_key(F.col(id_col), salt) < F.lit(_threshold(rate)))
+    thr = _threshold(rate)  # validate before touching df
+    return df.where(sample_key(F.col(id_col), salt) < F.lit(thr))
 
 
 def dataset_split(
