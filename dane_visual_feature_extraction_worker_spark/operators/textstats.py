@@ -107,3 +107,65 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(canon).alias("fingerprint"),
         F.length(canon).alias("canon_len"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: global term frequencies, top-k by (count desc,
+    term asc). One explode + one groupBy — the count aggregate is
+    map-side partially combined, so the shuffle carries per-partition
+    (term, partial_count) rows, not the token stream; top-k is a
+    TakeOrdered, never a full sort of the vocabulary. The
+    tokenizer (lower + \\s+ split, empties dropped) matches every other
+    text operator so oracles tokenize identically."""
+    toks = docs.select(F.explode(_tokens(text_col)).alias("term")).where(
+        F.col("term") != ""
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.col("term"))
+        .limit(k)
+    )
+
+
+#: scrub patterns — the usual pre-training hygiene trio. Order matters:
+#: emails before bare domains would matter if we scrubbed domains; URLs
+#: are matched with explicit schemes so email hosts survive.
+SCRUB_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digits16": r"\b\d{16}\b",  # card-number-shaped runs
+}
+
+
+def scrub_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "<scrubbed>",
+) -> DataFrame:
+    """PII-style scrubbing: replace emails / URLs / 16-digit runs with a
+    token; emit per-pattern match counts + the cleaned text's length.
+    Pure `regexp_replace` / `regexp_count` codegen — no UDFs; at corpus
+    scale this is a narrow map over the scan."""
+    clean = F.col(text_col)
+    counts = []
+    for name, pat in SCRUB_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(
+                f"n_{name}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, replacement)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -1947,3 +1947,65 @@ QUERIES.update(
         "stratified_sample": stratified_sample_q,
     }
 )
+
+
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (global term frequencies; map-side
+    combined count, TakeOrdered top-k — never a full vocab sort)."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        vocab_topk,
+    )
+
+    return vocab_topk(_documents(spark, sf_dir), k=100)
+
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub: email/URL/16-digit patterns replaced, per-doc
+    match counts + cleaned-text length and digest — pure regexp
+    codegen, narrow over the scan."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        scrub_text,
+    )
+
+    return scrub_text(_documents(spark, sf_dir))
+
+
+ORACLES.update(
+    {
+        "vocab_topk": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\s+'), t -> t != ''
+              )) AS term
+              FROM documents
+            )
+            SELECT term, count(*) AS n FROM tok
+            GROUP BY term HAVING count(*) >= 1
+            ORDER BY n DESC, term LIMIT 100
+        """,
+        "text_scrub": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS pe,
+                'https?://[^\s]+' AS pu,
+                '\b\d{16}\b' AS pd
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, pe)) AS INT) AS n_email,
+                CAST(len(regexp_extract_all(text, pu)) AS INT) AS n_url,
+                CAST(len(regexp_extract_all(text, pd)) AS INT) AS n_digits16,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, pe, '<scrubbed>', 'g'),
+                    pu, '<scrubbed>', 'g'),
+                  pd, '<scrubbed>', 'g') AS clean
+              FROM s
+            )
+            SELECT doc_id, n_email, n_url, n_digits16,
+                   length(clean) AS clean_len, md5(clean) AS clean_md5
+            FROM c
+        """,
+    }
+)
+QUERIES.update({"vocab_topk": vocab_topk_q, "text_scrub": text_scrub})

@@ -236,3 +236,39 @@ def test_frame_sample_and_resize(spark):
         b[(i * 40) // 4] for i in range(4)
     ]
     assert rows[2]["n_bytes"] == 0 and rows[2]["s0"] == 0
+
+
+def test_vocab_topk_order_and_counts(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        vocab_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c c  a")], "doc_id long, text string"
+    )
+    got = [(r["term"], r["n"]) for r in vocab_topk(docs, k=3).collect()]
+    assert got == [("a", 4), ("b", 3), ("c", 3)]  # count desc, term asc
+
+
+def test_scrub_text_patterns(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        scrub_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.org or see https://ex.org/a?b=1 now"),
+            (2, "card 1234567890123456 twice 1234567890123456"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_text(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[2]["n_digits16"] == 2
+    assert out[3]["n_email"] == out[3]["n_url"] == out[3]["n_digits16"] == 0
+    assert out[3]["clean_len"] == len("clean text only")
+    # scrubbed text no longer matches the patterns
+    assert out[1]["clean_len"] != len(
+        "mail me at jo.doe+x@example.org or see https://ex.org/a?b=1 now"
+    )
