@@ -183,3 +183,13 @@ def test_archive_sink_roundtrip(spark, tmp_path):
     archive_sink(df, out).collect()
     for e, r in manifest.items():
         assert open(r["archive"], "rb").read() == before[e]
+
+
+def test_decode2d_empty_text_payload(spark):
+    """Empty document: synth tiles a single zero byte; the transform
+    yields all-zero pixels, z-min == z-max == znorm(0)."""
+    docs = spark.createDataFrame([(5, "")], "doc_id long, text string")
+    r = decode_transform_2d(synth_ppm_payloads(docs), out_h=4, out_w=4).collect()[0]
+    z0 = float((np.float32(0) - np.float32(ZNORM_MEAN)) / np.float32(ZNORM_STD))
+    assert (r["src_h"], r["src_w"]) == (8 + 5 % 5, 8 + 5 % 7)
+    assert r["z_min"] == z0 and r["z_max"] == z0

@@ -84,3 +84,22 @@ def test_stratified_rates(spark):
     assert abs(counts["en"] / 3000 - 0.5) < 0.05
     assert abs(counts["de"] / 3000 - 0.1) < 0.03
     assert counts["zh"] == 3000  # default keeps the stratum whole
+
+
+def test_split_partitions_entire_set_for_any_weights(spark):
+    """Property: for random weight vectors summing to 1, dataset_split
+    is exhaustive and disjoint (every row exactly one split)."""
+    import numpy as np
+
+    ids = spark.range(2_000).select(F.col("id").alias("doc_id"))
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        w = rng.dirichlet([1.0, 1.0, 1.0, 1.0])
+        weights = {f"s{i}": float(x) for i, x in enumerate(w)}
+        # normalize float drift so the sum-check passes
+        weights["s3"] = 1.0 - sum(list(weights.values())[:3])
+        out = dataset_split(ids, weights)
+        assert out.count() == 2_000
+        assert out.select("doc_id").distinct().count() == 2_000
+        got = {r["split"] for r in out.select("split").distinct().collect()}
+        assert got <= set(weights)
