@@ -2009,3 +2009,61 @@ ORACLES.update(
     }
 )
 QUERIES.update({"vocab_topk": vocab_topk_q, "text_scrub": text_scrub})
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language: exact interpolated
+    p50/p90/p99 of n_chars. Exact `percentile` (not approx sketches,
+    whose merge order is engine-specific) so DuckDB's quantile_cont
+    reproduces the values; floor-truncation guards interpolation ULPs.
+    At scale the per-group sort is bounded by the group, and a
+    t-digest/approx_percentile swap is a one-line change when exactness
+    stops mattering."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                _r6(F.percentile(F.col("n_chars"), F.lit(p)))
+                .alias(f"p{int(p * 100)}")
+                for p in (0.5, 0.9, 0.99)
+            ],
+        )
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (bucket = n_chars
+    // 200): one map-side-combined groupBy — the corpus-profiling
+    staple."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.select((F.col("n_chars") / 200).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLES.update(
+    {
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   floor(quantile_cont(n_chars, 0.5) * 1000000.0)
+                     / 1000000.0 AS p50,
+                   floor(quantile_cont(n_chars, 0.9) * 1000000.0)
+                     / 1000000.0 AS p90,
+                   floor(quantile_cont(n_chars, 0.99) * 1000000.0)
+                     / 1000000.0 AS p99
+            FROM documents GROUP BY lang
+        """,
+        "length_histogram": """
+            SELECT CAST(n_chars // 200 AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+    }
+)
+QUERIES.update(
+    {"length_quantiles": length_quantiles, "length_histogram": length_histogram}
+)
