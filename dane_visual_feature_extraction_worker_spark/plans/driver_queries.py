@@ -2067,3 +2067,40 @@ ORACLES.update(
 QUERIES.update(
     {"length_quantiles": length_quantiles, "length_histogram": length_histogram}
 )
+
+
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: per-language top-5 documents by quality —
+    the select-best-training-data query (quality scoring → broadcast
+    lang join → per-group rank). Fully deterministic tie-break chain
+    (quality desc, n_tokens desc, doc_id asc); one shuffle for the
+    window, lang side broadcast."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        quality_score as _qs,
+    )
+
+    d = _documents(spark, sf_dir)
+    q = _qs(d).join(F.broadcast(d.select("doc_id", "lang")), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.desc("n_tokens"), F.col("doc_id")
+    )
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id", "quality")
+    )
+
+
+ORACLES["quality_topk_per_lang"] = f"""
+    WITH q AS ({ORACLES["quality_score"]}),
+    j AS (
+      SELECT d.lang, q.doc_id, q.quality, q.n_tokens,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY q.quality DESC, q.n_tokens DESC,
+                                         q.doc_id) AS rk
+      FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, doc_id, quality
+    FROM j WHERE rk <= 5
+"""
+QUERIES["quality_topk_per_lang"] = quality_topk_per_lang
