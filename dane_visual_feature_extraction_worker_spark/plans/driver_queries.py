@@ -2104,3 +2104,56 @@ ORACLES["quality_topk_per_lang"] = f"""
     FROM j WHERE rk <= 5
 """
 QUERIES["quality_topk_per_lang"] = quality_topk_per_lang
+
+
+def corpus_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT view: documents reduced to exact-dup
+    representatives (lowest doc_id per content digest) — what a
+    training job actually reads. One digest shuffle; emits full doc
+    rows, not group stats."""
+    d = _documents(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL composition: drop every document that appears
+    as the higher-id side of a MinHash-LSH candidate pair (canonical
+    lowest id survives each near-dup cluster edge-wise). The pair table
+    is the already-verified ``dedup_minhash_lsh``; removal is one
+    left-anti join — the standard corpus-cleaning final step."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    d = _documents(spark, sf_dir)
+    doomed = minhash_lsh_pairs(d).select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(doomed, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLES.update(
+    {
+        "corpus_dedup_filtered": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
+        """,
+        "corpus_near_dedup": f"""
+            WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        """,
+    }
+)
+QUERIES.update(
+    {
+        "corpus_dedup_filtered": corpus_dedup_filtered,
+        "corpus_near_dedup": corpus_near_dedup,
+    }
+)
