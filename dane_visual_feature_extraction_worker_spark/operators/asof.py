@@ -169,8 +169,17 @@ def asof_join_union(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_order: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Pure-JVM as-of join: union + running ``last(ignorenulls)``.
+
+    ``tolerance_seconds`` bounds match staleness (pandas
+    ``merge_asof(tolerance=...)``): an anchor whose latest match is
+    older than the tolerance gets NULL right columns — and since the
+    running-last match is the NEWEST candidate <= anchor, any other
+    candidate is older still, so nulling it is exactly the
+    windowed-join semantics. Pure post-predicate on the matched
+    struct; the plan shape (one shuffle + one sort) is unchanged.
 
     The classic distributed sort-merge as-of formulation: tag right
     rows 0 and left (anchor) rows 1, union them, and take — per entity,
@@ -233,6 +242,13 @@ def asof_join_union(
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
         F.col("__tag") == 1
     )
+    if tolerance_seconds is not None:
+        fresh = F.col("__m").isNotNull() & (
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col("__m.matched_ts").cast("timestamp"))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        matched = matched.withColumn("__m", F.when(fresh, F.col("__m")))
     return matched.select(
         *[F.col(f"__l_{c}").alias(c) for c in l_cols],
         F.col("__m.matched_ts").alias("matched_ts"),

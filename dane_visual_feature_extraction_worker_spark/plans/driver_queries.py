@@ -2157,3 +2157,34 @@ QUERIES.update(
         "corpus_near_dedup": corpus_near_dedup,
     }
 )
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with bounded staleness (pandas merge_asof tolerance): the
+    latest click within 30 minutes before each purchase; staler matches
+    null out while the anchor row survives. Same one-shuffle union-
+    window plan — tolerance is a pure post-predicate."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_union,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join_union(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id", tolerance_seconds=1800.0,
+    )
+
+
+ORACLES["asof_join_tolerance"] = """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts,
+           p.value AS purchase_value,
+           c.ts AS matched_ts, c.event_id AS click_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+     AND epoch(p.ts) - epoch(c.ts) <= 1800.0
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""
+QUERIES["asof_join_tolerance"] = asof_join_tolerance

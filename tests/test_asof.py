@@ -126,3 +126,32 @@ def test_asof_union_empty_right_and_pure_jvm_plan(spark, transcripts):
     # both union children read the cached transcripts fixture; the only
     # exchange is the window's hash partitioning on the entity key
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_union_asof_tolerance_nulls_stale_matches(spark):
+    """pandas merge_asof(tolerance) semantics: the anchor row survives
+    but right columns null out when the latest match is too old."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_union,
+    )
+
+    right = spark.createDataFrame(
+        [("c1", 100.0, 7.0)], "conv_id string, sec double, payload double"
+    ).select("conv_id", F.timestamp_seconds("sec").alias("ts"), "payload")
+    left = spark.createDataFrame(
+        [("c1", 150.0), ("c1", 2000.0)], "conv_id string, sec double"
+    ).select("conv_id", F.timestamp_seconds("sec").alias("anchor_ts"))
+
+    out = {
+        r["anchor_ts"].timestamp(): r
+        for r in asof_join_union(
+            left, right, on="conv_id", left_ts="anchor_ts",
+            tolerance_seconds=300.0,
+        ).collect()
+    }
+    assert out[150.0]["payload"] == 7.0  # 50s stale: within tolerance
+    assert out[2000.0]["payload"] is None  # 1900s stale: nulled
+    assert out[2000.0]["matched_ts"] is None
+    assert len(out) == 2  # anchors always survive
