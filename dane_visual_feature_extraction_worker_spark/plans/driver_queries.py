@@ -2071,16 +2071,18 @@ QUERIES.update(
 
 def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: per-language top-5 documents by quality —
-    the select-best-training-data query (quality scoring → broadcast
-    lang join → per-group rank). Fully deterministic tie-break chain
-    (quality desc, n_tokens desc, doc_id asc); one shuffle for the
-    window, lang side broadcast."""
+    the select-best-training-data query (quality scoring → lang join →
+    per-group rank). Fully deterministic tie-break chain (quality desc,
+    n_tokens desc, doc_id asc). The lang side is CORPUS-sized (one row
+    per doc), so it is NOT broadcast — a shuffle join on doc_id, which
+    AQE co-plans with the scoring scan; the only other shuffle is the
+    per-language window."""
     from dane_visual_feature_extraction_worker_spark.operators.textstats import (
         quality_score as _qs,
     )
 
     d = _documents(spark, sf_dir)
-    q = _qs(d).join(F.broadcast(d.select("doc_id", "lang")), "doc_id")
+    q = _qs(d).join(d.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy(
         F.desc("quality"), F.desc("n_tokens"), F.col("doc_id")
     )
