@@ -84,6 +84,13 @@ class CheckpointedRunner:
 
     # -- checkpoint table ------------------------------------------------
     def load_checkpoints(self) -> DataFrame:
+        from dane_visual_feature_extraction_worker_spark.sources.maintenance import (
+            _recover_interrupted_swap,
+        )
+
+        # a crash mid-compaction leaves the table at <dir>.__old__;
+        # recover before reading so resume never sees an empty table
+        _recover_interrupted_swap(self.checkpoint_dir)
         try:
             return self.spark.read.parquet(self.checkpoint_dir)
         except Exception:
@@ -152,6 +159,24 @@ class CheckpointedRunner:
         staged_writes = 0
         if pending:
             if "__bucket" in source.columns:
+                # Validate the pre-bucketed contract BEFORE trusting it
+                # (ADVICE r3): a source bucketed with a different
+                # n_buckets (e.g. 0..511 against a 256-bucket runner)
+                # would silently drop every row whose bucket is out of
+                # range while the run reports success. One cheap agg —
+                # for a hive ``__bucket=`` layout this reads partition
+                # values from the file listing, no data scan.
+                lo, hi = source.agg(
+                    F.min("__bucket"), F.max("__bucket")
+                ).collect()[0]
+                if lo is not None and (lo < 0 or hi >= self.n_buckets):
+                    raise ValueError(
+                        f"pre-bucketed source has __bucket range "
+                        f"[{lo}, {hi}] incompatible with n_buckets="
+                        f"{self.n_buckets}; re-bucket the source or "
+                        f"construct the runner with the matching "
+                        f"n_buckets"
+                    )
                 staged = source
             else:
                 src = source.withColumn(
@@ -211,6 +236,17 @@ class CheckpointedRunner:
         import shutil
 
         shutil.rmtree(staged_dir, ignore_errors=True)
+        # Checkpoint-table compaction (VERDICT r3): durability demands
+        # one tiny parquet append per completed bucket, so an attempt
+        # leaves O(n_buckets) files; fold them back to O(1) now that
+        # the attempt is done (crash-safe two-rename swap; a crash mid-
+        # swap is recovered by load_checkpoints on the next restart).
+        if completed:
+            from dane_visual_feature_extraction_worker_spark.sources.maintenance import (
+                compact_parquet,
+            )
+
+            compact_parquet(self.spark, self.checkpoint_dir)
         summary = {
             "attempt": attempt,
             "skipped": len(done),

@@ -31,6 +31,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+    scoped_persist,
+)
+
 
 def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.col(text_col)), r"\s+")
@@ -100,10 +104,11 @@ def jaccard_pairs(
     # needs NO further exchange on either side (joining a rare-filtered
     # table against the shingle table instead costs two extra shuffles
     # of the full inverted index — measured 2.4x slower).
-    shw = (
-        shingle_table(docs, id_col, text_col, k)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .persist()
+    shw = scoped_persist(
+        shingle_table(docs, id_col, text_col, k).withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ),
+        "dedup.jaccard_index",
     )
     cold = shw.where(F.col("df") <= max_df)
     # candidate pairs + their RARE-shingle intersection count in one
@@ -206,7 +211,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    bands = bands.persist()  # two join branches below; no exchange reuse
+    # two join branches below; no exchange reuse. Scoped: one live
+    # cache per operator across repeated invocations (ADVICE r3)
+    bands = scoped_persist(bands, "dedup.minhash_bands")
     b1 = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -379,7 +386,10 @@ def simhash_pairs(
     # exchange across self-join branches; same pattern as the persisted
     # jaccard/minhash index tables). The signature table is tiny
     # relative to the corpus: one (id, n_words x int64) row per doc.
-    sig = simhash_signature_words(docs, id_col, text_col, bits).persist()
+    sig = scoped_persist(
+        simhash_signature_words(docs, id_col, text_col, bits),
+        "dedup.simhash_sig",
+    )
     wcols = [F.col(f"sig{w}") for w in range(n_words)]
     chunks = sig.select(
         F.col(id_col),

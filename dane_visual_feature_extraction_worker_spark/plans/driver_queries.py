@@ -1642,7 +1642,10 @@ def _decode2d_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
     """min/max byte over the resized pixel index set: pixel (i, j, c) of
     the resized image reads tiled byte ((((i*h)//out_h)*w +
     (j*w)//out_w)*3 + c) mod n — the same integer index math as
-    resize_nn_2d over np.resize tiling."""
+    resize_nn_2d over np.resize tiling. Byte-indexed over the UTF-8
+    encoding (hex(encode(text)) in the dims CTE), matching the engine's
+    text.encode('utf-8') tiling — ascii(substr(text,...)) indexed
+    CHARACTERS and agreed only on an all-ASCII corpus (ADVICE r3)."""
     npix = out_h * out_w * 3
     k = (
         f"((((p // {out_w * 3}) * h) // {out_h}) * w "
@@ -1651,7 +1654,8 @@ def _decode2d_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
     return (
         f"list_{agg}(list_transform(range(0, {npix}), "
         f"p -> CASE WHEN n = 0 THEN 0 "
-        f"ELSE ascii(substr(text, CAST(({k}) % n AS INT) + 1, 1)) END))"
+        f"ELSE CAST('0x' || substr(hx, CAST(({k}) % n AS INT) * 2 + 1, 2) "
+        f"AS INT) END))"
     )
 
 
@@ -1667,10 +1671,11 @@ ORACLES.update(
         """,
         "multimodal_decode2d": f"""
             WITH dims AS (
-              SELECT doc_id, text,
+              SELECT doc_id,
+                     lower(hex(encode(text))) AS hx,
                      CAST(8 + doc_id % 5 AS INT) AS h,
                      CAST(8 + doc_id % 7 AS INT) AS w,
-                     length(text) AS n
+                     octet_length(encode(text)) AS n
               FROM documents
             ), mm AS (
               SELECT doc_id, h, w,

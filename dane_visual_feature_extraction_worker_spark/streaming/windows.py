@@ -96,7 +96,20 @@ def session_sink_append(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_bounded(q, timeout_s)
+
+
+def _await_bounded(q, timeout_s: float) -> None:
+    """awaitTermination(timeout) returns False on timeout with the query
+    STILL RUNNING — returning silently would let callers read a partial
+    sink as if it were the complete rollup (ADVICE r3). Stop the query
+    and raise instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"bounded streaming query did not finish within {timeout_s}s; "
+            "sink contents are partial"
+        )
 
 
 def streaming_tumbling_agg(
@@ -148,4 +161,4 @@ def tumbling_sink_append(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_bounded(q, timeout_s)
