@@ -447,18 +447,43 @@ def kmeans_centroids(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
     assigner = {"narrow": ivf_assign, "blas": ivf_assign_blas}[assign_strategy]
-    for _ in range(iters):
-        assigned = assigner(emb, cents, id_col, vec_col)
-        cents = assigned.groupBy("cid").agg(
-            F.array(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1))
-                    .cast("float")
-                    for i in range(dim)
-                ]
-            ).alias("cvec")
-        )
+    # Lloyd materializes each round's recentered codebook (the next
+    # assigner collects it), so every iteration re-reads emb; without a
+    # persist that is iters+1 full scans of a 100 TB corpus (VERDICT
+    # r3). Cache it for the loop — already-cached inputs are left
+    # alone, and we only unpersist what we persisted here.
+    own_cache = iters > 0 and not emb.is_cached
+    if own_cache:
+        emb = emb.persist()
+    try:
+        for _ in range(iters):
+            assigned = assigner(emb, cents, id_col, vec_col)
+            cents = assigned.groupBy("cid").agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at(F.col(vec_col), i + 1))
+                        .cast("float")
+                        for i in range(dim)
+                    ]
+                ).alias("cvec")
+            )
+            # break the next round's plan off the cached scan, not the
+            # raw source: materialize the tiny codebook (C x dim rows)
+            cents = _as_local_centroids(emb.sparkSession, cents)
+    finally:
+        if own_cache:
+            emb.unpersist()
     return cents
+
+
+def _as_local_centroids(spark, cents: DataFrame) -> DataFrame:
+    """Collect a codebook-sized DataFrame (C rows) and rebuild it as a
+    local relation, so each Lloyd round's lineage ends at the previous
+    round's RESULT instead of stacking iters assignment plans on top of
+    the corpus scan (lineage growth makes round N's plan recompute
+    rounds 1..N-1 when the assigner collects it)."""
+    rows = cents.collect()
+    return spark.createDataFrame(rows, cents.schema)
 
 
 def ivf_topk(
