@@ -375,3 +375,129 @@ def synth_ppm_payloads(
             )
 
     return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+# --- NPZ decode path (spectrograms) -----------------------------------
+#
+# The reference's audio input is literally NPZ: one
+# ``<ts>_<rate>.npz`` per timestamp, loaded with
+# ``np.load(path)["arr_0"]`` and z-normalized (data_handling.py:50-51,
+# 88-94; get_sepectogram.py:63-64). NPZ is a zip of ``.npy`` members —
+# numpy alone decodes it, so unlike JPEG this path ships REAL, not as a
+# seam. One deliberate difference: the reference stores a *pickled
+# dict* under arr_0 and loads with allow_pickle=True
+# (data_handling.py:88-89); pickle execution on untrusted corpus blobs
+# is not acceptable in a distributed engine, so this decoder reads
+# plain ``.npy`` array members only (allow_pickle=False) and a
+# dict-shaped payload must be re-packed upstream.
+
+
+def encode_npz(arrays: "dict[str, np.ndarray]") -> bytes:
+    """Serialize arrays as an uncompressed NPZ blob (np.savez;
+    deterministic: zip member timestamps default to the 1980 epoch)."""
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def decode_npz(payload: bytes, key: str = "arr_0") -> "np.ndarray":
+    """Decode one member of an NPZ payload to an ndarray.
+
+    allow_pickle stays False: object arrays in untrusted blobs are a
+    code-execution vector (the reference tolerates them because it
+    only reads its own prep output, data_handling.py:88)."""
+    import io
+
+    with np.load(io.BytesIO(payload), allow_pickle=False) as npz:
+        if key not in npz.files:
+            raise KeyError(
+                f"member {key!r} not in npz (has {npz.files!r})"
+            )
+        return npz[key]
+
+
+def decode_transform_npz(
+    mm: DataFrame,
+    key: str = "arr_0",
+    mean: float = ZNORM_MEAN,
+    std: float = ZNORM_STD,
+) -> DataFrame:
+    """Decode NPZ spectrograms → z-normalize — the reference's audio
+    transform ((x - 1.93) / 17.89, get_sepectogram.py:63-64), one
+    mapInPandas stage, tensor never leaves the stage (downstream model
+    scoring fuses here, like the 2-D path).
+
+    Emitted stats are chosen to be engine-replayable: z_min/z_max ride
+    the monotonic float32 transform of the min/max input value;
+    ``z_mean`` derives from the float64 input SUM — exact (order-free)
+    whenever the array holds integer-valued samples ≤ 2^53, which the
+    byte-derived fixtures and uint8-sourced spectrograms satisfy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m32, s32 = np.float32(mean), np.float32(std)
+        for pdf in batches:
+            rows_, cols_, zmin, zmax, zmean = [], [], [], [], []
+            for payload in pdf["payload"]:
+                arr = decode_npz(
+                    bytes(payload) if payload is not None else b"", key
+                )
+                a32 = arr.astype(np.float32)
+                z = (a32 - m32) / s32
+                s = float(arr.astype(np.float64).sum())
+                n = float(arr.size)
+                rows_.append(arr.shape[0])
+                cols_.append(arr.shape[1] if arr.ndim > 1 else 1)
+                zmin.append(float(z.min()))
+                zmax.append(float(z.max()))
+                zmean.append(((s / n) - mean) / std)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_rows": pd.Series(rows_, dtype="int32"),
+                    "n_cols": pd.Series(cols_, dtype="int32"),
+                    "z_min": pd.Series(zmin, dtype="float64"),
+                    "z_max": pd.Series(zmax, dtype="float64"),
+                    "z_mean": pd.Series(zmean, dtype="float64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_rows int, n_cols int, "
+            "z_min double, z_max double, z_mean double"
+        ),
+    )
+
+
+def synth_npz_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic NPZ fixture payloads: an (8 + id%5) × (8 + id%7)
+    float32 array tiling the text's UTF-8 byte values (zeros for empty
+    text), packed under ``arr_0`` like the reference's prep output.
+    Spark-side (mapInPandas), scales with the corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                h = 8 + int(doc_id) % 5
+                w = 8 + int(doc_id) % 7
+                bs = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                )
+                if bs.size == 0:
+                    bs = np.zeros(1, dtype=np.uint8)
+                arr = np.resize(bs, (h, w)).astype(np.float32)
+                payloads.append(encode_npz({"arr_0": arr}))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")

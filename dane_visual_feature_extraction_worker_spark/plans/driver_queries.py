@@ -1700,6 +1700,64 @@ QUERIES.update(
 )
 
 
+def multimodal_decode_npz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real NPZ decode — the reference's literal spectrogram format
+    (``np.load(npz)["arr_0"]`` + (x - 1.93)/17.89, data_handling.py:
+    50-51, 88-94; get_sepectogram.py:63-64): deterministic NPZ payloads
+    synthesized from document text Spark-side, decoded with numpy's
+    real zip/.npy parser in mapInPandas, z-normalized. The oracle
+    replays the byte tiling with byte-indexed SQL: z_min/z_max via the
+    monotonic float32 transform of min/max byte, z_mean from the exact
+    integer byte sum in float64 — hash-verified end-to-end."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        decode_transform_npz,
+        synth_npz_payloads,
+    )
+
+    mm = synth_npz_payloads(_documents(spark, sf_dir))
+    return decode_transform_npz(mm).select(
+        "doc_id", "n_rows", "n_cols", "z_min", "z_max", "z_mean"
+    )
+
+
+def _npz_byte_sql(agg: str) -> str:
+    """list aggregate over the tiled byte index set k in [0, h*w):
+    byte(k) = UTF-8 byte (k mod n) of the text (hx/n from the dims
+    CTE), matching np.resize tiling in synth_npz_payloads."""
+    return (
+        f"list_{agg}(list_transform(range(0, h * w), "
+        f"k -> CASE WHEN n = 0 THEN 0 "
+        f"ELSE CAST('0x' || substr(hx, CAST(k % n AS INT) * 2 + 1, 2) "
+        f"AS INT) END))"
+    )
+
+
+ORACLES["multimodal_decode_npz"] = f"""
+    WITH dims AS (
+      SELECT doc_id,
+             lower(hex(encode(text))) AS hx,
+             CAST(8 + doc_id % 5 AS INT) AS h,
+             CAST(8 + doc_id % 7 AS INT) AS w,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), mm AS (
+      SELECT doc_id, h, w,
+             {_npz_byte_sql("min")} AS minb,
+             {_npz_byte_sql("max")} AS maxb,
+             {_npz_byte_sql("sum")} AS sumb
+      FROM dims
+    )
+    SELECT doc_id, h AS n_rows, w AS n_cols,
+           CAST((CAST(minb AS REAL) - CAST(1.93 AS REAL))
+                / CAST(17.89 AS REAL) AS DOUBLE) AS z_min,
+           CAST((CAST(maxb AS REAL) - CAST(1.93 AS REAL))
+                / CAST(17.89 AS REAL) AS DOUBLE) AS z_max,
+           ((CAST(sumb AS DOUBLE) / (h * w)) - 1.93) / 17.89 AS z_mean
+    FROM mm
+"""
+QUERIES["multimodal_decode_npz"] = multimodal_decode_npz
+
+
 def tar_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 archive sink: documents grouped into 50 entities, one
     deterministic tarball per entity written executor-side

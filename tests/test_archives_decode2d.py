@@ -193,3 +193,66 @@ def test_decode2d_empty_text_payload(spark):
     z0 = float((np.float32(0) - np.float32(ZNORM_MEAN)) / np.float32(ZNORM_STD))
     assert (r["src_h"], r["src_w"]) == (8 + 5 % 5, 8 + 5 % 7)
     assert r["z_min"] == z0 and r["z_max"] == z0
+
+
+def test_npz_encode_decode_roundtrip():
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        decode_npz,
+        encode_npz,
+    )
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    blob = encode_npz({"arr_0": a})
+    assert np.array_equal(decode_npz(blob), a)
+    # deterministic bytes (zip member mtimes pinned to the 1980 epoch)
+    assert blob == encode_npz({"arr_0": a})
+    with pytest.raises(KeyError):
+        decode_npz(blob, key="missing")
+
+
+def test_npz_decode_rejects_pickled_members():
+    """Untrusted-blob safety: object arrays need pickle; the decoder
+    must refuse them (the reference loads its own prep output with
+    allow_pickle=True, data_handling.py:88 — not acceptable over an
+    arbitrary corpus)."""
+    import io
+
+    from dane_visual_feature_extraction_worker_spark.multimodal import decode_npz
+
+    buf = io.BytesIO()
+    np.savez(buf, arr_0=np.array([{"audio": [1, 2]}], dtype=object))
+    with pytest.raises(ValueError):
+        decode_npz(buf.getvalue())
+
+
+def test_npz_transform_matches_numpy(spark):
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        ZNORM_MEAN,
+        ZNORM_STD,
+        decode_transform_npz,
+        synth_npz_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (3, ""), (11, "Spark NPZ spectrogram path")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_transform_npz(synth_npz_payloads(docs)).collect()
+    }
+    for doc_id, text in [(0, "hello world"), (3, ""), (11, "Spark NPZ spectrogram path")]:
+        h, w = 8 + doc_id % 5, 8 + doc_id % 7
+        bs = np.frombuffer(text.encode(), dtype=np.uint8)
+        if bs.size == 0:
+            bs = np.zeros(1, dtype=np.uint8)
+        arr = np.resize(bs, (h, w)).astype(np.float32)
+        z = (arr - np.float32(ZNORM_MEAN)) / np.float32(ZNORM_STD)
+        r = out[doc_id]
+        assert (r["n_rows"], r["n_cols"]) == (h, w)
+        assert r["z_min"] == float(z.min())
+        assert r["z_max"] == float(z.max())
+        exp_mean = (
+            float(arr.astype(np.float64).sum()) / arr.size - ZNORM_MEAN
+        ) / ZNORM_STD
+        assert r["z_mean"] == exp_mean
