@@ -142,3 +142,32 @@ def test_empty_source_completes(spark, transcripts, tmp_path):
     s = r.run(empty, pit_features)
     assert s["computed"] == 3
     assert r.result().count() == 0
+
+
+def test_checkpoint_table_compacted_after_attempt(spark, transcripts, tmp_path):
+    """Durability appends one parquet file per completed bucket; attempt
+    completion must fold the checkpoint table back to O(1) files
+    (VERDICT r3) without losing any row."""
+    import glob
+
+    r = _runner(spark, str(tmp_path), "compact", n_buckets=8)
+    r.run(transcripts, lambda df: df)
+    files = glob.glob(str(tmp_path) + "/cp_compact/*.parquet")
+    assert 0 < len(files) <= 2, files
+    cps = r.load_checkpoints()
+    assert cps.where("status = 'done'").count() == 8
+
+
+def test_prebucketed_source_rejects_mismatched_buckets(
+    spark, transcripts, tmp_path
+):
+    """A source bucketed 0..15 against an 8-bucket runner previously
+    dropped half the corpus silently (ADVICE r3) — must raise."""
+    import pytest
+
+    from dane_visual_feature_extraction_worker_spark.checkpoint import bucket_of
+
+    src = transcripts.withColumn("__bucket", bucket_of("conv_id", 16))
+    r = _runner(spark, str(tmp_path), "mismatch", n_buckets=8)
+    with pytest.raises(ValueError, match="incompatible with n_buckets"):
+        r.run(src, lambda df: df)
