@@ -153,6 +153,9 @@ def main() -> None:
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "turns_per_sec": round(n_turns / fsec, 1),
+                # host contention evidence (VERDICT r3: per-run loadavg
+                # alongside every BENCH entry)
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

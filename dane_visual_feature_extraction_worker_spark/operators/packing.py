@@ -1,0 +1,106 @@
+"""Sequence packing: concat-and-chunk token layout for LLM pretraining.
+
+The standard pretraining batch layout concatenates the token streams of
+many documents and cuts fixed-length sequences every ``max_tokens``,
+letting documents span sequence boundaries — no padding waste, no
+per-document bin packing. Distributed, the corpus is first split into
+``n_shards`` hash shards (engine-portable md5 key, the
+operators/sampling.py primitive, so shard membership is reproducible on
+any engine / partition layout); within a shard the stream order is
+``doc_id`` and every position is pure integer window math:
+
+    tok_offset(doc) = sum(n_tokens) over docs before it in the shard
+    seq_first       = tok_offset DIV max_tokens
+    seq_last        = (tok_offset + n_tokens - 1) DIV max_tokens
+    pack_offset     = tok_offset MOD max_tokens
+
+Scale shape: ONE shuffle (hash on shard) + one per-shard sort by
+doc_id; the running sum is a whole-stage-codegen window over bigints
+(exact — no float anywhere), so any SQL engine replays it
+bit-for-bit. Shard count bounds per-task stream length (pick
+n_shards ≈ corpus_tokens / 10^8 at 100 TB); packing is embarrassingly
+parallel across shards and adding shards never reassigns existing
+docs' shard membership (md5 key mod), only rebalances new layouts.
+
+Reference provenance: the layout mirrors the reference's fixed-shape
+batch assembly (it stacks per-item tensors into fixed batches,
+feature_extraction.py:26-31); here the "items" are token runs and the
+fixed shape is the training sequence length.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+    sample_key,
+)
+from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+    _tokens,
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 1024,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-document packing coordinates under concat-and-chunk.
+
+    Emits ``(doc_id, shard, n_tokens, tok_offset, seq_first, seq_last,
+    pack_offset)``: which training sequences the doc's tokens land in
+    and where. Tokenizer = the shared whitespace tokenizer (so counts
+    agree with ``token_stats`` and the DuckDB oracles)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    shard = F.pmod(sample_key(F.col(id_col), salt), F.lit(n_shards)).cast(
+        "int"
+    )
+    d = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    # empty docs occupy zero tokens: they "land" at their offset's
+    # sequence with seq_last == seq_first (greatest(n_tokens, 1));
+    # all positions are nonnegative bigints, DIV/MOD exact everywhere
+    d = d.withColumn(
+        "__span_end",
+        F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1,
+    )
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset DIV {max_tokens}").alias("seq_first"),
+        F.expr(f"__span_end DIV {max_tokens}").alias("seq_last"),
+        F.pmod(F.col("tok_offset"), F.lit(max_tokens))
+        .cast("bigint")
+        .alias("pack_offset"),
+    )
+
+
+def shard_summary(packed: DataFrame, max_tokens: int = 1024) -> DataFrame:
+    """Per-shard totals: docs, tokens, and the number of full training
+    sequences the shard yields (ceil(tokens / max_tokens)) — the
+    shard-balance audit a packing job runs before writing batches."""
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_shard_tokens"),
+        F.expr(
+            f"(sum(n_tokens) + {max_tokens - 1}) DIV {max_tokens}"
+        ).alias("n_sequences"),
+    )

@@ -105,3 +105,67 @@ def stratified_sample(
         else F.lit(_threshold(default_rate))
     )
     return df.where(key < thr)
+
+
+def temperature_sample_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Multilingual temperature-resampling rates: target distribution
+    q_l ∝ n_l^alpha (the mT5/XLM-R recipe — alpha < 1 upweights rare
+    languages), realized by per-stratum keep-rates under a total budget
+    of ``budget_frac`` × corpus:
+
+        rate_l = min(1, budget_frac · N · n_l^alpha / Σ_m n_m^alpha / n_l)
+
+    One tiny groupBy (|strata| rows) + a cross join of two scalar
+    aggregates — no corpus shuffle. Rates are floor-truncated to 1e-6
+    (cross-engine float discipline); ``alpha=0.5`` routes through
+    ``sqrt``, which IEEE requires to be correctly rounded on every
+    engine — use it where oracle-grade reproducibility matters
+    (generic ``pow`` may differ by 1 ulp between engines).
+    """
+    n = F.col("n_docs").cast("double")
+    weight = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn("__w", weight)
+    totals = counts.agg(
+        F.sum("n_docs").alias("__N"), F.sum("__w").alias("__s")
+    )
+    raw = (
+        F.lit(budget_frac)
+        * F.col("__N").cast("double")
+        * F.col("__w")
+        / F.col("__s")
+        / n
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        "n_docs",
+        (F.floor(F.least(F.lit(1.0), raw) * 1e6) / 1e6).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Apply temperature-resampling: keep each row iff its md5 key
+    clears its stratum's rate threshold. Plan: the |strata|-row rate
+    table broadcasts into a narrow filter over the scan — the corpus
+    is read once, never shuffled."""
+    rates = temperature_sample_rates(df, alpha, budget_frac, stratum_col)
+    thr = F.floor(F.col("rate") * F.lit(float(SAMPLE_SPACE))).cast("bigint")
+    key = sample_key(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates.select(stratum_col, "rate")), stratum_col)
+        .where(key < thr)
+        .drop("rate")
+    )

@@ -2217,3 +2217,102 @@ ORACLES["asof_join_tolerance"] = """
                                ORDER BY c.ts DESC, c.event_id DESC) = 1
 """
 QUERIES["asof_join_tolerance"] = asof_join_tolerance
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing coordinates (operators/
+    packing.py): md5-sharded corpus, per-shard doc_id-ordered token
+    stream, fixed 256-token training sequences. Pure integer window
+    math — the oracle replays it exactly."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _documents(spark, sf_dir), max_tokens=256, n_shards=16, salt="pack"
+    )
+
+
+ORACLES["sequence_pack"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, text,
+             md5('pack' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id,
+             CAST(({_sample_key_terms_sql()}) % 16 AS INT) AS shard,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM keyed
+    ), off AS (
+      SELECT *,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_offset
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // 256 AS seq_first,
+           (tok_offset + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
+           tok_offset % 256 AS pack_offset
+    FROM off
+"""
+QUERIES["sequence_pack"] = sequence_pack
+
+
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature resampling (alpha=0.5 — the sqrt route,
+    correctly rounded on every IEEE engine; operators/sampling.py):
+    per-language keep-rates q_l ∝ sqrt(n_l) under a 50% corpus budget,
+    applied via the portable md5 threshold. Gated output is the
+    per-language audit row (count, rate, kept)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_rates,
+    )
+
+    docs = _documents(spark, sf_dir)
+    rates = temperature_sample_rates(docs, alpha=0.5, budget_frac=0.5)
+    kept = (
+        temperature_sample(docs, alpha=0.5, budget_frac=0.5, salt="temp")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "rate",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+ORACLES["temperature_sample"] = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS N,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS s
+      FROM counts
+    ), rates AS (
+      SELECT lang, n_docs,
+             floor(least(1.0,
+               0.5 * N * sqrt(CAST(n_docs AS DOUBLE)) / s
+                   / CAST(n_docs AS DOUBLE)) * 1e6) / 1e6 AS rate
+      FROM counts, tot
+    ), keyed AS (
+      SELECT lang, ({_sample_key_terms_sql()}) AS key
+      FROM (SELECT lang,
+                   md5('temp' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents)
+    ), kept AS (
+      SELECT k.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM keyed k JOIN rates r USING (lang)
+      WHERE k.key < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+      GROUP BY k.lang
+    )
+    SELECT r.lang, r.n_docs, r.rate, COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+"""
+QUERIES["temperature_sample"] = temperature_sample_q

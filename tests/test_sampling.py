@@ -103,3 +103,89 @@ def test_split_partitions_entire_set_for_any_weights(spark):
         assert out.select("doc_id").distinct().count() == 2_000
         got = {r["split"] for r in out.select("split").distinct().collect()}
         assert got <= set(weights)
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Concat-and-chunk packing vs a straight python replay: same
+    shards (md5 key), same offsets/sequence spans (integer math)."""
+    import hashlib
+
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        pack_sequences,
+        shard_summary,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 23)) if i % 9 else "")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(
+        docs, max_tokens=16, n_shards=4, salt="pack"
+    ).collect()}
+
+    def key(i):
+        return int(hashlib.md5(f"pack|{i}".encode()).hexdigest()[:8], 16)
+
+    # python replay: group by shard, order by doc_id, running offsets
+    by_shard: dict = {}
+    for i, text in rows:
+        by_shard.setdefault(key(i) % 4, []).append(
+            (i, len([t for t in text.lower().split() if t]))
+        )
+    for shard, items in by_shard.items():
+        off = 0
+        for i, n in sorted(items):
+            r = got[i]
+            assert r["shard"] == shard
+            assert r["n_tokens"] == n
+            assert r["tok_offset"] == off
+            assert r["seq_first"] == off // 16
+            assert r["seq_last"] == (off + max(n, 1) - 1) // 16
+            assert r["pack_offset"] == off % 16
+            off += n
+
+    summ = {r["shard"]: r for r in shard_summary(
+        pack_sequences(docs, max_tokens=16, n_shards=4, salt="pack"),
+        max_tokens=16,
+    ).collect()}
+    for shard, items in by_shard.items():
+        tot = sum(n for _, n in items)
+        assert summ[shard]["n_docs"] == len(items)
+        assert summ[shard]["n_shard_tokens"] == tot
+        assert summ[shard]["n_sequences"] == (tot + 15) // 16
+
+
+def test_temperature_sample_rates_and_budget(spark):
+    """alpha=0.5 rates follow q_l ∝ sqrt(n_l) under the budget; rare
+    strata are upweighted (rate_rare > rate_common); applying the
+    sample keeps ~rate_l per stratum, deterministically."""
+    import math
+
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_rates,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {
+        r["lang"]: r for r in temperature_sample_rates(
+            docs, alpha=0.5, budget_frac=0.5, stratum_col="lang"
+        ).collect()
+    }
+    s = math.sqrt(900) + math.sqrt(100)
+    for lang, n in (("big", 900), ("small", 100)):
+        exp = min(1.0, 0.5 * 1000 * math.sqrt(n) / s / n)
+        exp = math.floor(exp * 1e6) / 1e6
+        assert rates[lang]["rate"] == exp, (lang, rates[lang]["rate"], exp)
+    assert rates["small"]["rate"] > rates["big"]["rate"]
+
+    kept = temperature_sample(docs, alpha=0.5, budget_frac=0.5).collect()
+    # deterministic: same call, same rows
+    kept2 = temperature_sample(docs, alpha=0.5, budget_frac=0.5).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in kept2
+    )
+    n_kept = len(kept)
+    assert 0.35 * 1000 < n_kept < 0.65 * 1000  # near budget, hash noise
