@@ -189,3 +189,126 @@ def salted_running_sum(
         .withColumn(out, F.col("__intra") + F.col("__off"))
         .drop("__blk", "__intra", "__off")
     )
+
+
+def salted_prefix_features(
+    df,
+    entity: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    event_type: str = "event_type",
+    id_col: str = "event_id",
+    props: str = "props",
+    block_seconds: float = 86_400.0,
+):
+    """Skew-safe point-in-time feature kernel: the full block
+    decomposition of ``feature_vector_udf``'s 8 prefix features — the
+    hot-entity mitigation measured in scripts/bench_skew.py, implemented
+    (not just documented).
+
+    Same two-phase shape as :func:`salted_running_sum`, generalized to
+    every prefix-aggregate family the kernel uses:
+
+    - running count (f0) / decimal sum (f1) / flag sum (f5): intra-block
+      prefix + exclusive-cumulative block totals — EXACT (integer /
+      decimal domain, associative regrouping is lossless);
+    - running max (f6): intra-block running max ⊕ max of prior block
+      maxes (order-free);
+    - lag-gap (f3): intra-block lag, with the previous NON-EMPTY block's
+      last ts carried in via ``lag`` over the per-(entity, block)
+      summary table (a user absent from a block contributes no summary
+      row, so lag lands on the right predecessor);
+    - pure per-row features (f2, f4, f7): derived after regrouping.
+
+    Intra-block windows partition on (entity, block): a hot entity's
+    rows split across ceil(span / block_seconds) parallel tasks instead
+    of one. The per-(entity, block) summary table is corpus-size /
+    avg-block-rows — its own window (per entity over blocks) is tiny.
+    Output is bit-identical to the unsalted kernel (same DuckDB oracle
+    hash; pytest asserts frame equality) because every regrouped
+    aggregate lives in an exact domain: decimal cents, ints, max.
+
+    At 10^12 turns: pick block_seconds so a hot entity's densest block
+    fits one task (e.g. 1h blocks bound any entity to ~rows/hour); the
+    block summary join is a uniform-key shuffle (or broadcast when the
+    summary fits).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
+
+    d = df.withColumn(
+        "__blk",
+        F.floor(epoch_seconds(ts) / F.lit(float(block_seconds))),
+    ).withColumn("__cents", F.col(value).cast("decimal(18,2)"))
+    err = (F.col(event_type) == "error").cast("bigint")
+
+    w_in = Window.partitionBy(entity, "__blk").orderBy(ts, id_col)
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    intra = d.select(
+        entity,
+        "__blk",
+        id_col,
+        ts,
+        props,
+        F.col(value),
+        F.row_number().over(w_in).cast("bigint").alias("__rn_i"),
+        F.sum("__cents").over(w_run).alias("__sum_i"),
+        F.sum(err).over(w_run).alias("__err_i"),
+        F.max(value).over(w_run).alias("__max_i"),
+        F.lag(ts, 1).over(w_in).alias("__lag_ts_i"),
+    )
+
+    # per-(entity, block) summary: one row per non-empty block
+    totals = d.groupBy(entity, "__blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum("__cents").alias("__sum"),
+        F.sum(err).alias("__err"),
+        F.max(value).alias("__max"),
+        F.max(ts).alias("__last_ts"),
+    )
+    w_blk = Window.partitionBy(entity).orderBy("__blk")
+    w_prev = w_blk.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        entity,
+        "__blk",
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0).cast("bigint")).alias(
+            "__cnt_p"
+        ),
+        F.coalesce(
+            F.sum("__sum").over(w_prev), F.lit(0).cast("decimal(18,2)")
+        ).alias("__sum_p"),
+        F.coalesce(F.sum("__err").over(w_prev), F.lit(0).cast("bigint")).alias(
+            "__err_p"
+        ),
+        F.max("__max").over(w_prev).alias("__max_p"),
+        F.lag("__last_ts", 1).over(w_blk).alias("__carry_ts"),
+    )
+
+    j = intra.join(offsets, [entity, "__blk"])
+    f0 = (F.col("__cnt_p") + F.col("__rn_i")).cast("double")
+    f1 = (F.col("__sum_p") + F.col("__sum_i")).cast("double")
+    prev_ts = F.coalesce(F.col("__lag_ts_i"), F.col("__carry_ts"))
+    gap = F.coalesce(
+        epoch_seconds(ts) - epoch_seconds(prev_ts), F.lit(0.0)
+    )
+    return j.select(
+        id_col,
+        entity,
+        ts,
+        f0.alias("f0"),
+        f1.alias("f1"),
+        (F.floor(f1 / f0 * 1e6) / 1e6).alias("f2"),
+        (F.floor(gap * 1e6) / 1e6).alias("f3"),
+        F.length(props).cast("double").alias("f4"),
+        (F.col("__err_p") + F.col("__err_i")).cast("double").alias("f5"),
+        # greatest() skips nulls (null __max_p = no prior block)
+        F.greatest(F.col("__max_i"), F.col("__max_p")).alias("f6"),
+        (
+            F.floor(
+                (F.col(id_col) * 2654435761) % 1000000 / 1e6 * 1e6
+            )
+            / 1e6
+        ).alias("f7"),
+    )

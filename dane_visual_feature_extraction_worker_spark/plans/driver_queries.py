@@ -2316,3 +2316,29 @@ ORACLES["temperature_sample"] = f"""
     FROM rates r LEFT JOIN kept k USING (lang)
 """
 QUERIES["temperature_sample"] = temperature_sample_q
+
+
+def feature_vector_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of ``feature_vector_udf``: the full block
+    decomposition of all 8 prefix features (operators/windows.py
+    salted_prefix_features) — a hot entity's rows split across
+    time blocks instead of serializing into one task (the measured
+    ceiling in scripts/bench_skew.py / BENCH/BASELINE.md). Exact-domain
+    regrouping (decimal cents / ints / max) makes the output
+    bit-identical to the unsalted kernel, so it shares the SAME DuckDB
+    oracle."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        salted_prefix_features,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+    return salted_prefix_features(e, block_seconds=86_400.0).select(
+        "event_id", "user_id", "ts",
+        "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7",
+    )
+
+
+ORACLES["feature_vector_salted"] = ORACLES["feature_vector_udf"]
+QUERIES["feature_vector_salted"] = feature_vector_salted

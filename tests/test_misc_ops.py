@@ -272,3 +272,71 @@ def test_scrub_text_patterns(spark):
     assert out[1]["clean_len"] != len(
         "mail me at jo.doe+x@example.org or see https://ex.org/a?b=1 now"
     )
+
+
+def test_salted_prefix_features_bit_identical_to_plain_windows(spark):
+    """The block-decomposed 8-feature kernel must equal the plain
+    running-window formulation row for row — including across block
+    boundaries, empty blocks, and the entity's first row."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        salted_prefix_features,
+    )
+
+    rows = []
+    # user 0: dense in block 0, absent block 1, returns block 2
+    for i in range(40):
+        day = 0 if i < 25 else 2
+        rows.append(
+            (i, 0, day * 86_400 + i * 977 % 80_000,
+             "error" if i % 7 == 0 else "click", round(i * 1.37, 2), "p" * (i % 5))
+        )
+    # user 1: one row per block across 5 blocks
+    for i in range(5):
+        rows.append((100 + i, 1, i * 86_400 + 42, "view", 3.25, "xy"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_type", "value", "props",
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.col("value").cast("decimal(18,2)")
+    plain = df.select(
+        "event_id",
+        F.row_number().over(w).cast("double").alias("f0"),
+        F.sum(cents).over(wr).cast("double").alias("f1"),
+        F.coalesce(
+            epoch_seconds("ts") - epoch_seconds(F.lag("ts", 1).over(w)),
+            F.lit(0.0),
+        ).alias("gap"),
+        F.sum((F.col("event_type") == "error").cast("bigint"))
+        .over(wr)
+        .cast("double")
+        .alias("f5"),
+        F.max("value").over(wr).alias("f6"),
+    ).withColumn("f3", F.floor(F.col("gap") * 1e6) / 1e6).drop("gap")
+
+    got = (
+        salted_prefix_features(df, block_seconds=86_400.0)
+        .select("event_id", "f0", "f1", "f3", "f5", "f6")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        plain.select("event_id", "f0", "f1", "f3", "f5", "f6")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
