@@ -49,6 +49,11 @@ HEADLINE = [
     "multimodal_decode2d",
     "dependency_lookup",
     "tumbling_window_agg",
+    "multimodal_decode_npz",
+    "sequence_pack",
+    "temperature_sample",
+    "feature_vector_salted",
+    "contamination_check",
 ]
 
 

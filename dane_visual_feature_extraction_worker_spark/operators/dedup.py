@@ -462,3 +462,50 @@ def simhash_pairs(
         .where(no_smaller)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    probe: DataFrame,
+    k: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct word k-grams with ANY probe (eval-set)
+    document — the standard pre-training hygiene pass that keeps test
+    sets out of training data.
+
+    Plan shape at 100 TB: the probe side is eval-set-sized (thousands
+    of docs), so its distinct shingle set broadcasts; the corpus
+    shingle stream then joins it with NO shuffle (broadcast hash join
+    on the narrow exploded stream) and one uniform groupBy(doc) counts
+    overlaps. The corpus is never self-joined and never shuffled on
+    shingle — contrast jaccard_pairs, whose candidate generation is
+    corpus × corpus. Emits every corpus doc with its overlap count and
+    flag (left join back to the id spine keeps zero-overlap docs)."""
+    c = shingle_table(corpus, id_col, text_col, k)
+    p = (
+        shingle_table(probe, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(p), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -2342,3 +2342,37 @@ def feature_vector_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["feature_vector_salted"] = ORACLES["feature_vector_udf"]
 QUERIES["feature_vector_salted"] = feature_vector_salted
+
+
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass (operators/dedup.contamination_check):
+    every ~97th document plays the benchmark/eval set; corpus docs
+    sharing >= 2 distinct 3-gram shingles with it are flagged. Probe
+    shingles broadcast — the corpus is never shuffled on shingle."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    docs = _documents(spark, sf_dir)
+    probe = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, probe, k=3, min_overlap=2)
+
+
+ORACLES["contamination_check"] = r"""
+    WITH arr AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS a
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                          for i in range(1, len(a) - 1)]) AS shingle
+           FROM arr WHERE len(a) >= 3),
+    probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM sh s JOIN probe p ON s.shingle = p.shingle
+             GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+QUERIES["contamination_check"] = contamination_check_q

@@ -464,3 +464,30 @@ def test_kmeans_refinement_improves_quantization(spark):
     ).collect()
     assert got[0]["vec_id"] == 0  # the query vector tops its own bucket
     assert len(got) == 5
+
+
+def test_contamination_check_vs_bruteforce(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    corpus = _docs(spark)
+    probe = corpus.where("doc_id = 1")  # near-dup of 0, exact text of 1
+    got = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            corpus, probe, k=3, min_overlap=2
+        ).collect()
+    }
+    probe_sh = _shingles("the quick brown fox jumps over the lazy cat")
+    for doc_id, text in [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different text about spark shuffles here"),
+        (4, "short"),
+        (5, ""),
+    ]:
+        inter = len(_shingles(text) & probe_sh)
+        assert got[doc_id]["n_overlap"] == inter, (doc_id, inter)
+        assert got[doc_id]["contaminated"] == (inter >= 2)
