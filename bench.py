@@ -54,6 +54,7 @@ HEADLINE = [
     "temperature_sample",
     "feature_vector_salted",
     "contamination_check",
+    "repetition_stats",
 ]
 
 

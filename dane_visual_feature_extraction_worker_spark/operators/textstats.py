@@ -169,3 +169,73 @@ def scrub_text(
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    k: int = 3,
+    dup_gram_max: float = 0.3,
+    top_token_max: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate k-gram fraction and
+    top-token mass per document — the classic signals for boilerplate /
+    degenerate repetition in pre-training corpora (Rae et al. 2021 §A1
+    repetition heuristics, public paper).
+
+    All pure array expressions over the shared tokenizer — narrow over
+    the scan, NO shuffle, no UDF. ``top_token_frac`` costs
+    O(n_tokens × n_distinct) per document (array scan per distinct
+    token); bounded and embarrassingly parallel for web-doc token
+    counts — swap to an explode + two-level agg if documents exceed
+    ~10^4 tokens. Fractions floor-truncated to 1e-6 (cross-engine
+    float discipline)."""
+    toks = _tokens(text_col)
+    d = docs.select(F.col(id_col), toks.alias("__t"))
+    d = d.select(
+        id_col,
+        "__t",
+        F.size("__t").alias("__n"),
+        _ngrams(F.col("__t"), k).alias("__g"),
+    )
+    n = F.col("__n")
+    g = F.col("__g")
+    ng = F.size(g)
+    dup_gram = F.when(
+        ng > 0, (ng - F.size(F.array_distinct(g))) / ng
+    ).otherwise(F.lit(0.0))
+    top_cnt = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("__t")),
+                lambda t: F.size(F.filter(F.col("__t"), lambda x: x == t)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    top_frac = F.when(n > 0, top_cnt / n).otherwise(F.lit(0.0))
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    out = d.select(
+        id_col,
+        n.alias("n_tokens"),
+        t6(dup_gram).alias("dup_gram_frac"),
+        t6(top_frac).alias("top_token_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_gram_frac") > dup_gram_max)
+        | (F.col("top_token_frac") > top_token_max),
+    )
+
+
+def _ngrams(a: F.Column, k: int) -> F.Column:
+    """Word k-grams from a materialized token-array column (slice +
+    array_join — the array is referenced once per gram; inlining the
+    split here would re-evaluate it per gram, see operators/dedup.py)."""
+    n = F.size(a)
+    idx = F.sequence(F.lit(0), n - k)
+    gram = lambda i: F.array_join(F.slice(a, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )

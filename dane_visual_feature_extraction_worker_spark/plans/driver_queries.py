@@ -2376,3 +2376,47 @@ ORACLES["contamination_check"] = r"""
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 QUERIES["contamination_check"] = contamination_check_q
+
+
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (operators/textstats.
+    repetition_stats): duplicate 3-gram fraction + top-token mass per
+    doc, narrow array expressions, zero shuffle."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_documents(spark, sf_dir), k=3)
+
+
+ORACLES["repetition_stats"] = r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [] END AS grams
+      FROM arr
+    ), s AS (
+      SELECT doc_id, n,
+             CASE WHEN len(grams) > 0
+                  THEN floor((len(grams) - len(list_distinct(grams)))
+                             * 1.0 / len(grams) * 1e6) / 1e6
+                  ELSE 0.0 END AS dup_gram_frac,
+             CASE WHEN n > 0
+                  THEN floor(list_max(list_transform(list_distinct(t),
+                         u -> len(list_filter(t, x -> x = u))))
+                       * 1.0 / n * 1e6) / 1e6
+                  ELSE 0.0 END AS top_token_frac
+      FROM g
+    )
+    SELECT doc_id, n AS n_tokens, dup_gram_frac, top_token_frac,
+           dup_gram_frac > 0.3 OR top_token_frac > 0.2 AS repetitive
+    FROM s
+"""
+QUERIES["repetition_stats"] = repetition_stats_q

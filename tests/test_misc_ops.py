@@ -340,3 +340,43 @@ def test_salted_prefix_features_bit_identical_to_plain_windows(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_repetition_stats_vs_python(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    import math
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # degenerate
+        (1, "a varied document with distinct words"),  # clean
+        (2, "ab cd ab cd ab cd ab cd"),                # repeated grams
+        (3, ""),                                       # empty
+        (4, "one two"),                                # below gram width
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs, k=3).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ] if len(toks) >= 3 else []
+        dup = (
+            (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        )
+        top = (
+            max(toks.count(t) for t in set(toks)) / len(toks)
+            if toks
+            else 0.0
+        )
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_gram_frac"] == math.floor(dup * 1e6) / 1e6
+        assert r["top_token_frac"] == math.floor(top * 1e6) / 1e6
+        assert r["repetitive"] == (
+            r["dup_gram_frac"] > 0.3 or r["top_token_frac"] > 0.2
+        )
+    assert got[0]["repetitive"] and got[2]["repetitive"]
+    assert not got[1]["repetitive"] and not got[3]["repetitive"]
