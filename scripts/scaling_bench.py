@@ -106,10 +106,18 @@ def main() -> None:
     gen = CHILD_GEN.format(repo=REPO, n_convs=n_convs, avg_turns=avg_turns, src=src)
     subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, text=True)
 
-    load_before = os.getloadavg()
-    r8 = run_size(8, src, tmp)
-    r32 = run_size(32, src, tmp)
-    load_after = os.getloadavg()
+    import shutil
+
+    try:
+        load_before = os.getloadavg()
+        r8 = run_size(8, src, tmp)
+        r32 = run_size(32, src, tmp)
+        load_after = os.getloadavg()
+    finally:
+        # tmpfs is a shared resource: each run's input is ~2.3 GB and a
+        # leaked dir per run starves the host (found 23 GB of stale
+        # scaling_* dirs after the r3/r4 campaigns)
+        shutil.rmtree(tmp, ignore_errors=True)
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
     report = {
         "input_turns": r8["turns"],
