@@ -305,9 +305,13 @@ def salted_prefix_features(
         (F.col("__err_p") + F.col("__err_i")).cast("double").alias("f5"),
         # greatest() skips nulls (null __max_p = no prior block)
         F.greatest(F.col("__max_i"), F.col("__max_p")).alias("f6"),
+        # modular product, reduced BEFORE multiplying: (id*K) mod 10^6 ==
+        # ((id mod 10^6)(K mod 10^6)) mod 10^6, and the reduced product
+        # fits int64 at ANY id — the raw id*K overflows past id ~3.5e9
+        # (ANSI error here, silent numpy wrap in the pandas kernel)
         (
             F.floor(
-                (F.col(id_col) * 2654435761) % 1000000 / 1e6 * 1e6
+                (F.col(id_col) % 1000000) * 435761 % 1000000 / 1e6 * 1e6
             )
             / 1e6
         ).alias("f7"),

@@ -390,8 +390,12 @@ def feature_vector_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "f4": pdf["props"].str.len().astype(np.float64),
                 "f5": err,
                 "f6": vmax,
+                # reduced modular product: mathematically (id*K) % 1e6
+                # without int64 wrap at replica-scale ids (id*K silently
+                # wrapped past id ~3.5e9, diverging from the SQL oracle)
                 "f7": np.floor(
-                    (pdf["event_id"].to_numpy(dtype=np.int64) * 2654435761)
+                    (pdf["event_id"].to_numpy(dtype=np.int64) % 1_000_000)
+                    * 435_761
                     % 1_000_000
                     / 1_000_000.0
                     * 1e6
@@ -569,7 +573,7 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                     OVER w2 AS DOUBLE) AS f5,
                max(value) OVER w2 AS f6,
-               floor(((event_id * 2654435761) % 1000000 / 1000000.0) * 1000000.0) / 1000000.0 AS f7
+               floor((((event_id % 1000000) * 435761) % 1000000 / 1000000.0) * 1000000.0) / 1000000.0 AS f7
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                w2 AS (PARTITION BY user_id ORDER BY ts, event_id
