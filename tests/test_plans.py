@@ -226,3 +226,88 @@ def test_kmeans_lloyd_caches_corpus_per_iteration(spark):
     kmeans_centroids(emb, n_centroids=4, iters=1, dim=8).count()
     assert emb.is_cached
     emb.unpersist()
+
+
+def test_contamination_probe_broadcasts_corpus_not_shuffled(spark):
+    """contamination_check: the probe shingle set must broadcast; the
+    corpus side must reach the join without an exchange (the only
+    shuffle is the final per-doc count)."""
+    import pyspark.sql.functions as F
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 37).cast("string"), F.lit(" x y z common phrase here")).alias("text"),
+    )
+    probe = docs.where("doc_id % 97 = 0")
+    plan = _plan(contamination_check(docs, probe))
+    assert "BroadcastExchange" in plan
+    # exactly ONE regular (non-broadcast) exchange: the groupBy(doc) agg
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles <= 2, plan  # count agg + final left join
+
+
+def test_sequence_pack_single_shard_shuffle(spark):
+    """pack_sequences: one hash shuffle on shard feeds both the window
+    and everything downstream; no extra exchange, no Python stage."""
+    import pyspark.sql.functions as F
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon").alias("text"),
+    )
+    plan = _plan(pack_sequences(docs, max_tokens=16, n_shards=8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temperature_sample_rates_broadcast_into_filter(spark):
+    """temperature_sample: the |strata|-row rate table broadcasts; the
+    corpus reaches its filter with no hash exchange (the only shuffles
+    build the tiny rate table itself)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+    )
+    plan = _plan(temperature_sample(docs))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_f7_hash_exact_at_replica_scale_ids(spark):
+    """Regression (r4): the f7 hash must equal the mathematical
+    (id * 2654435761) mod 1e6 at ids past the int64 overflow point."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        salted_prefix_features,
+    )
+
+    big = 3 * 10_000_000_000  # replica-range id: raw product overflows
+    df = spark.createDataFrame(
+        [(big, 7, 1000, "click", 1.25, "pp")],
+        "event_id long, user_id long, sec long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts"),
+        "event_type", "value", "props",
+    )
+    r = salted_prefix_features(df).collect()[0]
+    import math
+    exp = math.floor((big * 2654435761) % 1_000_000 / 1e6 * 1e6) / 1e6
+    assert r["f7"] == exp
