@@ -55,6 +55,7 @@ HEADLINE = [
     "feature_vector_salted",
     "contamination_check",
     "repetition_stats",
+    "near_dup_clusters",
 ]
 
 

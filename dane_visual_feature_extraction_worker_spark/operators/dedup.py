@@ -509,3 +509,70 @@ def contamination_check(
             ),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS: label every node with the smallest id
+    reachable in the undirected pair graph (the component
+    representative) — the proper generalization of pairwise dedup:
+    removal/representative policies then operate per cluster, not per
+    edge (A~B, B~C must collapse to ONE keeper even when A~C was never
+    emitted as a pair).
+
+    Iterative min-label propagation: each round every node takes
+    min(own label, neighbors' labels) — ONE uniform-key join + ONE
+    groupBy per round; rounds needed = component diameter (near-dup
+    components are small and dense, single digits in practice; the
+    banded generators emit near-cliques). Convergence is detected from
+    sum(label), which strictly decreases until fixpoint — one scalar
+    agg per round, no extra join. Lineage is truncated each round with
+    ``localCheckpoint`` (iterative plans otherwise nest one join per
+    round and analysis cost explodes); on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    executor-loss resilience. At 10^12-node scale the large-star /
+    small-star variant halves round count; the per-round plan shape is
+    identical. Raises if max_iters rounds don't converge (pathological
+    chain-shaped components) rather than returning a partial labeling.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("__s"), F.col("doc_b").alias("__t"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("__s"), F.col("doc_a").alias("__t")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("__label")).collect()[0][0]
+    try:
+        for _ in range(max_iters):
+            cand = edges.join(
+                labels, edges["__s"] == labels["__node"]
+            ).select(F.col("__t").alias("__node"), "__label")
+            new = (
+                labels.unionByName(cand)
+                .groupBy("__node")
+                .agg(F.min("__label").alias("__label"))
+                .localCheckpoint()
+            )
+            new_sum = new.agg(F.sum("__label")).collect()[0][0]
+            labels = new
+            if new_sum == prev_sum:
+                return labels.select(
+                    F.col("__node").alias(id_col),
+                    F.col("__label").alias("cluster_id"),
+                )
+            prev_sum = new_sum
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

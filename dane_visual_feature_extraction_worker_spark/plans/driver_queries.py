@@ -2424,3 +2424,58 @@ ORACLES["repetition_stats"] = r"""
     FROM s
 """
 QUERIES["repetition_stats"] = repetition_stats_q
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation, operators/dedup.
+    connected_components) → every doc labeled with its cluster's
+    smallest id. The DuckDB oracle replays the pair SQL and computes
+    min-reachable-id with a recursive CTE — an ITERATIVE Spark
+    algorithm verified against a recursive SQL fixpoint."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+ORACLES["near_dup_clusters"] = r"""
+    WITH RECURSIVE arr AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS shingle
+      FROM arr WHERE len(a) >= 3
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+      UNION
+      SELECT e.t, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+"""
+QUERIES["near_dup_clusters"] = near_dup_clusters

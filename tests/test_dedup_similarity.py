@@ -491,3 +491,28 @@ def test_contamination_check_vs_bruteforce(spark):
         inter = len(_shingles(text) & probe_sh)
         assert got[doc_id]["n_overlap"] == inter, (doc_id, inter)
         assert got[doc_id]["contaminated"] == (inter >= 2)
+
+
+def test_connected_components_vs_python(spark):
+    """Chains (worst-case diameter), merged components, singletons."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12 bridged to 13, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (12, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 20, 21, 99]],
+        "doc_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+           20: 20, 21: 20, 99: 99}
+    assert got == exp
