@@ -56,6 +56,7 @@ HEADLINE = [
     "contamination_check",
     "repetition_stats",
     "near_dup_clusters",
+    "tfidf_top_terms",
 ]
 
 

@@ -12,7 +12,7 @@ config-driven normalization data_handling.py:62-69 (score weights).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # tiny embedded stopword lists: deterministic, oracle-replicable
 EN_STOP = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
@@ -238,4 +238,52 @@ def _ngrams(a: F.Column, k: int) -> F.Column:
     gram = lambda i: F.array_join(F.slice(a, i + 1, k), " ")  # noqa: E731
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-N characteristic terms per document by tf-idf — the classic
+    corpus-scale term weighting (public formulation: tf = in-doc count,
+    idf = ln(N / df), smooth-free so any engine replays it).
+
+    Plan: ONE explode of the token stream feeds both sides — per-(doc,
+    term) counts and per-term document frequencies — each a map-side-
+    combined groupBy on uniform keys (term skew is bounded by the
+    stop-term df itself: a term in every doc has idf 0 and never
+    ranks). The df table joins back on term (uniform-key shuffle;
+    broadcastable when the vocabulary fits), then one per-doc window
+    takes the top N. Ties break lexicographically for determinism.
+    Scores floor-truncated to 1e-6; ln is correctly rounded on both
+    engines for these argument ranges (integer ratios)."""
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(df_t, "term").select(
+        id_col,
+        "term",
+        (
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6
+            )
+            / 1e6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", "tfidf")
     )

@@ -2479,3 +2479,44 @@ ORACLES["near_dup_clusters"] = r"""
     FROM reach GROUP BY node
 """
 QUERIES["near_dup_clusters"] = near_dup_clusters
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (operators/textstats.
+    tfidf_top_terms): one token explode feeds tf and df aggregations,
+    per-doc window top-N, lexicographic tie-break."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_documents(spark, sf_dir), top_n=3)
+
+
+ORACLES["tfidf_top_terms"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+      FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * ln(n.n_docs / dft.df) * 1e6) / 1e6 AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+QUERIES["tfidf_top_terms"] = tfidf_top_terms_q

@@ -380,3 +380,47 @@ def test_repetition_stats_vs_python(spark):
         )
     assert got[0]["repetitive"] and got[2]["repetitive"]
     assert not got[1]["repetitive"] and not got[3]["repetitive"]
+
+
+def test_tfidf_top_terms_vs_python(spark):
+    import math
+
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (0, "spark shuffle spark join"),
+        (1, "spark window query"),
+        (2, "join window join filter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tfidf"])
+        for r in tfidf_top_terms(docs, top_n=2)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+    # python replay
+    toks = {i: t.lower().split() for i, t in rows}
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    exp = []
+    for i, ts in toks.items():
+        scores = sorted(
+            (
+                (
+                    math.floor(ts.count(t) * math.log(3.0 / df[t]) * 1e6)
+                    / 1e6,
+                    t,
+                )
+                for t in set(ts)
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        exp.extend(
+            (i, r + 1, t, s) for r, (s, t) in enumerate(scores)
+        )
+    assert got == exp
