@@ -104,3 +104,89 @@ def test_sessionize_matches_linear_scan(spark, rows, gap):
                 sid += 1
             assert got[(k, t)] == sid, (k, t)
             prev = t
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    ),
+    max_tokens=st.sampled_from([1, 4, 16]),
+)
+def test_pack_sequences_invariants_random(spark, texts, max_tokens):
+    """Packing invariants on random corpora: per-shard offsets are the
+    prefix sums of token counts in doc_id order, spans are consistent,
+    and the shard's sequence count covers the last occupied slot."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        pack_sequences,
+        shard_summary,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    packed = pack_sequences(docs, max_tokens=max_tokens, n_shards=3)
+    rows = packed.collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off
+            assert r["seq_first"] == off // max_tokens
+            assert r["seq_last"] == (off + max(r["n_tokens"], 1) - 1) // max_tokens
+            assert r["seq_first"] <= r["seq_last"]
+            assert r["pack_offset"] == off % max_tokens
+            off += r["n_tokens"]
+    summ = {r["shard"]: r for r in shard_summary(packed, max_tokens).collect()}
+    for shard, rs in by_shard.items():
+        tot = sum(r["n_tokens"] for r in rs)
+        assert summ[shard]["n_shard_tokens"] == tot
+        assert summ[shard]["n_sequences"] == -(-tot // max_tokens)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        max_size=12,
+    )
+)
+def test_connected_components_random_graphs(spark, edges):
+    """CC labels equal brute-force union-find components on random
+    graphs (self-loops dropped, direction normalized)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    nodes = list(range(10))
+    pdf = (
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        if pairs
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pdf, ndf).collect()
+    }
+    # brute force union-find
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in nodes}
+    assert got == exp
