@@ -57,6 +57,7 @@ HEADLINE = [
     "repetition_stats",
     "near_dup_clusters",
     "tfidf_top_terms",
+    "pit_features_core",
 ]
 
 

@@ -2520,3 +2520,129 @@ ORACLES["tfidf_top_terms"] = r"""
     ) WHERE rank <= 3
 """
 QUERIES["tfidf_top_terms"] = tfidf_top_terms_q
+
+
+def pit_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP transcript kernel itself under the oracle gate:
+    events projected into the transcript schema (conv_id, turn_idx,
+    role, text, tool, ts) and run through the real
+    ``kernel.feature_vectors_windows`` — the exact pure-Catalyst plan
+    entry()/bench exercise. Gated columns are f0-f15 minus f5 plus the
+    session bounds; exclusions are principled, not gaps: f5 averages an
+    order-sensitive float sum (engine window order vs DuckDB's
+    segment-tree — sub-float32-ulp, covered by the bit-identity fixture
+    tests), and the bag features f16-31 hash with crc32, which DuckDB
+    lacks (covered by the same fixture tests vs the pure-pandas
+    reference)."""
+    from dane_visual_feature_extraction_worker_spark.kernel import (
+        feature_vectors_windows,
+    )
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("other")
+    )
+    tr = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("pay")).alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    keep = ["f0", "f1", "f2", "f3", "f4"] + [f"f{i}" for i in range(6, 16)]
+    # gate view carries the float32 features as DOUBLE (exact widening):
+    # the comparator's round(6) computes x*1e6 in the column dtype, and
+    # float32 can't hold value*1e6 past ~16 — a float32 column would
+    # corrupt its own values inside the harness (debugged r4: 1353.7114
+    # → 1353.7115 through the float32 round-trip)
+    return feature_vectors_windows(tr).select(
+        "conv_id",
+        "turn_idx",
+        "session_id",
+        "session_start",
+        "session_end",
+        *[F.col(c).cast("double").alias(c) for c in keep],
+    )
+
+
+def _f32(expr: str) -> str:
+    """float32 round-trip: engine features are float32; the oracle must
+    pass its double through REAL so both sides round identically."""
+    return f"CAST(CAST({expr} AS REAL) AS DOUBLE)"
+
+
+ORACLES["pit_features_core"] = rf"""
+    WITH tr AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'error' THEN 3
+                  ELSE -1 END AS role_code,
+             coalesce(props, '') AS text,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS has_tool,
+             ts
+      FROM events
+    ), s1 AS (
+      SELECT conv_id, turn_idx, ts, role_code, has_tool,
+             length(text) AS chars,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS words,
+             epoch(ts) AS ts_s,
+             coalesce(epoch(ts) - epoch(lag(ts) OVER w), 0.0) AS gap,
+             CAST(row_number() OVER w AS DOUBLE) AS rn,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS newf
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ), s2 AS (
+      SELECT *,
+             CAST(sum(newf) OVER w2 - 1 AS BIGINT) AS session_id,
+             last_value(CASE WHEN newf = 1 THEN rn END IGNORE NULLS)
+               OVER w2 AS sess_rn,
+             last_value(CASE WHEN newf = 1 THEN ts_s END IGNORE NULLS)
+               OVER w2 AS sess_ts,
+             CAST(sum(chars) OVER w2 AS BIGINT) AS cum_chars,
+             max(gap) OVER w2 AS max_gap,
+             CAST(sum(CASE WHEN role_code = 0 THEN 1 ELSE 0 END)
+                  OVER w2 AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN role_code = 1 THEN 1 ELSE 0 END)
+                  OVER w2 AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN role_code = 2 THEN 1 ELSE 0 END)
+                  OVER w2 AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN role_code = 3 THEN 1 ELSE 0 END)
+                  OVER w2 AS BIGINT) AS r3,
+             CAST(sum(has_tool) OVER w2 AS BIGINT) AS cum_tool
+      FROM s1
+      WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT conv_id, turn_idx, session_id,
+           min(ts) OVER ws AS session_start,
+           max(ts) OVER ws AS session_end,
+           {_f32('rn')} AS f0,
+           {_f32('CAST(cum_chars AS DOUBLE)')} AS f1,
+           {_f32('CAST(cum_chars AS DOUBLE) / rn')} AS f2,
+           {_f32('chars')} AS f3,
+           {_f32('gap')} AS f4,
+           {_f32('max_gap')} AS f6,
+           {_f32('session_id')} AS f7,
+           {_f32('r0')} AS f8,
+           {_f32('r1')} AS f9,
+           {_f32('r2')} AS f10,
+           {_f32('r3')} AS f11,
+           {_f32('cum_tool')} AS f12,
+           {_f32('rn - sess_rn + 1')} AS f13,
+           {_f32('ts_s - sess_ts')} AS f14,
+           {_f32('words')} AS f15
+    FROM s2
+    WINDOW ws AS (PARTITION BY conv_id, session_id)
+"""
+QUERIES["pit_features_core"] = pit_features_core
