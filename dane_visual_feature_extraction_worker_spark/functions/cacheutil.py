@@ -9,54 +9,85 @@ it cannot unpersist before the caller materializes. Left alone, every
 invocation leaks one cached table for the life of the session (bench
 loops invoke per rep — unbounded executor storage growth, ADVICE r3).
 
-``scoped_persist(df, key)`` bounds that to ONE live cache per key:
-the next invocation under the same key unpersists the previous cache
-before persisting the new one. Unpersisting a still-referenced
-DataFrame is always CORRECT (the plan silently recomputes); the only
-cost is recompute if a caller interleaves two invocations of the same
-operator and materializes the older one second — not a real pattern.
+``scoped_persist(df, key)`` bounds that to ONE live cache per
+(session, key): the next invocation under the same key *in the same
+SparkSession* unpersists the previous cache before persisting the new
+one. Keying by session id means two concurrent pipelines in different
+sessions never evict each other's index (ADVICE r4), and a lock keeps
+the registry consistent when operators run from multiple threads of
+one driver (Spark itself is thread-safe for concurrent actions).
+Unpersisting a still-referenced DataFrame is always CORRECT (the plan
+silently recomputes); the only cost is recompute if a caller
+interleaves two invocations of the same operator *in one session* and
+materializes the older one second — not a real pattern. ``release``
+also reaps entries whose session has stopped, so long-lived drivers
+that cycle sessions don't accumulate dead references.
 ``release(key)`` / ``release()`` drop caches eagerly for callers that
 want deterministic storage reclaim (tests, bench teardown).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_live: dict[str, DataFrame] = {}
+_live: dict[tuple[str, str], DataFrame] = {}
+_lock = threading.Lock()
+
+
+def _session_id(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return "<unknown>"
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def scoped_persist(df: DataFrame, key: str) -> DataFrame:
-    prev = _live.get(key)
-    if prev is not None:
-        # Same semantics → same CacheManager entry: hand back the live
-        # cached frame instead of dropping and rebuilding it. (Without
-        # this, re-invoking an operator on the same input — warm bench
-        # reps, repeated pipeline stages — paid a full cold rebuild
-        # every call: plan-equality cache reuse was exactly what the
-        # naive unpersist-first version destroyed, measured 2.7x on
-        # dedup_minhash_lsh.)
-        try:
-            if df.sameSemantics(prev):
-                return prev
-        except Exception:
-            pass  # session gone / plan comparison unavailable
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-        _live.pop(key, None)
-    out = df.persist()
-    _live[key] = out
-    return out
+    k = (_session_id(df), key)
+    with _lock:
+        prev = _live.get(k)
+        if prev is not None:
+            # Same semantics → same CacheManager entry: hand back the
+            # live cached frame instead of dropping and rebuilding it.
+            # (Without this, re-invoking an operator on the same input —
+            # warm bench reps, repeated pipeline stages — paid a full
+            # cold rebuild every call: plan-equality cache reuse was
+            # exactly what the naive unpersist-first version destroyed,
+            # measured 2.7x on dedup_minhash_lsh.)
+            try:
+                if df.sameSemantics(prev):
+                    return prev
+            except Exception:
+                pass  # session gone / plan comparison unavailable
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+            _live.pop(k, None)
+        out = df.persist()
+        _live[k] = out
+        return out
 
 
 def release(key: str | None = None) -> None:
-    keys = [key] if key is not None else list(_live)
-    for k in keys:
-        df = _live.pop(k, None)
-        if df is not None:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+    with _lock:
+        keys = [
+            k
+            for k in list(_live)
+            if key is None or k[1] == key or _session_stopped(_live[k])
+        ]
+        for k in keys:
+            df = _live.pop(k, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass

@@ -528,9 +528,13 @@ def connected_components(
     min(own label, neighbors' labels) — ONE uniform-key join + ONE
     groupBy per round; rounds needed = component diameter (near-dup
     components are small and dense, single digits in practice; the
-    banded generators emit near-cliques). Convergence is detected from
-    sum(label), which strictly decreases until fixpoint — one scalar
-    agg per round, no extra join. Lineage is truncated each round with
+    banded generators emit near-cliques). Convergence is detected by
+    COUNTING changed labels (new != old carried through the same
+    groupBy pass) — one scalar agg per round, no extra join, and no
+    sum() that overflows int64 at the 10^12-node scale this is
+    documented for. Nodes appearing only in ``pairs`` but absent from
+    the ``nodes`` spine are dropped (the spine defines the population;
+    pairs are required to be a subset). Lineage is truncated each round with
     ``localCheckpoint`` (iterative plans otherwise nest one join per
     round and analysis cost explodes); on a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
@@ -551,26 +555,35 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("__label")).collect()[0][0]
     try:
         for _ in range(max_iters):
             cand = edges.join(
                 labels, edges["__s"] == labels["__node"]
             ).select(F.col("__t").alias("__node"), "__label")
+            # own rows carry __own = their current label; candidate rows
+            # carry null. min-combining both in ONE groupBy yields the
+            # new label AND the old one to diff against; rows with no
+            # own label (pair-only nodes outside the spine) are dropped.
             new = (
-                labels.unionByName(cand)
+                labels.withColumn("__own", F.col("__label"))
+                .unionByName(cand.withColumn("__own", F.lit(None)))
                 .groupBy("__node")
-                .agg(F.min("__label").alias("__label"))
+                .agg(
+                    F.min("__label").alias("__label"),
+                    F.min("__own").alias("__own"),
+                )
+                .where(F.col("__own").isNotNull())
                 .localCheckpoint()
             )
-            new_sum = new.agg(F.sum("__label")).collect()[0][0]
-            labels = new
-            if new_sum == prev_sum:
+            n_changed = (
+                new.where(F.col("__label") != F.col("__own")).count()
+            )
+            labels = new.select("__node", "__label")
+            if n_changed == 0:
                 return labels.select(
                     F.col("__node").alias(id_col),
                     F.col("__label").alias("cluster_id"),
                 )
-            prev_sum = new_sum
     finally:
         edges.unpersist()
     raise RuntimeError(

@@ -1571,7 +1571,10 @@ def tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), 8, "0"),
             F.lit(".txt"),
         ).alias("member"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # null text -> empty member (ADVICE r4: bare encode() yields a
+        # NULL payload for null text; coalesce keeps the pre-r4
+        # null-as-empty semantics the driver-side collect path had)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
     )
     archive_sink(fixture, tar_dir, prefix="prep").count()  # materialize
 
@@ -1633,8 +1636,8 @@ ORACLES.update(
             SELECT doc_id,
                    'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt'
                      AS member,
-                   octet_length(encode(text)) AS n_bytes,
-                   md5(text) AS payload_md5
+                   octet_length(encode(coalesce(text,''))) AS n_bytes,
+                   md5(coalesce(text,'')) AS payload_md5
             FROM documents
         """,
         "multimodal_decode2d": f"""
@@ -1752,7 +1755,7 @@ def tar_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
             "member"
         ),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
     )
     manifest = archive_sink(docs, out_dir, prefix="assets")
     return manifest.select("entity", "n_members", "n_bytes")
@@ -1761,7 +1764,7 @@ def tar_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["tar_sink"] = """
     SELECT CAST(doc_id % 50 AS VARCHAR) AS entity,
            CAST(count(*) AS INT) AS n_members,
-           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+           CAST(sum(octet_length(encode(coalesce(text,'')))) AS BIGINT) AS n_bytes
     FROM documents GROUP BY 1
 """
 QUERIES["tar_sink"] = tar_sink

@@ -12,8 +12,39 @@ entity scans prune via min/max row-group stats.
 from __future__ import annotations
 
 import os
+import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+
+_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def is_local_path(path: str) -> bool:
+    """True for plain POSIX paths (and explicit ``file://``).
+
+    The swap/recovery machinery below uses driver-local ``os.rename`` /
+    ``os.walk`` / ``shutil`` — correct only for a local filesystem. A
+    checkpoint/table dir on ``s3://`` / ``hdfs://`` must not be walked
+    with os APIs (ADVICE r4: run_resumable calls these unconditionally);
+    callers skip with a warning instead of crashing after the work is
+    done. Routing renames through the Hadoop FileSystem API is the
+    upgrade path when an object-store deployment needs compaction."""
+    if path.startswith("file://"):
+        return True
+    return not _URI_SCHEME.match(path)
+
+
+def _skip_nonlocal(path: str, op: str) -> bool:
+    if is_local_path(path):
+        return False
+    warnings.warn(
+        f"{op}: skipping non-local path {path!r} (driver-local fs ops "
+        "only; use Iceberg rewrite_data_files / Hadoop FileSystem API "
+        "on object stores)",
+        stacklevel=3,
+    )
+    return True
 
 
 def dir_bytes(path: str) -> int:
@@ -35,6 +66,8 @@ def _recover_interrupted_swap(path: str) -> None:
     is a completed swap whose cleanup died; drop it."""
     import shutil
 
+    if _skip_nonlocal(path, "_recover_interrupted_swap"):
+        return
     p = path.rstrip("/")
     old = p + ".__old__"
     if os.path.isdir(old):
@@ -64,6 +97,9 @@ def compact_parquet(
     """
     import shutil
 
+    if _skip_nonlocal(path, "compact_parquet"):
+        return {"files_before": None, "files_after": None, "bytes": None,
+                "skipped": "non-local path"}
     _recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     n_bytes = dir_bytes(path)
