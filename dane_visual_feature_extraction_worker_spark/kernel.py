@@ -25,14 +25,21 @@ Feature vector (D = 32 float32), per (conv_id, ts) anchor, from history
 rows with ts <= anchor:
   f0  n_turns_so_far            f1  cum_text_chars
   f2  mean_text_chars           f3  text_chars_this_turn
-  f4  gap_seconds_from_prev     f5  mean_gap_seconds
+  f4  gap_seconds_from_prev     f5  mean_gap_seconds (exact: the
+      telescoping sum of gaps is ts_i - ts_0, accumulated in integer
+      microseconds — order-independent, so every engine and the SQL
+      oracle agree bit-for-bit; same trick as integer cents in
+      salted_running_sum)
   f6  max_gap_seconds           f7  session_idx (gap>1800 boundaries)
   f8..f11   role one-hot counts so far (user/assistant/tool/system)
   f12 tool_calls_so_far         f13 turns_in_current_session
   f14 seconds_since_session_start
   f15 words_this_turn
   f16..f31  16-dim hashed token bag of current turn text (token ->
-            bucket = crc32-like poly hash mod 16, count, l2-normalized)
+            bucket = low nibble of md5(utf8(token)), count,
+            l2-normalized; md5 because the JVM, numpy and DuckDB can
+            all compute it bit-identically — crc32, the r1-r4 hash,
+            kept the bag un-gateable since DuckDB lacks crc32)
 """
 
 from __future__ import annotations
@@ -77,13 +84,15 @@ _TOKEN_CACHE: dict[str, int] = {}
 
 
 def _token_hash_bucket(tok: str) -> int:
-    """Token -> bag bucket. CRC32 so the JVM (F.crc32) and Python
-    (zlib.crc32) sides agree bit-for-bit."""
-    import zlib
+    """Token -> bag bucket: low nibble of md5(utf8(token)). md5 so the
+    JVM (F.md5 hex, last char), Python (hashlib) and the DuckDB oracle
+    (substr(md5(t),32,1)) agree bit-for-bit — _HASH_BUCKETS=16 is
+    exactly one hex digit."""
+    import hashlib
 
     b = _TOKEN_CACHE.get(tok)
     if b is None:
-        b = zlib.crc32(tok.encode("utf-8")) % _HASH_BUCKETS
+        b = hashlib.md5(tok.encode("utf-8")).digest()[-1] & 0x0F
         if len(_TOKEN_CACHE) < 1_000_000:  # bound worker memory
             _TOKEN_CACHE[tok] = b
     return b
@@ -99,7 +108,7 @@ def with_text_features(
     text, which is what keeps the kernel memory-light and scalable (text
     handling in the Python workers was the measured scaling ceiling).
     Staged selects materialize toks/hashes so project-collapse cannot
-    re-inline the regex split / crc32 per reference (see dedup.py).
+    re-inline the regex split / md5 per reference (see dedup.py).
 
     ``passthrough``: extra columns carried through unchanged (e.g. a
     pre-computed shuffle/sort key)."""
@@ -138,7 +147,10 @@ def with_text_features(
         "chars",
         F.size("__toks").cast("double").alias("words"),
         F.transform(
-            F.col("__toks"), lambda t: F.pmod(F.crc32(t), F.lit(_HASH_BUCKETS))
+            F.col("__toks"),
+            # low md5 nibble == pmod 16 of the last hex digit; conv()
+            # parses that digit (see _token_hash_bucket)
+            lambda t: F.conv(F.substring(F.md5(t), 32, 1), 16, 10).cast("int"),
         ).alias("__h"),
     )
     raw = [
@@ -210,7 +222,9 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
         gaps[0] = 0.0
         idx1 = np.arange(1, m + 1, dtype=np.float64)
         cum_chars = np.cumsum(chars[a:b])
-        cum_gaps = np.cumsum(gaps)
+        # exact mean gap: sum of gaps telescopes to ts_i - ts_0, kept in
+        # integer microseconds (order-independent -> oracle-gateable)
+        cum_gap_s = (ts_us[a:b] - ts_us[a]).astype(np.float64) / 1e6
         new_sess = (gaps > SESSION_GAP_S).astype(np.int64)
         new_sess[0] = 1
         sess_id = np.cumsum(new_sess) - 1
@@ -222,7 +236,7 @@ def compute_features_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
         out[:, 2] = cum_chars / idx1
         out[:, 3] = chars[a:b]
         out[:, 4] = gaps
-        out[:, 5] = cum_gaps / idx1
+        out[:, 5] = cum_gap_s / idx1
         out[:, 6] = np.maximum.accumulate(gaps)
         out[:, 7] = sess_id
         for _r, j in _ROLE_IDX.items():
@@ -275,8 +289,14 @@ def compute_features_pd(pdf: pd.DataFrame) -> pd.DataFrame:
     idx1 = np.arange(1, n + 1, dtype=np.float64)
     cum_chars = np.cumsum(chars)
     mean_chars = cum_chars / idx1
-    cum_gaps = np.cumsum(gaps)
-    mean_gap = cum_gaps / idx1
+    # exact mean gap: telescoping sum in integer microseconds
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    cum_gap_s = (
+        (ts_us - (ts_us[0] if n else 0)).astype(np.float64) / 1e6
+        if n
+        else np.zeros(0)
+    )
+    mean_gap = cum_gap_s / idx1
     max_gap = np.maximum.accumulate(gaps)
 
     new_sess = (gaps > SESSION_GAP_S).astype(np.int64)
@@ -363,6 +383,7 @@ def compute_features_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     role = pdf["role"].fillna("").to_numpy(dtype=object)
     tool_notna = pd.notna(pdf["tool"].to_numpy(dtype=object)).astype(np.float64)
     ts_s = ts_seconds_pd(pdf["ts"]).to_numpy()
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
 
     chars = np.fromiter((len(t) for t in text), dtype=np.float64, count=n)
     tok_lists = [t.split() if t else [] for t in text]
@@ -392,7 +413,7 @@ def compute_features_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         gaps[0] = 0.0
         idx1 = np.arange(1, m + 1, dtype=np.float64)
         cum_chars = np.cumsum(chars[a:b])
-        cum_gaps = np.cumsum(gaps)
+        cum_gap_s = (ts_us[a:b] - ts_us[a]).astype(np.float64) / 1e6
         new_sess = (gaps > SESSION_GAP_S).astype(np.int64)
         new_sess[0] = 1
         sess_id = np.cumsum(new_sess) - 1
@@ -404,7 +425,7 @@ def compute_features_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         out[:, 2] = cum_chars / idx1
         out[:, 3] = chars[a:b]
         out[:, 4] = gaps
-        out[:, 5] = cum_gaps / idx1
+        out[:, 5] = cum_gap_s / idx1
         out[:, 6] = np.maximum.accumulate(gaps)
         out[:, 7] = sess_id
         for r, j in _ROLE_IDX.items():
@@ -528,6 +549,7 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
         "words",
         *[f"bag{b}" for b in range(_HASH_BUCKETS)],
         ts_s.alias("__ts_s"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__ts_us"),
         gap.alias("__gap"),
         rn.alias("__rn"),
         # new-session flag: first row of the conv, or gap > threshold
@@ -546,7 +568,8 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
         .over(wrun)
         .alias("__sess_ts"),
         F.sum("chars").over(wrun).alias("__cum_chars"),
-        F.sum("__gap").over(wrun).alias("__cum_gaps"),
+        # f5 numerator: exact telescoping gap sum in integer micros
+        F.first("__ts_us").over(wrun).alias("__ts0_us"),
         F.max("__gap").over(wrun).alias("__max_gap"),
         *[
             F.sum((F.col("role_code") == j).cast("double")).over(wrun).alias(f"__r{j}")
@@ -564,7 +587,11 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
         (ff("__cum_chars") / ff("__rn")).cast("float").alias("f2"),
         ff("chars").cast("float").alias("f3"),
         ff("__gap").cast("float").alias("f4"),
-        (ff("__cum_gaps") / ff("__rn")).cast("float").alias("f5"),
+        (
+            (ff("__ts_us") - ff("__ts0_us")).cast("double") / F.lit(1e6) / ff("__rn")
+        )
+        .cast("float")
+        .alias("f5"),
         ff("__max_gap").cast("float").alias("f6"),
         ff("session_id").cast("float").alias("f7"),
         *[ff(f"__r{j}").cast("float").alias(f"f{8 + j}") for j in range(4)],

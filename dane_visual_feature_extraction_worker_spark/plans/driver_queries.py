@@ -2530,13 +2530,16 @@ def pit_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     events projected into the transcript schema (conv_id, turn_idx,
     role, text, tool, ts) and run through the real
     ``kernel.feature_vectors_windows`` — the exact pure-Catalyst plan
-    entry()/bench exercise. Gated columns are f0-f15 minus f5 plus the
-    session bounds; exclusions are principled, not gaps: f5 averages an
-    order-sensitive float sum (engine window order vs DuckDB's
-    segment-tree — sub-float32-ulp, covered by the bit-identity fixture
-    tests), and the bag features f16-31 hash with crc32, which DuckDB
-    lacks (covered by the same fixture tests vs the pure-pandas
-    reference)."""
+    entry()/bench exercise. Gated columns: ALL 32 features + session
+    bounds (r5 closed the last two r4 exclusions: f5 now averages the
+    telescoping gap sum in exact integer microseconds, and the f16-31
+    bag hash is the low md5 nibble — both computable bit-identically by
+    the JVM, numpy and DuckDB). The oracle tokenizes with an explicit
+    Unicode White_Space character class, the exact set Java's (?U)\\s
+    matches — RE2 has no (?U) flag and its bare \s is ASCII-only
+    (ADVICE r4); the one residual divergence is U+001C..001F, which
+    Java's isWhitespace()-based split does NOT treat as \s either, so
+    the engines agree on every codepoint."""
     from dane_visual_feature_extraction_worker_spark.kernel import (
         feature_vectors_windows,
     )
@@ -2558,7 +2561,7 @@ def pit_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", F.lit("pay")).alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    keep = ["f0", "f1", "f2", "f3", "f4"] + [f"f{i}" for i in range(6, 16)]
+    keep = [f"f{i}" for i in range(32)]
     # gate view carries the float32 features as DOUBLE (exact widening):
     # the comparator's round(6) computes x*1e6 in the column dtype, and
     # float32 can't hold value*1e6 past ~16 — a float32 column would
@@ -2580,6 +2583,23 @@ def _f32(expr: str) -> str:
     return f"CAST(CAST({expr} AS REAL) AS DOUBLE)"
 
 
+# Java's (?U)\s == Unicode White_Space, spelled as an explicit RE2
+# class (RE2 \s is ASCII-only and RE2 has no (?U)); U+001C..1F are in
+# neither engine's set. One hex digit of md5 == the kernel's bag bucket.
+_WS_CLASS = (
+    r"[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+_BAG_COUNTS = ",\n             ".join(
+    f"len(list_filter(hs, h -> h = {b})) AS c{b}" for b in range(16)
+)
+_NORM_SQ = " + ".join(f"c{b}*c{b}" for b in range(16))
+_BAG_FEATS = ",\n           ".join(
+    _f32(f"CASE WHEN norm > 0 THEN CAST(c{b} AS DOUBLE)/norm ELSE 0.0 END")
+    + f" AS f{16 + b}"
+    for b in range(16)
+)
+
 ORACLES["pit_features_core"] = rf"""
     WITH tr AS (
       SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -2592,21 +2612,34 @@ ORACLES["pit_features_core"] = rf"""
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS has_tool,
              ts
       FROM events
+    ), tk AS (
+      SELECT *, list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
+                            x -> x <> '') AS toks
+      FROM tr
+    ), hk AS (
+      SELECT *, list_transform(
+                  toks,
+                  t -> strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1
+                ) AS hs
+      FROM tk
     ), s1 AS (
       SELECT conv_id, turn_idx, ts, role_code, has_tool,
              length(text) AS chars,
-             len(list_filter(string_split_regex(text, '\s+'),
-                             x -> x <> '')) AS words,
+             len(toks) AS words,
+             {_BAG_COUNTS},
              epoch(ts) AS ts_s,
+             epoch_us(ts) AS ts_us,
              coalesce(epoch(ts) - epoch(lag(ts) OVER w), 0.0) AS gap,
              CAST(row_number() OVER w AS DOUBLE) AS rn,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
                   THEN 1 ELSE 0 END AS newf
-      FROM tr
+      FROM hk
       WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
     ), s2 AS (
       SELECT *,
+             sqrt(CAST({_NORM_SQ} AS DOUBLE)) AS norm,
+             first_value(ts_us) OVER w2 AS ts0_us,
              CAST(sum(newf) OVER w2 - 1 AS BIGINT) AS session_id,
              last_value(CASE WHEN newf = 1 THEN rn END IGNORE NULLS)
                OVER w2 AS sess_rn,
@@ -2635,6 +2668,7 @@ ORACLES["pit_features_core"] = rf"""
            {_f32('CAST(cum_chars AS DOUBLE) / rn')} AS f2,
            {_f32('chars')} AS f3,
            {_f32('gap')} AS f4,
+           {_f32('(CAST(ts_us - ts0_us AS DOUBLE) / 1e6) / rn')} AS f5,
            {_f32('max_gap')} AS f6,
            {_f32('session_id')} AS f7,
            {_f32('r0')} AS f8,
@@ -2644,7 +2678,8 @@ ORACLES["pit_features_core"] = rf"""
            {_f32('cum_tool')} AS f12,
            {_f32('rn - sess_rn + 1')} AS f13,
            {_f32('ts_s - sess_ts')} AS f14,
-           {_f32('words')} AS f15
+           {_f32('words')} AS f15,
+           {_BAG_FEATS}
     FROM s2
     WINDOW ws AS (PARTITION BY conv_id, session_id)
 """

@@ -181,3 +181,87 @@ def test_window_strategy_bit_identical_and_pure_jvm(transcripts):
     )
     assert not re.search(r"Pandas|Python", plan)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_unicode_whitespace_tokenizer_matches_sql_oracle(spark):
+    """ADVICE r4 closure: the engine tokenizes with Java's (?U)\\s; the
+    DuckDB oracle spells the same set as an explicit Unicode
+    White_Space class (RE2 \\s is ASCII-only). Exotic-whitespace text -
+    NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE, NEL - must produce
+    identical f15 (words) and f16-31 (md5-nibble bag) on both engines,
+    not just on the ASCII testdata."""
+    import duckdb
+
+    from dane_visual_feature_extraction_worker_spark.kernel import (
+        feature_vectors_windows,
+    )
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        _WS_CLASS,
+        _f32,
+    )
+
+    texts = [
+        "plain ascii words",
+        "nbsp\u00a0separated\u00a0tokens",
+        "line\u2028sep and\u2029para",
+        "ideographic\u3000space\u3000here",
+        "nel\u0085break tab\tmix \u200a hair",
+        "",
+        " \u00a0\u3000",  # whitespace-only -> zero words
+    ]
+    ts = pd.date_range("2024-01-01", periods=len(texts), freq="10s")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["u"] * len(texts),
+            "turn_idx": np.arange(len(texts), dtype="int32"),
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": ts,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        feature_vectors_windows(df)
+        .select("turn_idx", "f15", *[f"f{i}" for i in range(16, 32)])
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf[["turn_idx", "text"]])
+    bag = ",\n".join(
+        _f32(f"CASE WHEN norm > 0 THEN CAST(c{b} AS DOUBLE)/norm ELSE 0.0 END")
+        + f" AS f{16 + b}"
+        for b in range(16)
+    )
+    counts = ",".join(
+        f"len(list_filter(hs, h -> h = {b})) AS c{b}" for b in range(16)
+    )
+    norm_sq = " + ".join(f"c{b}*c{b}" for b in range(16))
+    ref = con.sql(
+        f"""
+        WITH tk AS (
+          SELECT turn_idx,
+                 list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
+                             x -> x <> '') AS toks
+          FROM t
+        ), hk AS (
+          SELECT turn_idx, len(toks) AS words,
+                 list_transform(toks,
+                   t -> strpos('0123456789abcdef', substr(md5(t),32,1)) - 1
+                 ) AS hs
+          FROM tk
+        ), ck AS (SELECT turn_idx, words, {counts} FROM hk),
+        nk AS (SELECT *, sqrt(CAST({norm_sq} AS DOUBLE)) AS norm FROM ck)
+        SELECT turn_idx, {_f32("words")} AS f15, {bag}
+        FROM nk ORDER BY turn_idx
+        """
+    ).fetchdf()
+
+    assert (got["f15"].to_numpy().astype("float64") == ref["f15"].to_numpy()).all()
+    for b in range(16, 32):
+        g = got[f"f{b}"].to_numpy().astype("float64")
+        r = ref[f"f{b}"].to_numpy()
+        assert (g == r).all(), f"f{b} diverges on unicode whitespace"
