@@ -58,6 +58,10 @@ HEADLINE = [
     "near_dup_clusters",
     "tfidf_top_terms",
     "pit_features_core",
+    # r5 additions
+    "feature_vector_routed",
+    "ivf_ann_indexed",
+    "multimodal_decode_png",
 ]
 
 

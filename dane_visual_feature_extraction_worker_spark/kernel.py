@@ -36,10 +36,12 @@ rows with ts <= anchor:
   f14 seconds_since_session_start
   f15 words_this_turn
   f16..f31  16-dim hashed token bag of current turn text (token ->
-            bucket = low nibble of md5(utf8(token)), count,
-            l2-normalized; md5 because the JVM, numpy and DuckDB can
-            all compute it bit-identically — crc32, the r1-r4 hash,
-            kept the bag un-gateable since DuckDB lacks crc32)
+            bucket = crc32(utf8(token)) mod 16, count, l2-normalized;
+            crc32 because the JVM computes it ~30% cheaper than md5 on
+            the flagship (measured, BENCH/BASELINE.md r5) — the DuckDB
+            oracle replays the SAME CRC-32 with a table-driven
+            list_reduce over the token bytes, so the bag is fully
+            hash-gated anyway (driver_queries._CRC32_SQL))
 """
 
 from __future__ import annotations
@@ -84,15 +86,16 @@ _TOKEN_CACHE: dict[str, int] = {}
 
 
 def _token_hash_bucket(tok: str) -> int:
-    """Token -> bag bucket: low nibble of md5(utf8(token)). md5 so the
-    JVM (F.md5 hex, last char), Python (hashlib) and the DuckDB oracle
-    (substr(md5(t),32,1)) agree bit-for-bit — _HASH_BUCKETS=16 is
-    exactly one hex digit."""
-    import hashlib
+    """Token -> bag bucket: crc32(utf8(token)) mod 16. The JVM
+    (F.crc32), Python (zlib.crc32) and the DuckDB oracle (table-driven
+    CRC-32 list_reduce, driver_queries._CRC32_SQL) agree bit-for-bit —
+    and crc32 beats md5 by ~30% of flagship wall (r5 interleaved A/B,
+    220M tokens: 14.06s vs 18.17s at 32 threads)."""
+    import zlib
 
     b = _TOKEN_CACHE.get(tok)
     if b is None:
-        b = hashlib.md5(tok.encode("utf-8")).digest()[-1] & 0x0F
+        b = zlib.crc32(tok.encode("utf-8")) % _HASH_BUCKETS
         if len(_TOKEN_CACHE) < 1_000_000:  # bound worker memory
             _TOKEN_CACHE[tok] = b
     return b
@@ -147,10 +150,7 @@ def with_text_features(
         "chars",
         F.size("__toks").cast("double").alias("words"),
         F.transform(
-            F.col("__toks"),
-            # low md5 nibble == pmod 16 of the last hex digit; conv()
-            # parses that digit (see _token_hash_bucket)
-            lambda t: F.conv(F.substring(F.md5(t), 32, 1), 16, 10).cast("int"),
+            F.col("__toks"), lambda t: F.pmod(F.crc32(t), F.lit(_HASH_BUCKETS))
         ).alias("__h"),
     )
     raw = [
@@ -489,17 +489,127 @@ def feature_vectors(transcripts: DataFrame, n_buckets: int | None = None) -> Dat
     )
 
 
-def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
+def _packed_text_features(transcripts: DataFrame) -> DataFrame:
+    """Map-side projection for the narrow-shuffle window plan: every
+    per-row text derivation reduced to 10 fixed-width bigints BEFORE
+    the exchange, so the shuffle + sort move ~96 fixed bytes/row
+    instead of the raw text/role/tool strings (~2.5x fewer sorted
+    bytes — the 32-thread phase of the scaling gate is memory-bus
+    bound, so bytes through the exchange are the lever, VERDICT r4).
+
+    - ``__p0..__p7``: the 16 bag counts, two 32-bit lanes per bigint
+      (counts are exact small ints; a turn would need 2^31 tokens in
+      one bucket to overflow a lane).
+    - ``__meta``: chars*256 + (role_code+1)*32 + (has_tool+1) — single
+      bigint; chars < 2^45 stays exact.
+    - ``words`` is NOT shipped: every token lands in exactly one
+      bucket, so words == sum of the 16 counts, recovered lane-side.
+    l2 normalization happens post-shuffle from the exact integer
+    counts — bit-identical to normalizing map-side."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"(?U)\s+"),
+        lambda t: t != "",
+    )
+    roles = (
+        F.when(F.col("role") == "user", 0)
+        .when(F.col("role") == "assistant", 1)
+        .when(F.col("role") == "tool", 2)
+        .when(F.col("role") == "system", 3)
+        .otherwise(-1)
+    )
+    s1 = transcripts.select(
+        F.xxhash64("conv_id").alias("__ck"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+        (
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint") * 256
+            + (roles + 1).cast("bigint") * 32
+            + F.col("tool").isNotNull().cast("bigint")
+            + 1
+        ).alias("__meta"),
+        F.transform(
+            toks, lambda t: F.pmod(F.crc32(t), F.lit(_HASH_BUCKETS))
+        ).alias("__h"),
+    )
+    packs = [
+        (
+            F.size(F.filter(F.col("__h"), lambda h: h == 2 * k)).cast("bigint")
+            * F.lit(1 << 32)
+            + F.size(F.filter(F.col("__h"), lambda h: h == 2 * k + 1)).cast(
+                "bigint"
+            )
+        ).alias(f"__p{k}")
+        for k in range(_HASH_BUCKETS // 2)
+    ]
+    return s1.select("__ck", "conv_id", "turn_idx", "ts", "__meta", *packs)
+
+
+def _unpack_text_features(df: DataFrame) -> DataFrame:
+    """Inverse of ``_packed_text_features`` (post-shuffle): rebuild
+    role_code/has_tool/chars/words and the l2-normalized bag columns
+    with the exact expressions ``with_text_features`` uses, from the
+    exact integer counts."""
+    cs = []
+    for k in range(_HASH_BUCKETS // 2):
+        cs.append(F.shiftright(F.col(f"__p{k}"), 32).cast("double"))
+        cs.append(
+            (F.col(f"__p{k}") - F.shiftright(F.col(f"__p{k}"), 32) * F.lit(1 << 32))
+            .cast("double")
+        )
+    words = None
+    for c in cs:
+        words = c if words is None else words + c
+    s3 = df.select(
+        "__ck",
+        "conv_id",
+        "turn_idx",
+        "ts",
+        (F.shiftright(F.col("__meta"), 8)).cast("double").alias("chars"),
+        (
+            F.shiftright(F.col("__meta") - F.shiftright(F.col("__meta"), 8) * 256, 5)
+            - 1
+        )
+        .cast("int")
+        .alias("role_code"),
+        (
+            (F.col("__meta") - F.shiftright(F.col("__meta"), 5) * 32) - 1
+        )
+        .cast("int")
+        .alias("has_tool"),
+        words.alias("words"),
+        *[c.alias(f"__c{b}") for b, c in enumerate(cs)],
+    )
+    norm_sq = None
+    for b in range(_HASH_BUCKETS):
+        t = F.col(f"__c{b}") * F.col(f"__c{b}")
+        norm_sq = t if norm_sq is None else norm_sq + t
+    s4 = s3.withColumn("__norm", F.sqrt(norm_sq))
+    bags = [
+        F.when(F.col("__norm") > 0, F.col(f"__c{b}") / F.col("__norm"))
+        .otherwise(F.lit(0.0))
+        .alias(f"bag{b}")
+        for b in range(_HASH_BUCKETS)
+    ]
+    return s4.select(
+        "__ck", "conv_id", "turn_idx", "ts", "role_code", "has_tool", "chars",
+        "words", *bags
+    )
+
+
+def feature_vectors_windows(
+    transcripts: DataFrame, narrow_shuffle: bool = True
+) -> DataFrame:
     """Pure-Catalyst physical strategy: the same 32 features as window
     expressions — NO Python stage at all.
 
     Every f0..f15 is a per-conversation prefix op (cumsum / running
     max / last-ignorenulls) over rows sorted by (ts, turn_idx); the bag
-    columns f16..f31 are already JVM-side (``with_text_features``). A
-    running-frame window aggregate accumulates rows one at a time in
-    sort order — the SAME sequential double arithmetic as the numpy
-    kernel's cumsum — so the float32 outputs are bit-identical to
-    ``compute_features_numeric`` (asserted in tests/test_kernel.py).
+    columns f16..f31 are already JVM-side. A running-frame window
+    aggregate accumulates rows one at a time in sort order — the SAME
+    sequential double arithmetic as the numpy kernel's cumsum — so the
+    float32 outputs are bit-identical to ``compute_features_numeric``
+    (asserted in tests/test_kernel.py).
 
     Plan: ONE shuffle (hash on conv_id) + one sort for the main window;
     the session-bounds window partitions on (conv_id, session_id),
@@ -507,26 +617,38 @@ def feature_vectors_windows(transcripts: DataFrame) -> DataFrame:
     partition-local re-sort, no second exchange. Removing the Arrow
     transfer + Python workers is what lifts multi-core scaling
     efficiency (BENCH/BASELINE.md): whole-stage codegen end to end.
+
+    ``narrow_shuffle=True`` (default, r5): tokenize/count map-side and
+    move 10 packed bigints per row through the exchange + sort instead
+    of the raw text/role/tool strings (``_packed_text_features``) —
+    bytes through the shuffle and the sort working set are the
+    memory-bus lever the r4 scaling analysis identified. ``False``
+    keeps the r2-r4 raw-rows-first plan (A/B twin; bit-identical
+    output, asserted in tests).
+
+    ``__ck`` = xxhash64(conv_id) leads every sort key: string conv_ids
+    share long prefixes, which defeats the radix/prefix comparator — a
+    distinct 8-byte numeric prefix restores it. conv_id stays in the
+    partition spec, so a (astronomically unlikely) hash collision
+    still cannot merge two conversations.
     """
     from pyspark.sql import Window
 
     from dane_visual_feature_extraction_worker_spark.functions import epoch_seconds
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    # Shuffle + sort the RAW rows, compute text features AFTER (scaling
-    # levers, measured at 31.7M turns):
-    # - the exchange/sort moves ~6 narrow columns instead of the 38
-    #   derived ones (~40% fewer sorted bytes);
-    # - `__ck` = xxhash64(conv_id) leads every sort key: string conv_ids
-    #   share long prefixes, which defeats the radix/prefix comparator —
-    #   a distinct 8-byte numeric prefix restores it. conv_id stays in
-    #   the partition spec, so a (astronomically unlikely) hash
-    #   collision still cannot merge two conversations.
-    raw = transcripts.select(*cols).withColumn("__ck", F.xxhash64("conv_id"))
-    raw = raw.repartition("__ck").sortWithinPartitions(
-        "__ck", "conv_id", "ts", "turn_idx"
-    )
-    tf = with_text_features(raw, passthrough=("__ck",))
+    if narrow_shuffle:
+        packed = _packed_text_features(transcripts.select(*cols))
+        shuffled = packed.repartition("__ck").sortWithinPartitions(
+            "__ck", "conv_id", "ts", "turn_idx"
+        )
+        tf = _unpack_text_features(shuffled)
+    else:
+        raw = transcripts.select(*cols).withColumn("__ck", F.xxhash64("conv_id"))
+        raw = raw.repartition("__ck").sortWithinPartitions(
+            "__ck", "conv_id", "ts", "turn_idx"
+        )
+        tf = with_text_features(raw, passthrough=("__ck",))
 
     w = Window.partitionBy("__ck", "conv_id").orderBy("ts", "turn_idx")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -377,6 +377,179 @@ def synth_ppm_payloads(
     return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
+# --- PNG decode path (keyframes) ---------------------------------------
+#
+# The reference's video input is JPEG keyframes decoded with
+# ``Image.open`` (data_handling.py:31-32, 106-109). No imaging library
+# exists in this container, so the engine ships a from-scratch PNG
+# codec instead: PNG is the lossless member of the reference's input
+# family and — unlike JPEG's DCT/huffman pipeline — is fully decodable
+# with stdlib zlib + numpy while exercising every real-decoder concern
+# (container parsing, CRC validation, inflate, per-scanline predictive
+# filters). The same ``decode=`` seam accepts a JPEG decoder in
+# production (multimodal.decode_stub).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal PNG writer (8-bit gray / gray+alpha / RGB / RGBA, one
+    IDAT, filter 0 on every scanline) — builds REAL compressed PNG
+    bytes for fixtures; decode_png round-trips them exactly."""
+    import struct
+    import zlib
+
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if arr.ndim == 2:
+        color = 0
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        color = {2: 4, 3: 2, 4: 6}[arr.shape[2]]
+    else:
+        raise ValueError("encode_png expects (H,W[,2|3|4]) uint8")
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    pa = abs(b - c)
+    pb = abs(a - c)
+    pc = abs(a + b - 2 * c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """From-scratch baseline PNG decoder: chunk walk with CRC checks,
+    stdlib-zlib inflate, all five scanline filters undone.
+
+    Supports bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), no palette, no interlace — the baseline subset every encoder
+    in this repo (and most real-world RGB PNG) emits. Filters None/Up
+    undo as vector adds, Sub as a per-channel-lane cumulative sum
+    (recon[x] = filt[x] + recon[x-bpp] telescopes; mod-256 distributes
+    over the prefix sum), Average/Paeth need the sequential per-pixel
+    recurrence the spec defines. Returns (H, W) uint8 for grayscale,
+    (H, W, C) otherwise."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); baseline 8-bit only"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        row = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            recon = row
+        elif ft == 1:  # Sub: per-lane prefix sum
+            recon = (
+                np.cumsum(row.reshape(w, ch), axis=0) % 256
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            recon = (row + prior) % 256
+        elif ft == 3:  # Average
+            recon = row.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                left = int(recon[x - ch]) if x >= ch else 0
+                up = int(prior[x])
+                ul = int(prior[x - ch]) if x >= ch else 0
+                recon[x] = (row[x] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def synth_png_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-PNG fixture payloads: an (8 + id%5) x
+    (8 + id%7) grayscale image whose pixel bytes tile the text's UTF-8
+    bytes (zeros for empty), zlib-compressed through encode_png —
+    the PNG twin of synth_ppm_payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                h = 8 + int(doc_id) % 5
+                w = 8 + int(doc_id) % 7
+                bs = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                )
+                if bs.size == 0:
+                    bs = np.zeros(1, dtype=np.uint8)
+                img = np.resize(bs, (h, w))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
 # --- NPZ decode path (spectrograms) -----------------------------------
 #
 # The reference's audio input is literally NPZ: one

@@ -801,6 +801,32 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 against a PERSISTED index (operators/similarity.
+    ivf_index_build / ivf_query — r4 VERDICT item 5): first invocation
+    builds <tmp>/graft_ivfidx_<tag> (codebook parquet + assignments
+    parquet partitioned by cid), every later invocation skips straight
+    to the probe-pruned bucket scan. Same deterministic seed-centroid
+    config as ivf_ann, so it shares ivf_ann's oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_exists,
+        ivf_query,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"graft_ivfidx_{tag}")
+    if not ivf_index_exists(path):
+        ivf_index_build(_embeddings(spark, sf_dir), path, n_centroids=16)
+    return ivf_query(
+        spark, path, _query_vec(spark, sf_dir), k=5, nprobe=2
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs (cos > 0.3 within LSH bucket)."""
     from dane_visual_feature_extraction_worker_spark.operators.similarity import (
@@ -1206,6 +1232,7 @@ QUERIES.update(
         "topk_blas": topk_blas,
         "ann_lsh": ann_lsh,
         "ivf_ann": ivf_ann,
+        "ivf_ann_indexed": ivf_ann_indexed,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
         "multimodal_features": multimodal_features,
@@ -1375,10 +1402,20 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity running totals whose state store persists across
     micro-batches/restarts (cross-batch resume covered by
     tests/test_streaming.py). Over one bounded pass the totals equal a
-    plain GROUP BY — the DuckDB oracle."""
+    plain GROUP BY — the DuckDB oracle.
+
+    Sink shape (r4 VERDICT "de-driver" item): foreachBatch appends each
+    micro-batch's UPDATED rows to a parquet dir tagged with the batch
+    id — executors write, nothing entity-count-sized ever lands on the
+    driver (the old memory-sink + collect() harness materialized every
+    entity's total driver-side; at 100 TB that's the same failure the
+    complete-mode session entries had before r4 demoted them). The
+    final state is then the max-batch row per entity — one distributed
+    window over the (touched-entities x batches)-sized update log."""
+    import hashlib
+    import os
     import shutil
     import tempfile
-    import uuid
 
     from dane_visual_feature_extraction_worker_spark.streaming.stateful import (
         running_totals,
@@ -1386,23 +1423,36 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, sf_dir)
     out = running_totals(stream, entity="user_id", ts="ts", text="props")
-    name = f"srt_{uuid.uuid4().hex[:12]}"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_srt_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="srt_ckpt_")
     try:
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("__batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
         q = (
-            out.writeStream.format("memory")
-            .queryName(name)
+            out.writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        tbl = spark.table(name)
-        res = spark.createDataFrame(tbl.collect(), tbl.schema)
-        spark.catalog.dropTempView(name)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stateful_running_totals stream timed out")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy("entity").orderBy(F.col("__batch").desc())
+    res = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__batch")
+    )
     return res.select(
         F.col("entity").cast("bigint").alias("user_id"),
         "n_turns",
@@ -1630,6 +1680,47 @@ def _decode2d_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
     )
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode under the gate: deterministic PNG
+    payloads (zlib DEFLATE + CRC-checked chunks, multimodal.encode_png)
+    synthesized from document text Spark-side, decoded with the
+    from-scratch baseline decoder (decode_png: chunk walk, inflate,
+    scanline defilter), resized 16x16, z-normalized. The codec is
+    golden-verified against a spec-literal reconstruction in
+    tests/test_archives_decode2d.py; this entry gates the distributed
+    round-trip end-to-end — the oracle replays the grayscale tiling +
+    resize index math over the text bytes (encode->decode is lossless,
+    so the byte identity is what the gate checks). The reference's JPEG
+    keyframes (data_handling.py:31-32, 106-109) stay behind the same
+    decode= seam; PNG is the lossless member of that input family and
+    exercises every container/entropy-coding concern stdlib can."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        decode_png,
+        decode_transform_2d,
+        synth_png_payloads,
+    )
+
+    mm = synth_png_payloads(_documents(spark, sf_dir))
+    out = decode_transform_2d(mm, out_h=16, out_w=16, decode=decode_png)
+    return out.select("doc_id", "src_h", "src_w", "z_min", "z_max")
+
+
+def _decode_png_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
+    """Grayscale twin of _decode2d_minmax_sql: resized pixel (i, j)
+    reads tiled byte ((i*h)//out_h)*w + ((j*w)//out_w) mod n."""
+    npix = out_h * out_w
+    k = (
+        f"(((p // {out_w}) * h) // {out_h}) * w "
+        f"+ ((p % {out_w}) * w) // {out_w}"
+    )
+    return (
+        f"list_{agg}(list_transform(range(0, {npix}), "
+        f"p -> CASE WHEN n = 0 THEN 0 "
+        f"ELSE CAST('0x' || substr(hx, CAST(({k}) % n AS INT) * 2 + 1, 2) "
+        f"AS INT) END))"
+    )
+
+
 ORACLES.update(
     {
         "tar_ingest": """
@@ -1639,6 +1730,27 @@ ORACLES.update(
                    octet_length(encode(coalesce(text,''))) AS n_bytes,
                    md5(coalesce(text,'')) AS payload_md5
             FROM documents
+        """,
+        "multimodal_decode_png": f"""
+            WITH dims AS (
+              SELECT doc_id,
+                     lower(hex(encode(text))) AS hx,
+                     CAST(8 + doc_id % 5 AS INT) AS h,
+                     CAST(8 + doc_id % 7 AS INT) AS w,
+                     octet_length(encode(text)) AS n
+              FROM documents
+            ), mm AS (
+              SELECT doc_id, h, w,
+                     {_decode_png_minmax_sql("min")} AS minb,
+                     {_decode_png_minmax_sql("max")} AS maxb
+              FROM dims
+            )
+            SELECT doc_id, h AS src_h, w AS src_w,
+                   CAST((CAST(minb AS REAL) - CAST(1.93 AS REAL))
+                        / CAST(17.89 AS REAL) AS DOUBLE) AS z_min,
+                   CAST((CAST(maxb AS REAL) - CAST(1.93 AS REAL))
+                        / CAST(17.89 AS REAL) AS DOUBLE) AS z_max
+            FROM mm
         """,
         "multimodal_decode2d": f"""
             WITH dims AS (
@@ -1667,6 +1779,7 @@ QUERIES.update(
     {
         "tar_ingest": tar_ingest,
         "multimodal_decode2d": multimodal_decode2d,
+        "multimodal_decode_png": multimodal_decode_png,
     }
 )
 
@@ -1793,7 +1906,17 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = F.lit(max_ts) + F.expr(
         f"INTERVAL {int(gap_s + delay_s + margin_s)} SECONDS"
     )
-    flush_batch = e.select("user_id").distinct().select(
+    # entity spine cached across invocations (sameSemantics reuse):
+    # the distinct() is a full shuffle of the entity column, amortized
+    # over bench reps / both streaming entries (r4 VERDICT nit)
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    spine = scoped_persist(
+        e.select("user_id").distinct(), "streaming_flush_spine_user"
+    )
+    flush_batch = spine.select(
         F.lit(-1).cast("bigint").alias("event_id"),
         sentinel.cast(e.schema["ts"].dataType).alias("ts"),
         F.col("user_id"),
@@ -1847,7 +1970,14 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = e.agg(F.max("ts")).collect()[0][0]
     tmp = tempfile.mkdtemp(prefix="st_append_")
     sentinel = F.lit(max_ts) + F.expr("INTERVAL 50 HOURS")  # > 1d + 1h delay
-    flush_batch = e.select("event_type").distinct().select(
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    spine = scoped_persist(
+        e.select("event_type").distinct(), "streaming_flush_spine_etype"
+    )
+    flush_batch = spine.select(
         F.lit(-1).cast("bigint").alias("event_id"),
         sentinel.cast(e.schema["ts"].dataType).alias("ts"),
         F.lit(-1).cast("bigint").alias("user_id"),
@@ -2347,8 +2477,36 @@ def feature_vector_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLES["ivf_ann_indexed"] = ORACLES["ivf_ann"]
 ORACLES["feature_vector_salted"] = ORACLES["feature_vector_udf"]
 QUERIES["feature_vector_salted"] = feature_vector_salted
+
+
+def feature_vector_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-routed kernel (operators/windows.auto_salt_prefix_features):
+    entities below the hot threshold take the one-window plain plan,
+    entities at/above it take the block-decomposed salted plan, results
+    union — the r4 VERDICT's "wire the routing rule" item. Exact-domain
+    regrouping keeps all paths bit-identical, so this shares
+    feature_vector_udf's oracle. The threshold here (70 rows) sits at
+    the sf0.01 per-user median so BOTH paths execute under the gate;
+    the production default is the measured ~10^6-row crossover
+    (BENCH/BASELINE.md skew study)."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        auto_salt_prefix_features,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+    return auto_salt_prefix_features(e, hot_threshold=70).select(
+        "event_id", "user_id", "ts",
+        "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7",
+    )
+
+
+ORACLES["feature_vector_routed"] = ORACLES["feature_vector_udf"]
+QUERIES["feature_vector_routed"] = feature_vector_routed
 
 
 def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2536,7 +2694,7 @@ def pit_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag hash is the low md5 nibble — both computable bit-identically by
     the JVM, numpy and DuckDB). The oracle tokenizes with an explicit
     Unicode White_Space character class, the exact set Java's (?U)\\s
-    matches — RE2 has no (?U) flag and its bare \s is ASCII-only
+    matches — RE2 has no (?U) flag and its bare \\s is ASCII-only
     (ADVICE r4); the one residual divergence is U+001C..001F, which
     Java's isWhitespace()-based split does NOT treat as \s either, so
     the engines agree on every codepoint."""
@@ -2590,6 +2748,34 @@ _WS_CLASS = (
     r"[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}"
     r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
 )
+def _crc32_table() -> str:
+    """256-entry CRC-32 (IEEE 802.3, reflected, poly 0xEDB88320) lookup
+    table as a DuckDB list literal — the same CRC the JVM's F.crc32 and
+    Python's zlib.crc32 compute, so the oracle can replay the engine's
+    token-bag hash byte-for-byte in pure SQL (DuckDB has no crc32
+    builtin; md5 does exist but costs the ENGINE ~30% of flagship wall,
+    so the slow side of the gate pays instead — it's 0.3s at sf0.1)."""
+    out = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        out.append(c)
+    return "[" + ",".join(map(str, out)) + "]"
+
+
+# crc32(token) % 16 for a lambda-bound hex string hx (lower(hex(encode(t)))),
+# with `tbl` the _crc32_table() list bound via a cross-joined CTE:
+# byte i = two hex digits -> table-driven reduce, seeded 0xFFFFFFFF,
+# final complement, low nibble.
+_CRC32_SQL = """xor(list_reduce(
+          [4294967295] || list_transform(
+              range(1, length(hx) // 2 + 1),
+              i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1),
+          (acc, b) -> xor(acc >> 8, tbl[(xor(acc, b) & 255) + 1])
+        ), 4294967295) & 15"""
+
 _BAG_COUNTS = ",\n             ".join(
     f"len(list_filter(hs, h -> h = {b})) AS c{b}" for b in range(16)
 )
@@ -2612,16 +2798,17 @@ ORACLES["pit_features_core"] = rf"""
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS has_tool,
              ts
       FROM events
+    ), c(tbl) AS (SELECT {_crc32_table()}
     ), tk AS (
       SELECT *, list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
                             x -> x <> '') AS toks
       FROM tr
     ), hk AS (
-      SELECT *, list_transform(
-                  toks,
-                  t -> strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1
+      SELECT tk.*, list_transform(
+                  list_transform(toks, t -> lower(hex(encode(t)))),
+                  hx -> {_CRC32_SQL}
                 ) AS hs
-      FROM tk
+      FROM tk, c
     ), s1 AS (
       SELECT conv_id, turn_idx, ts, role_code, has_tool,
              length(text) AS chars,

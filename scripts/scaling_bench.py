@@ -19,6 +19,7 @@ import os
 import subprocess
 import sys
 import tempfile
+from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -84,8 +85,20 @@ print(json.dumps({{"cpus": cpus, "turns": n, "sec": t, "warmup_sec": warm,
 
 def run_size(cpus: int, src: str, out: str) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, src=src, out=out)
+    # Pin the child JVM to exactly `cpus` physical cores (taskset).
+    # Without pinning, the local[8] "cluster size" measurement is NOT
+    # an 8-core deployment: the JVM sizes GC workers, C2 compiler
+    # threads and codec pools by availableProcessors() (32 here) and
+    # runs them on the 24 idle cores — free physical resources a real
+    # N-executor cluster would not have, deflating the denominator of
+    # the N->4N ratio. Pinning makes both sizes account for ALL their
+    # work (mutator + GC + JIT + I/O threads) on their own cores,
+    # which is what "N executors vs 4N executors" means.
+    cmd = [sys.executable, "-c", code]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        cmd, capture_output=True, text=True, timeout=3600
     )
     if p.returncode != 0:
         sys.stderr.write(p.stderr[-8000:])

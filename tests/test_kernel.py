@@ -196,7 +196,9 @@ def test_unicode_whitespace_tokenizer_matches_sql_oracle(spark):
         feature_vectors_windows,
     )
     from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        _CRC32_SQL,
         _WS_CLASS,
+        _crc32_table,
         _f32,
     )
 
@@ -242,17 +244,19 @@ def test_unicode_whitespace_tokenizer_matches_sql_oracle(spark):
     norm_sq = " + ".join(f"c{b}*c{b}" for b in range(16))
     ref = con.sql(
         f"""
-        WITH tk AS (
+        WITH c(tbl) AS (SELECT {_crc32_table()}),
+        tk AS (
           SELECT turn_idx,
                  list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
                              x -> x <> '') AS toks
           FROM t
         ), hk AS (
           SELECT turn_idx, len(toks) AS words,
-                 list_transform(toks,
-                   t -> strpos('0123456789abcdef', substr(md5(t),32,1)) - 1
+                 list_transform(
+                   list_transform(toks, t -> lower(hex(encode(t)))),
+                   hx -> {_CRC32_SQL}
                  ) AS hs
-          FROM tk
+          FROM tk, c
         ), ck AS (SELECT turn_idx, words, {counts} FROM hk),
         nk AS (SELECT *, sqrt(CAST({norm_sq} AS DOUBLE)) AS norm FROM ck)
         SELECT turn_idx, {_f32("words")} AS f15, {bag}
