@@ -62,6 +62,7 @@ HEADLINE = [
     "feature_vector_routed",
     "ivf_ann_indexed",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
 ]
 
 

@@ -3,11 +3,14 @@
 The reference's core job is exactly this: opaque media blobs (JPEG
 keyframes, NPZ spectrograms) keyed by (entity, timestamp), decoded and
 batch-feature-extracted (data_handling.py:74-109; feature_extraction.py:
-17-32). Here the Spark-side plumbing is real — binary column, schema,
-Arrow batch shape, partitioning — while the *decode* itself is stubbed
-(image/audio libs are absent in this environment): ``decode_stub``
-raises NotImplementedError by contract, and ``fake_decode`` is the
-deterministic stand-in used by tests/oracles (byte-stat features).
+17-32). The Spark-side plumbing is real — binary column, schema,
+Arrow batch shape, partitioning — and so are the decoders for every
+reference input format: PPM (decode_ppm), PNG (decode_png, stdlib-zlib
+inflate + defilter), NPZ spectrograms (decode_npz), and baseline JPEG
+(jpeg.decode_jpeg, from-scratch Huffman + IDCT). ``decode_stub``
+remains the injection seam for external codecs this container can't
+build from scratch (video containers, hardware decoders); ``fake_decode``
+is the deterministic stand-in used by byte-stat tests/oracles.
 
 At scale: payloads live in parquet binary columns (or object-store URIs
 read via ``spark.read.format("binaryFile")``), feature extraction is a
@@ -33,13 +36,17 @@ MM_SCHEMA = (
 
 
 def decode_stub(payload: bytes) -> "np.ndarray":
-    """Real decoder seam (jpeg/audio). Not available in this container.
+    """Injection seam for codecs beyond the shipped ones (video
+    containers, hardware decoders). PPM/PNG/NPZ decode in this module
+    and baseline JPEG in ``jpeg.py`` are real from-scratch
+    implementations — inject those, a library codec, or fake_decode.
 
     Reference analogue: ``Image.open`` / librosa STFT
     (data_handling.py:101-109, misc/spectrogram_example2/
     get_sepectogram.py:39-55)."""
     raise NotImplementedError(
-        "media codecs unavailable; inject a decoder or use fake_decode"
+        "no codec injected; use decode_ppm/decode_png/decode_npz/"
+        "jpeg.decode_jpeg or a library decoder"
     )
 
 
@@ -540,6 +547,43 @@ def synth_png_payloads(
                     bs = np.zeros(1, dtype=np.uint8)
                 img = np.resize(bs, (h, w))
                 payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def synth_jpeg_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-JPEG fixture payloads: an
+    8*(1 + id%3) x 8*(1 + id%4) grayscale image whose 8x8 BLOCKS are
+    constant, block (bi, bj) holding text byte (bi*wb + bj) mod n
+    (zero for empty text), encoded at quality=100 through the
+    from-scratch baseline codec (jpeg.encode_jpeg). Block-constant +
+    all-ones quantizers makes the lossy pipeline bit-exact (one DC
+    coefficient per block, an exact integer — jpeg.py module
+    docstring), which is what lets the SQL oracle replay the tiling."""
+    from dane_visual_feature_extraction_worker_spark.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hb = 1 + int(doc_id) % 3
+                wb = 1 + int(doc_id) % 4
+                bs = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                )
+                if bs.size == 0:
+                    bs = np.zeros(1, dtype=np.uint8)
+                blocks = np.resize(bs, (hb, wb))
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(img, quality=100))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -1721,8 +1721,73 @@ def _decode_png_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
     )
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode under the gate: deterministic
+    baseline-sequential JPEG payloads (Annex-K Huffman entropy coding,
+    DCT, JFIF container — jpeg.encode_jpeg at quality=100) synthesized
+    from document text Spark-side, decoded with the from-scratch
+    baseline decoder (jpeg.decode_jpeg: marker walk, Huffman decode,
+    dequant, IDCT), resized 16x16, z-normalized. The fixture images are
+    constant within each 8x8 block and quality=100 clamps every
+    quantizer step to 1, so the REAL lossy pipeline is bit-exact here
+    (one integer DC coefficient per block — jpeg.py docstring) and the
+    DuckDB oracle can replay the block tiling + resize index math.
+    This closes the last reference input format (JPEG keyframes,
+    reference data_handling.py:31-32, 106-109) with an actual decoder
+    rather than the injectable ``decode_stub`` seam; general smooth /
+    RGB / subsampled images are covered tolerance- and golden-tested in
+    tests/test_jpeg.py."""
+    from dane_visual_feature_extraction_worker_spark.jpeg import decode_jpeg
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        decode_transform_2d,
+        synth_jpeg_payloads,
+    )
+
+    mm = synth_jpeg_payloads(_documents(spark, sf_dir))
+    out = decode_transform_2d(mm, out_h=16, out_w=16, decode=decode_jpeg)
+    return out.select("doc_id", "src_h", "src_w", "z_min", "z_max")
+
+
+def _decode_jpeg_minmax_sql(agg: str, out_h: int = 16, out_w: int = 16) -> str:
+    """Block-tiled twin of _decode_png_minmax_sql: resized pixel (i, j)
+    reads source pixel ((i*h)//out_h, (j*w)//out_w), whose 8x8 block
+    (bi, bj) holds text byte (bi*(w/8) + bj) mod n."""
+    npix = out_h * out_w
+    k = (
+        f"((((p // {out_w}) * h) // {out_h}) // 8) * (w // 8) "
+        f"+ ((((p % {out_w}) * w) // {out_w}) // 8)"
+    )
+    return (
+        f"list_{agg}(list_transform(range(0, {npix}), "
+        f"p -> CASE WHEN n = 0 THEN 0 "
+        f"ELSE CAST('0x' || substr(hx, CAST(({k}) % n AS INT) * 2 + 1, 2) "
+        f"AS INT) END))"
+    )
+
+
 ORACLES.update(
     {
+        "multimodal_decode_jpeg": f"""
+            WITH dims AS (
+              SELECT doc_id,
+                     lower(hex(encode(text))) AS hx,
+                     CAST(8 * (1 + doc_id % 3) AS INT) AS h,
+                     CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+                     octet_length(encode(text)) AS n
+              FROM documents
+            ), mm AS (
+              SELECT doc_id, h, w,
+                     {_decode_jpeg_minmax_sql("min")} AS minb,
+                     {_decode_jpeg_minmax_sql("max")} AS maxb
+              FROM dims
+            )
+            SELECT doc_id, h AS src_h, w AS src_w,
+                   CAST((CAST(minb AS REAL) - CAST(1.93 AS REAL))
+                        / CAST(17.89 AS REAL) AS DOUBLE) AS z_min,
+                   CAST((CAST(maxb AS REAL) - CAST(1.93 AS REAL))
+                        / CAST(17.89 AS REAL) AS DOUBLE) AS z_max
+            FROM mm
+        """,
         "tar_ingest": """
             SELECT doc_id,
                    'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt'
@@ -1780,6 +1845,7 @@ QUERIES.update(
         "tar_ingest": tar_ingest,
         "multimodal_decode2d": multimodal_decode2d,
         "multimodal_decode_png": multimodal_decode_png,
+        "multimodal_decode_jpeg": multimodal_decode_jpeg,
     }
 )
 
@@ -2008,6 +2074,40 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["streaming_tumbling_append"] = ORACLES["streaming_tumbling"]
 QUERIES["streaming_tumbling_append"] = streaming_tumbling_append
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup to an append-mode parquet sink: first
+    arrival per (user_id, event_type) emitted immediately, state-store
+    entries evicted once the watermark passes them
+    (``dropDuplicatesWithinWatermark`` — streaming/dedup.py docstring
+    for the batch↔streaming mapping and why only key columns project
+    out). No sentinel flush plumbing: dedup emits on arrival, not on
+    state closure, so availableNow flushes everything. Oracle: batch
+    DISTINCT over the same key."""
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
+        dedup_sink_append,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st_dedup_")
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    dedup_sink_append(
+        _events_stream(spark, sf_dir),
+        sink_dir,
+        ckpt_dir,
+        keys=["user_id", "event_type"],
+        ts="ts",
+        watermark="1 hour",
+    )
+    return spark.read.parquet(sink_dir).select("user_id", "event_type")
+
+
+ORACLES["streaming_dedup"] = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+QUERIES["streaming_dedup"] = streaming_dedup
 
 
 def _sample_key_terms_sql() -> str:
@@ -2696,7 +2796,7 @@ def pit_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unicode White_Space character class, the exact set Java's (?U)\\s
     matches — RE2 has no (?U) flag and its bare \\s is ASCII-only
     (ADVICE r4); the one residual divergence is U+001C..001F, which
-    Java's isWhitespace()-based split does NOT treat as \s either, so
+    Java's isWhitespace()-based split does NOT treat as \\s either, so
     the engines agree on every codepoint."""
     from dane_visual_feature_extraction_worker_spark.kernel import (
         feature_vectors_windows,

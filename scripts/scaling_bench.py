@@ -23,6 +23,10 @@ from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Content at/after this marker in BENCH/BASELINE.md survives the
+# gate-passing headline rewrite (curated run history and analysis).
+HISTORY_MARKER = "<!-- RUN HISTORY: preserved across gate rewrites -->"
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -162,7 +166,18 @@ def main() -> None:
             "(see BENCH/scaling_runs.jsonl)\n"
         )
         return
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # A passing run replaces only the HEADLINE; everything at/after the
+    # history marker (curated per-round analysis, run tables, skew and
+    # sf1 sections) is preserved across rewrites.
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    history = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            prev = f.read()
+        idx = prev.find(HISTORY_MARKER)
+        if idx >= 0:
+            history = prev[idx:]
+    with open(baseline_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling efficiency (N -> 4N)\n\n"
             "Same flagship job (pure-JVM window-plan pit_features +\n"
@@ -194,6 +209,8 @@ def main() -> None:
             "Efficiency = (throughput_32 / throughput_8) / 4. See\n"
             "scripts/scaling_bench.py; BASELINE.md for methodology.\n"
         )
+        if history:
+            f.write("\n" + history)
 
 
 CHILD_GEN = r"""

@@ -206,14 +206,20 @@ def test_minhash_production_config_clusters_planted_dups(spark):
     )
 
     # 12 groups x 4 variants: same base text with one word swapped at a
-    # varying position -> high Jaccard within group, low across groups
+    # varying position -> high Jaccard within group, low across groups.
+    # Docs must be long enough that the 128/16 S-curve sits firmly past
+    # the within-group similarity: two variants differ at 2 positions,
+    # corrupting <= 6 of the word-3-gram shingles, so at 100 words
+    # J ~ 92/104 ~ 0.885 -> P(band match) = J^8 ~ 0.37 -> P(pair
+    # missed by all 16 bands) ~ 6e-4. (At 30 words J ~ 0.65 and the
+    # expected group is DISconnected — not a valid planted test.)
     rows = []
     doc_id = 0
     for g in range(12):
-        base = [f"w{g}_{i}" for i in range(30)]
+        base = [f"w{g}_{i}" for i in range(100)]
         for v in range(4):
             words = list(base)
-            words[(7 * v + g) % 30] = f"swap{g}_{v}"
+            words[(23 * v + g) % 100] = f"swap{g}_{v}"
             rows.append((doc_id, g, " ".join(words)))
             doc_id += 1
     docs = spark.createDataFrame(rows, "doc_id long, grp int, text string")

@@ -197,3 +197,88 @@ def test_append_mode_session_sink_equals_batch(spark, tmp_path):
     )
     a = {tuple(r) for r in got.collect()}
     assert a == {tuple(r) for r in b.collect()}
+
+
+def test_streaming_dedup_first_matches_batch_distinct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
+        dedup_sink_append,
+    )
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for u in range(5):
+        for k in range(20):  # 4 duplicates of each of 5 keys per user
+            rows.append((base + pd.Timedelta(seconds=k * 7), u, f"k{k % 5}"))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "user_id", "key"])
+    )
+    src_dir = str(tmp_path / "src")
+    src.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    dedup_sink_append(
+        spark.readStream.schema(schema).parquet(src_dir),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        keys=["user_id", "key"],
+        ts="ts",
+        watermark="1 hour",
+    )
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert got.columns == ["user_id", "key"]
+    a = {tuple(r) for r in got.collect()}
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(src_dir)
+        .select("user_id", "key")
+        .distinct()
+        .collect()
+    }
+    assert a == b and len(a) == 25
+
+
+def test_streaming_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """State survives a restart: keys deduped in run 1 must NOT re-emit
+    when run 2 sees them again from new files (same checkpoint)."""
+    from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
+        dedup_sink_append,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src_dir = str(tmp_path / "src")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        pd.DataFrame(
+            [(base, 1, "a"), (base + pd.Timedelta(seconds=1), 1, "b")],
+            columns=["ts", "user_id", "key"],
+        )
+    )
+    batch1.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    run = lambda: dedup_sink_append(  # noqa: E731
+        spark.readStream.schema(schema).parquet(src_dir),
+        sink,
+        ckpt,
+        keys=["user_id", "key"],
+        ts="ts",
+        watermark="10 minutes",
+    )
+    run()
+    assert spark.read.parquet(sink).count() == 2
+    # second run: one duplicate of "a" (inside the watermark) + one new
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (base + pd.Timedelta(seconds=2), 1, "a"),
+                (base + pd.Timedelta(seconds=3), 1, "c"),
+            ],
+            columns=["ts", "user_id", "key"],
+        )
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    run()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, "a"), (1, "b"), (1, "c")]
