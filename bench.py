@@ -63,6 +63,7 @@ HEADLINE = [
     "ivf_ann_indexed",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "streaming_dedup",
 ]
 
 
