@@ -64,6 +64,9 @@ HEADLINE = [
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "streaming_dedup",
+    "quota_sample",
+    "unigram_quality",
+    "merge_upsert",
 ]
 
 

@@ -287,3 +287,77 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_n)
         .select(id_col, "rank", "term", "tfidf")
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    vocab_k: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-LM quality score: per-document mean negative log
+    probability under the corpus's own unigram model — the classic
+    cheap perplexity proxy for pre-training quality filtering (gibberish
+    and boilerplate score high, typical prose scores low).
+
+    Model: p(term) = n_term / N over the whole corpus; only the top-K
+    vocabulary is retained (count desc, term asc tie-break), everything
+    else scores the OOV penalty ln(2N) (a "half count"). Each term's
+    -ln p = ln(N / n_term) is a function of two INTEGERS — correctly
+    rounded on any libm — and is floor-quantized to integer MICRO-NATS
+    at the term level, so all downstream aggregation is exact 64-bit
+    integer arithmetic: no float-sum ordering anywhere, and a SQL
+    oracle reproduces the result bit for bit.
+
+    Plan shape at 100 TB: one explode feeds a map-side-combined count
+    rollup (the shuffle carries (term, partial) pairs, never the token
+    stream); N is ONE scalar; the top-K vocab is broadcast; the doc
+    score is a second map-side-combined integer aggregation keyed by
+    doc. Two shuffles total, both on uniform keys, zero sorts beyond
+    the K-sized TakeOrdered. Docs with no tokens are excluded (a mean
+    over zero tokens is undefined).
+
+    Returns (id, n_toks, oov_toks, nll_micro_sum, nll_mean) where
+    nll_mean = (nll_micro_sum div n_toks) / 1e6.
+    """
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0  # ONE scalar
+    if total == 0:
+        return toks.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_toks"),
+            F.lit(0).cast("bigint").alias("oov_toks"),
+            F.lit(0).cast("bigint").alias("nll_micro_sum"),
+            F.lit(0.0).alias("nll_mean"),
+        ).limit(0)
+    vocab = (
+        counts.orderBy(F.desc("n"), F.col("term"))
+        .limit(vocab_k)
+        .select(
+            "term",
+            F.floor(F.log(F.lit(float(total)) / F.col("n")) * 1e6)
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    oov_micro = F.floor(F.log(F.lit(float(2 * total))) * 1e6).cast("bigint")
+    scored = toks.join(F.broadcast(vocab), on="term", how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lp_micro"), oov_micro).alias("lp"),
+        F.col("lp_micro").isNull().cast("bigint").alias("oov"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("oov").alias("oov_toks"),
+        F.sum("lp").alias("nll_micro_sum"),
+    )
+    return agg.select(
+        id_col,
+        "n_toks",
+        "oov_toks",
+        "nll_micro_sum",
+        (
+            F.expr("nll_micro_sum div n_toks").cast("double") / 1e6
+        ).alias("nll_mean"),
+    )

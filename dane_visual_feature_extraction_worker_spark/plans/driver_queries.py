@@ -2971,3 +2971,149 @@ ORACLES["pit_features_core"] = rf"""
     WINDOW ws AS (PARTITION BY conv_id, session_id)
 """
 QUERIES["pit_features_core"] = pit_features_core
+
+
+# ---------------------------------------------------------------------------
+# round 5: per-entity quota caps, corpus-LM quality, CDC merge
+# ---------------------------------------------------------------------------
+
+
+def quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document cap (operators/quota.quota_sample): keep at
+    most 100 docs per lang, deterministically by md5 key. Under-cap
+    languages pass through narrow (no shuffle/sort); over-cap languages
+    are key-prefiltered to ~8x cap rows before the per-entity rank, so
+    the hot entity's sort input is bounded regardless of its size —
+    the 100 TB domain-cap shape."""
+    from dane_visual_feature_extraction_worker_spark.operators.quota import (
+        quota_sample,
+    )
+
+    out = quota_sample(
+        _documents(spark, sf_dir), entity_col="lang", cap=100, salt="q5"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLES["quota_sample"] = f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             md5('q5' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, source, ({_sample_key_terms_sql()}) AS key
+      FROM h
+    ), ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 100
+"""
+QUERIES["quota_sample"] = quota_sample_q
+
+
+def unigram_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score (operators/textstats.
+    unigram_logprob_score): per-doc mean -ln p(term) under the corpus's
+    own top-256 unigram model, OOV penalized at ln(2N). Per-term
+    logprobs are floor-quantized to integer micro-nats, so every
+    aggregate is exact int64 — no float-sum ordering anywhere."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        unigram_logprob_score,
+    )
+
+    return unigram_logprob_score(_documents(spark, sf_dir), vocab_k=256)
+
+
+ORACLES["unigram_quality"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS n FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts
+    ), vocab AS (
+      SELECT term,
+             CAST(floor(ln(tot.total / n) * 1e6) AS BIGINT) AS lp_micro
+      FROM counts CROSS JOIN tot
+      ORDER BY n DESC, term ASC LIMIT 256
+    ), scored AS (
+      SELECT toks.doc_id,
+             coalesce(vocab.lp_micro,
+                      (SELECT CAST(floor(ln(2 * total) * 1e6) AS BIGINT)
+                       FROM tot)) AS lp,
+             CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks LEFT JOIN vocab USING (term)
+    )
+    SELECT doc_id,
+           count(*) AS n_toks,
+           CAST(sum(oov) AS BIGINT) AS oov_toks,
+           CAST(sum(lp) AS BIGINT) AS nll_micro_sum,
+           CAST(sum(lp) // count(*) AS DOUBLE) / 1e6 AS nll_mean
+    FROM scored
+    GROUP BY doc_id
+"""
+QUERIES["unigram_quality"] = unigram_quality_q
+
+
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (operators/merge.merge_upsert): base snapshot = the
+    documents table at rev 1; updates = every doc_id % 7 == 3 rewritten
+    at rev 2 plus a disjoint block of brand-new keys at rev 2.
+    Latest-rev-wins via ONE map-side-combined max_by aggregation — no
+    sort, no window, never both versions through the shuffle. This is
+    Iceberg MERGE INTO semantics run engine-side."""
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    docs = _documents(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(1).cast("bigint").alias("rev")
+    )
+    changed = docs.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.lit(2).cast("bigint").alias("rev"),
+    )
+    fresh = docs.where(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.lit(2).cast("bigint").alias("rev"),
+    )
+    merged = merge_upsert(
+        base, changed.unionByName(fresh), key_col="doc_id", version_col="rev"
+    )
+    return merged.select("doc_id", "rev", "lang", "source", F.md5("text").alias("digest"))
+
+
+ORACLES["merge_upsert"] = """
+    WITH base AS (
+      SELECT doc_id, text, lang, source, CAST(1 AS BIGINT) AS rev
+      FROM documents
+    ), changed AS (
+      SELECT doc_id, upper(text) AS text, lang, source, CAST(2 AS BIGINT) AS rev
+      FROM documents WHERE doc_id % 7 = 3
+    ), fresh AS (
+      SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text,
+             lang, source, CAST(2 AS BIGINT) AS rev
+      FROM documents WHERE doc_id % 11 = 5
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM changed
+      UNION ALL SELECT * FROM fresh
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rk
+      FROM unioned
+    )
+    SELECT doc_id, rev, lang, source, md5(text) AS digest
+    FROM ranked WHERE rk = 1
+"""
+QUERIES["merge_upsert"] = merge_upsert_q
