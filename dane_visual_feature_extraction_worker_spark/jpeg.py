@@ -28,9 +28,16 @@ usual quantization tolerance (property-tested).
 
 Performance posture: the codec is the per-payload Python inside a
 ``mapInPandas`` stage (the documented slow-path seam for media decode,
-multimodal.py module docstring); all pixel math is vectorized numpy,
-the only per-unit Python loop is over Huffman symbols, which is
-inherent to sequential entropy coding.
+multimodal.py module docstring). The entropy decoder is table-driven:
+the scan is byte-unstuffed and split at restart markers ONCE, then each
+Huffman symbol resolves with a single 16-bit-peek list lookup
+(``_dec_lut``) and magnitude bits come out in one mask op — no per-bit
+tree walk. IDCT, dequantization, and inverse zigzag are batched over
+all blocks of a component in one einsum after the scan, so the
+per-symbol Python loop is the only remaining serial part, which is
+inherent to sequential entropy coding (~52 ms for a worst-case
+random-noise QVGA grayscale frame; block-sparse real content decodes
+proportionally to its nonzero coefficient count).
 """
 
 from __future__ import annotations
@@ -169,10 +176,6 @@ def _build_code_lengths(spec):
 
 def _enc_table(spec):
     return {v: (c, ln) for v, c, ln in _build_code_lengths(spec)}
-
-
-def _dec_table(spec):
-    return {(ln, c): v for v, c, ln in _build_code_lengths(spec)}
 
 
 class _BitWriter:
@@ -346,84 +349,49 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 # --- decoder ----------------------------------------------------------
 
 
-class _BitReader:
-    """Entropy-coded-segment bit reader: undoes 0xFF00 stuffing, stops
-    at any marker (handed back to the caller via ``marker_ahead``)."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos < len(d):
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                    return
-                # marker: feed pad bits so a trailing partial Huffman
-                # lookup terminates; pos stays pointing at the marker
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-            self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-        else:
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-
-    def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_to_marker(self) -> int:
-        """Skip pad bits; return the marker byte after 0xFF."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and d[self.pos + 1] not in (0x00,):
-                return d[self.pos + 1]
-            self.pos += 1
-        return 0xD9
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
+def _dec_lut(bits: list[int], values: list[int]) -> list[int]:
+    """16-bit-peek Huffman LUT: entry = (codelen << 8) | value for every
+    16-bit word whose prefix is the code; 0 = invalid. One list index
+    replaces the per-bit tree walk — the classic table-driven decoder
+    (T.81 only bounds codes at 16 bits, so one table covers any code)."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
+    vi = 0
     for ln in range(1, 17):
-        code = (code << 1) | reader.bit()
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("invalid JPEG Huffman code")
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut[lo:hi] = (ln << 8) | values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return lut.tolist()
 
 
-def _extend(v: int, cat: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map ``cat`` magnitude bits to signed."""
-    if cat == 0:
-        return 0
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-
-
-def _idct_block(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
-    coef = np.zeros(64)
-    coef[_ZZ] = zz * q.reshape(64)[_ZZ]
-    a = coef.reshape(8, 8)
-    return _C.T @ a @ _C
+def _split_ecs(d: bytes, pos: int) -> list[bytes]:
+    """Slice the entropy-coded data into restart-interval chunks,
+    byte-unstuffed (0xFF00 -> 0xFF) and padded with 0xFFFF so trailing
+    partial lookups terminate. Chunk k+1 starts after RSTn marker k;
+    any other marker ends the scan."""
+    chunks: list[bytes] = []
+    start = i = pos
+    n = len(d)
+    while True:
+        j = d.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            chunks.append(d[start:n].replace(b"\xff\x00", b"\xff"))
+            break
+        nxt = d[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: chunk boundary
+            chunks.append(d[start:j].replace(b"\xff\x00", b"\xff"))
+            start = i = j + 2
+            continue
+        chunks.append(d[start:j].replace(b"\xff\x00", b"\xff"))
+        break
+    return [c + b"\xff\xff" for c in chunks]
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -492,7 +460,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[sp + 1 : sp + 17])
                 nval = sum(bits)
                 values = list(seg[sp + 17 : sp + 17 + nval])
-                tab = _dec_table((bits, values))
+                tab = _dec_lut(bits, values)
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
                 sp += 17 + nval
         elif marker == 0xDD:  # DRI
@@ -518,13 +486,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    planes = []
+    # per-component dense coefficient store: (block_rows, block_cols, 64)
+    coefs = []
     for cid, hs, vs, qsel in comps:
-        planes.append(
-            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        coefs.append(
+            np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
         )
+    # per-component (dc_lut, ac_lut) resolved once, not per MCU
+    luts = []
+    for cid, hs, vs, qsel in comps:
+        sc = next(s for s in scan_comps if s[0] == cid)
+        luts.append((dc_tabs[sc[1]], ac_tabs[sc[2]]))
 
-    reader = _BitReader(d, pos)
+    chunks = _split_ecs(d, pos)
+    n_restarts = (
+        (mcux * mcuy - 1) // restart_interval if restart_interval else 0
+    )
+    if len(chunks) < n_restarts + 1:
+        raise ValueError("expected RSTn marker")
+
+    # fast table-driven entropy decode: 16-bit peek -> (len, value) in
+    # one list index; magnitude bits read in one mask op. acc/nbits is
+    # the usual shift register refilled a byte at a time from the
+    # unstuffed chunk; past the end the refill feeds 0xFF pad bits
+    # (same semantics as a T.81 1-padded tail), so truncated data hits
+    # the invalid-code check instead of running off the buffer.
+    chunk_i = 0
+    cb = chunks[0]
+    ncb = len(cb)
+    bpos = acc = nbits = 0
     pred = [0] * len(comps)
     mcu_done = 0
     for my in range(mcuy):
@@ -532,26 +522,56 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if restart_interval and mcu_done and (
                 mcu_done % restart_interval == 0
             ):
-                marker = reader.align_to_marker()
-                if not (0xD0 <= marker <= 0xD7):
+                chunk_i += 1
+                if chunk_i >= len(chunks):
                     raise ValueError("expected RSTn marker")
-                reader.pos += 2
+                cb = chunks[chunk_i]
+                ncb = len(cb)
+                bpos = acc = nbits = 0
                 pred = [0] * len(comps)
             for ci, (cid, hs, vs, qsel) in enumerate(comps):
-                sc = next(s for s in scan_comps if s[0] == cid)
-                dct = dc_tabs[sc[1]]
-                act = ac_tabs[sc[2]]
-                q = qtabs[qsel]
+                dct, act = luts[ci]
+                cc = coefs[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        cat = _huff_decode(reader, dct)
-                        diff = _extend(reader.bits(cat), cat)
-                        pred[ci] += diff
+                        zz = [0] * 64
+                        while nbits < 16:
+                            acc = (acc << 8) | (
+                                cb[bpos] if bpos < ncb else 0xFF
+                            )
+                            bpos += 1
+                            nbits += 8
+                        e = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        nbits -= e >> 8
+                        cat = e & 0xFF
+                        if cat:
+                            while nbits < cat:
+                                acc = (acc << 8) | (
+                                    cb[bpos] if bpos < ncb else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
+                            nbits -= cat
+                            if v < (1 << (cat - 1)):
+                                v += 1 - (1 << cat)
+                            pred[ci] += v
                         zz[0] = pred[ci]
                         k = 1
                         while k <= 63:
-                            rs = _huff_decode(reader, act)
+                            while nbits < 16:
+                                acc = (acc << 8) | (
+                                    cb[bpos] if bpos < ncb else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            e = act[(acc >> (nbits - 16)) & 0xFFFF]
+                            if e == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            nbits -= e >> 8
+                            rs = e & 0xFF
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -561,17 +581,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             if k > 63:
                                 raise ValueError("AC index overflow")
                             cat = rs & 0xF
-                            zz[k] = _extend(reader.bits(cat), cat)
+                            while nbits < cat:
+                                acc = (acc << 8) | (
+                                    cb[bpos] if bpos < ncb else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
+                            nbits -= cat
+                            if v < (1 << (cat - 1)):
+                                v += 1 - (1 << cat)
+                            zz[k] = v
                             k += 1
-                        blk = _idct_block(zz, q)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                        acc &= (1 << nbits) - 1
+                        cc[my * vs + by, mx * hs + bx] = zz
             mcu_done += 1
 
+    # batched dequantize + inverse zigzag + IDCT per component: one
+    # einsum over all blocks replaces the per-block 8x8 matmuls
     out_planes = []
     for ci, (cid, hs, vs, qsel) in enumerate(comps):
-        p = planes[ci]
+        q = qtabs[qsel].reshape(64)[_ZZ]  # quant steps in zigzag order
+        br, bc, _ = coefs[ci].shape
+        deq = coefs[ci].astype(np.float64) * q
+        blocks = np.zeros((br, bc, 64), dtype=np.float64)
+        blocks[:, :, _ZZ] = deq
+        blocks = blocks.reshape(br, bc, 8, 8)
+        spat = np.einsum("ki,rckl,lj->rcij", _C, blocks, _C)
+        p = spat.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
         if hs < hmax or vs < vmax:  # nearest-neighbor upsample
             p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
         out_planes.append(p[:h, :w])

@@ -150,3 +150,79 @@ def test_synth_jpeg_payloads_gate_shape(spark):
     z = (tiles.astype(np.float32) - np.float32(1.93)) / np.float32(17.89)
     assert by_id[1]["z_min"] == pytest.approx(float(z.min()), abs=0)
     assert by_id[1]["z_max"] == pytest.approx(float(z.max()), abs=0)
+
+
+def test_decoder_restart_markers_handbuilt():
+    """DRI/RSTn path: a 16x8 image (two MCUs), restart interval 1, so
+    an RST0 marker sits between the two blocks and the DC predictor
+    resets — both blocks carry diff=+8, so BOTH come out 129 (without
+    the reset the second would be 130)."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dc_bits = [0, 1] + [0] * 14
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x00" + bytes(dc_bits) + bytes([4])
+    )
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10" + bytes(dc_bits) + bytes([0])
+    )
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    mcu = bytes([0b00100000])  # DC '00' + '1000' (+8), EOB '00', pad 1s
+    jpg = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+        + mcu + b"\xff\xd0" + mcu + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    np.testing.assert_array_equal(
+        out, np.full((8, 16), 129, dtype=np.uint8)
+    )
+
+
+def test_decoder_missing_restart_raises():
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dc_bits = [0, 1] + [0] * 14
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x00" + bytes(dc_bits) + bytes([4])
+    )
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10" + bytes(dc_bits) + bytes([0])
+    )
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    mcu = bytes([0b00100000])
+    # two MCUs, interval 1, but NO RST0 between them
+    jpg = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+        + mcu + mcu + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(jpg)
+
+
+def test_decoder_truncated_entropy_raises():
+    """Entropy data cut mid-block: the 0xFF pad tail must surface as
+    an invalid-code ValueError, never an IndexError."""
+    img = np.arange(64 * 96, dtype=np.uint8).reshape(64, 96) % 251
+    payload = encode_jpeg(img, quality=90)
+    sos_at = payload.find(b"\xff\xda")
+    cut = payload[: sos_at + 40]  # a few entropy bytes, then nothing
+    with pytest.raises(ValueError):
+        decode_jpeg(cut)
