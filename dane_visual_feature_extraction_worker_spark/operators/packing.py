@@ -104,3 +104,69 @@ def shard_summary(packed: DataFrame, max_tokens: int = 1024) -> DataFrame:
             f"(sum(n_tokens) + {max_tokens - 1}) DIV {max_tokens}"
         ).alias("n_sequences"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-window chunking: split each document's token
+    stream into windows of ``window`` tokens starting every ``stride``
+    tokens (overlap = window - stride), the standard long-document →
+    context-window preprocessing for embedding / retrieval corpora.
+
+    Emits ``(doc_id, chunk_id, tok_start, n_tokens, chunk_md5)`` — one
+    row per chunk, md5 of the space-rejoined token slice so oracles can
+    replay the exact chunk text without shipping it. Zero-token
+    documents yield zero chunks; every other document's last chunk is
+    the unique (possibly short) one whose window reaches the final
+    token, so chunk count is ``1 + ceil((n - window) / stride)`` —
+    every token lands in >= 1 chunk and no chunk is a suffix of a
+    previous one.
+
+    Scale shape: narrow map over the scan (tokenize once, explode an
+    int sequence, slice the cached array) — no shuffle, no UDF; the
+    explode fans out ~n/stride rows per doc, all whole-stage codegen.
+    Chunk identity is (doc_id, chunk_id), reproducible on any engine /
+    partition layout.
+
+    Reference provenance: mirrors the reference's fixed-size frame
+    windows over media streams (keyframe extraction takes one frame
+    per fixed interval, data_handling.py); here the stream is tokens
+    and windows overlap for retrieval-context continuity.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride > window leaves token gaps ({stride} > {window})"
+        )
+    toked = docs.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # n_chunks = 1 + ceil((n - window)/stride), integer-exact via DIV
+    n_chunks = F.when(F.col("__n") <= window, F.lit(1)).otherwise(
+        F.expr(f"(__n - {window} + {stride} - 1) DIV {stride}") + 1
+    )
+    chunks = (
+        toked.where(F.col("__n") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)),
+        )
+        .withColumn("tok_start", (F.col("chunk_id") * stride).cast("bigint"))
+        .withColumn(
+            "__slice",
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window),
+        )
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int"),
+        "tok_start",
+        F.size("__slice").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("__slice", " ")).alias("chunk_md5"),
+    )

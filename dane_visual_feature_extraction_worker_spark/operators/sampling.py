@@ -169,3 +169,42 @@ def temperature_sample(
         .where(key < thr)
         .drop("rate")
     )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Seeded global corpus shuffle as (shard, pos) coordinates: every
+    row gets a pseudorandom but fully deterministic position in one of
+    ``n_shards`` output shards — the "shuffle the corpus before
+    training" step, reproducible on any engine / partition layout
+    (same md5 primitive as ``sample_key``; change ``salt`` for a fresh
+    permutation).
+
+    Plan: one narrow map computes (key, shard); one hash shuffle on
+    shard; ``row_number`` per shard ordered by (key, id). There is no
+    global sort and no single-task bottleneck — each shard's window
+    sorts only its own ~N/n_shards rows, so at 100 TB you pick
+    n_shards large enough that a shard's keys fit a task's sort
+    budget (e.g. 10k shards ≈ 10 GB each) and the plan is exactly the
+    write-side layout of a training-data shuffle job.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = sample_key(F.col(id_col), salt)
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("__key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -361,3 +361,48 @@ def unigram_logprob_score(
             F.expr("nll_micro_sum div n_toks").cast("double") / 1e6
         ).alias("nll_mean"),
     )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram frequencies, top-k by (count desc, gram asc) — the
+    bigram/trigram sibling of ``vocab_topk`` (collocation mining,
+    boilerplate detection, n-gram LM priors).
+
+    Grams are built by sliding an ``n``-token window over the shared
+    whitespace tokenizer's output: documents shorter than ``n`` tokens
+    contribute nothing; a doc with T tokens contributes T - n + 1
+    grams. All array math is whole-stage codegen (``transform`` over an
+    int ``sequence`` + ``slice``); the count aggregate is map-side
+    partially combined so the shuffle carries (gram, partial_count)
+    rows, not the gram stream, and top-k is a TakeOrdered, never a full
+    sort of the gram vocabulary.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = docs.select(_tokens(text_col).alias("__toks"))
+    # sequence() with start > stop generates a DESCENDING range, so an
+    # explicit short-doc guard (not sequence bounds) produces the empty
+    grams = toked.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n} + 1), "
+                    f"i -> array_join(slice(__toks, i, {n}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.col("gram"))
+        .limit(k)
+    )

@@ -3117,3 +3117,105 @@ ORACLES["merge_upsert"] = """
     FROM ranked WHERE rk = 1
 """
 QUERIES["merge_upsert"] = merge_upsert_q
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): chunking, n-gram stats, seeded corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def doc_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.
+    chunk_documents): window 64, stride 48 — one narrow explode over
+    the scan, no shuffle; chunk text is gated by md5 so the oracle
+    replays the exact slice."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_documents(spark, sf_dir), window=64, stride=48)
+
+
+ORACLES["doc_chunk"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, CASE WHEN n <= 64 THEN 0
+                    ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1,
+                               least(chunk_id * 48 + 64, n))) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_id * 48 + 1,
+                          least(chunk_id * 48 + 64, n)), ' ')) AS chunk_md5
+    FROM c
+"""
+QUERIES["doc_chunk"] = doc_chunk_q
+
+
+def bigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram top-100 (operators/textstats.ngram_topk): sliding
+    2-token window, map-side-combined count, TakeOrdered top-k — the
+    collocation/boilerplate sibling of vocab_topk."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_topk,
+    )
+
+    return ngram_topk(_documents(spark, sf_dir), n=2, k=100)
+
+
+ORACLES["bigram_topk"] = r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      FROM t WHERE len(toks) >= 2
+    ), b AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS gram FROM g
+    )
+    SELECT gram, count(*) AS n FROM b
+    GROUP BY gram HAVING count(*) >= 1
+    ORDER BY n DESC, gram LIMIT 100
+"""
+QUERIES["bigram_topk"] = bigram_topk_q
+
+
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle (operators/sampling.
+    shuffle_assign): md5-keyed (shard, pos) coordinates, 8 shards —
+    one hash shuffle + per-shard window, no global sort."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        shuffle_assign,
+    )
+
+    return shuffle_assign(_documents(spark, sf_dir), n_shards=8, salt="r5s")
+
+
+ORACLES["corpus_shuffle"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('r5s' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, ({_sample_key_terms_sql()}) AS key FROM h
+    )
+    SELECT doc_id,
+           CAST(key % 8 AS INT) AS shard,
+           row_number() OVER (PARTITION BY key % 8
+                              ORDER BY key, doc_id) AS pos
+    FROM keyed
+"""
+QUERIES["corpus_shuffle"] = corpus_shuffle_q

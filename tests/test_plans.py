@@ -311,3 +311,62 @@ def test_f7_hash_exact_at_replica_scale_ids(spark):
     import math
     exp = math.floor((big * 2654435761) % 1_000_000 / 1e6 * 1e6) / 1e6
     assert r["f7"] == exp
+
+
+def test_chunk_documents_narrow_no_shuffle(spark):
+    """chunk_documents: tokenize + explode + slice is a narrow map over
+    the scan — zero exchanges, zero Python stages."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    plan = _plan(chunk_documents(docs, window=4, stride=3))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shuffle_assign_single_exchange(spark):
+    """shuffle_assign: exactly one hash exchange (on shard) feeds the
+    per-shard window; no global single-partition sort anywhere."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        shuffle_assign,
+    )
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = _plan(shuffle_assign(docs, n_shards=8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ngram_topk_partial_aggregate(spark):
+    """ngram_topk: the count is map-side partially combined (two
+    HashAggregate levels around one exchange) and top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_topk,
+    )
+
+    docs = spark.range(100).select(
+        F.lit("alpha beta gamma alpha beta").alias("text")
+    )
+    plan = _plan(ngram_topk(docs, n=2, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

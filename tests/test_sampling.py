@@ -189,3 +189,115 @@ def test_temperature_sample_rates_and_budget(spark):
     )
     n_kept = len(kept)
     assert 0.35 * 1000 < n_kept < 0.65 * 1000  # near budget, hash noise
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunk invariants vs a Python reference: every token index lands
+    in >= 1 chunk, consecutive chunks overlap by window - stride, the
+    last chunk reaches the final token, and zero-token docs vanish."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(150))),  # 3 chunks
+            (2, "only four little tokens"),  # 1 short chunk
+            (3, " ".join(f"w{i}" for i in range(64))),  # exactly 1 window
+            (4, "   "),  # whitespace-only: zero chunks
+            (5, " ".join(f"x{i}" for i in range(65))),  # window + 1
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc
+    n_toks = {1: 150, 2: 4, 3: 64, 5: 65}
+    import math
+
+    for doc, n in n_toks.items():
+        chunks = sorted(by_doc[doc], key=lambda r: r["chunk_id"])
+        expect = 1 if n <= 64 else 1 + math.ceil((n - 64) / 48)
+        assert len(chunks) == expect, (doc, len(chunks), expect)
+        covered = set()
+        for c in chunks:
+            assert c["tok_start"] == c["chunk_id"] * 48
+            assert c["n_tokens"] == min(64, n - c["tok_start"])
+            covered.update(
+                range(c["tok_start"], c["tok_start"] + c["n_tokens"])
+            )
+        assert covered == set(range(n)), doc
+
+
+def test_chunk_documents_validates_args(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=5)
+
+
+def test_ngram_topk_counts(spark):
+    """Bigram and trigram counts vs hand-counted corpus; short docs
+    contribute nothing."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat"),
+            (2, "the cat"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bi = {r["gram"]: r["n"] for r in ngram_topk(docs, n=2, k=10).collect()}
+    assert bi == {
+        "the cat": 3,
+        "cat sat": 1,
+        "sat on": 1,
+        "on the": 1,
+    }
+    tri = {r["gram"]: r["n"] for r in ngram_topk(docs, n=3, k=10).collect()}
+    assert tri == {
+        "the cat sat": 1,
+        "cat sat on": 1,
+        "sat on the": 1,
+        "on the cat": 1,
+    }
+
+
+def test_shuffle_assign_is_dense_permutation(spark):
+    """(shard, pos) is a dense 1..count_in_shard numbering, the global
+    assignment is a permutation of the input ids, deterministic per
+    salt, and different salts give different orders."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        shuffle_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = shuffle_assign(docs, n_shards=4, salt="a").collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(500))
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    again = shuffle_assign(docs, n_shards=4, salt="a").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = shuffle_assign(docs, n_shards=4, salt="b").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
