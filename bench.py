@@ -67,6 +67,9 @@ HEADLINE = [
     "quota_sample",
     "unigram_quality",
     "merge_upsert",
+    "doc_chunk",
+    "bigram_topk",
+    "corpus_shuffle",
 ]
 
 

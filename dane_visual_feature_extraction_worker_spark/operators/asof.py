@@ -254,3 +254,43 @@ def asof_join_union(
         F.col("__m.matched_ts").alias("matched_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in r_extra],
     )
+
+
+def pit_snapshot(
+    df: DataFrame,
+    cutoff,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("event_type", "value"),
+) -> DataFrame:
+    """Point-in-time snapshot: the latest row per entity at or before
+    ``cutoff`` — the feature-store "serve features as of T" read, and
+    the degenerate (single-anchor) as-of join.
+
+    Plan: filter to ts <= cutoff (pushed to the scan; on a
+    ts-partitioned table this prunes partitions), then ONE
+    ``max_by(struct(...), struct(ts, tiebreak))`` hash aggregation —
+    algebraic, map-side combined, so the shuffle carries one candidate
+    row per (partition, entity), never the history. No window, no
+    sort. Ties at the same timestamp resolve by greatest struct order
+    of the remaining columns, deterministically.
+
+    Reference provenance: the reference serves "current state per
+    entity" by overwriting per-entity output dirs (io_util.py); this
+    is that read path as one aggregation, with the anchor made
+    explicit so training-time and serve-time features agree (zero
+    temporal leakage by construction: rows after cutoff never enter
+    the plan).
+    """
+    vals = [F.col(c) for c in value_cols]
+    pick = F.struct(F.col(ts_col), *vals)
+    return (
+        df.where(F.col(ts_col) <= cutoff)
+        .groupBy(entity_col)
+        .agg(F.max_by(pick, pick).alias("__r"))
+        .select(
+            entity_col,
+            F.col(f"__r.{ts_col}").alias(ts_col),
+            *[F.col(f"__r.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -589,3 +589,49 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    base_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_col: str = "fingerprint",
+) -> DataFrame:
+    """Delta-vs-index exact dedup: the daily-ingest shape. ``base_index``
+    is the persisted fingerprint table of everything already accepted
+    (one ``fingerprint`` column, e.g. the ``textstats.fingerprint``
+    canonical md5); ``delta`` is the new batch. Keep a delta doc iff
+
+      (a) its fingerprint is NOT in the index, and
+      (b) it is the first (min id) holder of that fingerprint WITHIN
+          the delta — retries / double-publishes inside one batch.
+
+    Plan: fingerprint the delta narrow; one map-side-combined
+    ``min/count`` groupBy on the (uniform md5) fingerprint for (b);
+    LEFT ANTI join against the index for (a). Both shuffles key on the
+    md5 digest — no skew by construction; the index side is read
+    column-pruned to its one join column and never re-fingerprinted.
+    At 100 TB the index join is the sort-merge you want (both sides
+    hash-clustered on the digest; bucketing the index table on
+    ``fingerprint`` makes the anti join zero-shuffle on the big side).
+    The survivor set (id, fingerprint) appended to the index IS the
+    next run's index — the operator is its own state maintenance.
+
+    Reference provenance: the reference skips work it has already
+    done per entity (resume check, worker.py:66-90); this is that
+    idempotence rule applied corpus-wide by content instead of id.
+    """
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    fp = delta.select(
+        F.col(id_col), F.md5(canon).alias(index_col)
+    )
+    first = fp.groupBy(index_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_in_delta"),
+    )
+    return first.join(
+        base_index.select(index_col), index_col, "left_anti"
+    ).select(id_col, index_col, "n_in_delta")

@@ -3219,3 +3219,84 @@ ORACLES["corpus_shuffle"] = f"""
     FROM keyed
 """
 QUERIES["corpus_shuffle"] = corpus_shuffle_q
+
+
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-index exact dedup (operators/dedup.incremental_dedup):
+    base index = fingerprints of doc_id % 3 == 0; delta = the remaining
+    docs PLUS replicas of doc_id % 5 == 1 at shifted ids (within-batch
+    dupes). Survivors: first-in-delta holders of fingerprints the index
+    has never seen. Both shuffles key on the uniform md5 digest."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    docs = _documents(spark, sf_dir)
+    base_index = fingerprint(docs.where(F.col("doc_id") % 3 == 0)).select(
+        "fingerprint"
+    )
+    delta = docs.where(F.col("doc_id") % 3 != 0).unionByName(
+        docs.where(F.col("doc_id") % 5 == 1).withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+    )
+    return incremental_dedup(delta, base_index)
+
+
+ORACLES["dedup_incremental"] = r"""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), base AS (
+      SELECT DISTINCT fingerprint FROM canon WHERE doc_id % 3 = 0
+    ), delta AS (
+      SELECT doc_id, fingerprint FROM canon WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, fingerprint
+      FROM canon WHERE doc_id % 5 = 1
+    ), first AS (
+      SELECT fingerprint, min(doc_id) AS doc_id,
+             count(*) AS n_in_delta
+      FROM delta GROUP BY fingerprint
+    )
+    SELECT doc_id, fingerprint, n_in_delta FROM first
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM base)
+"""
+QUERIES["dedup_incremental"] = dedup_incremental_q
+
+
+def pit_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time snapshot (operators/asof.
+    pit_snapshot): latest event per user at the 2024-01-15 cutoff via
+    ONE map-side-combined max_by — no window, no sort; rows after the
+    cutoff never enter the plan (zero temporal leakage)."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        pit_snapshot,
+    )
+
+    return pit_snapshot(
+        _events(spark, sf_dir),
+        cutoff="2024-01-15 00:00:00",
+        entity_col="user_id",
+        ts_col="ts",
+        value_cols=("event_id", "event_type", "value"),
+    )
+
+
+ORACLES["pit_snapshot"] = """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT user_id, ts, event_id, event_type, value
+    FROM ranked WHERE rk = 1
+"""
+QUERIES["pit_snapshot"] = pit_snapshot_q

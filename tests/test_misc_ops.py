@@ -424,3 +424,67 @@ def test_tfidf_top_terms_vs_python(spark):
             (i, r + 1, t, s) for r, (s, t) in enumerate(scores)
         )
     assert got == exp
+
+
+def test_incremental_dedup_semantics(spark):
+    """Index hits drop, within-delta dupes collapse to min id with the
+    dupe count, fresh fingerprints survive."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [("seen doc",)], "text string"
+    ).select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fingerprint"))
+    delta = spark.createDataFrame(
+        [
+            (10, "seen doc"),       # in index: dropped
+            (11, "Seen   DOC "),    # canonicalizes to the same: dropped
+            (12, "fresh twice"),
+            (13, "fresh twice"),    # within-delta dupe of 12
+            (14, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(delta, base).collect()}
+    assert set(out) == {12, 14}
+    assert out[12]["n_in_delta"] == 2
+    assert out[14]["n_in_delta"] == 1
+
+
+def test_pit_snapshot_latest_at_cutoff(spark):
+    """Latest row per entity at the cutoff; post-cutoff rows invisible;
+    entities born after the cutoff absent; ts ties break by event_id."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        pit_snapshot,
+    )
+
+    rows = [
+        (1, 1, 100, "a", 1.0),
+        (2, 1, 200, "b", 2.0),
+        (3, 1, 300, "c", 3.0),   # after cutoff
+        (4, 2, 200, "x", 9.0),   # ts tie with event 5
+        (5, 2, 200, "y", 8.0),   # higher event_id wins
+        (6, 3, 400, "z", 7.0),   # entity entirely after cutoff
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("sec").alias("ts"), "event_type", "value",
+    )
+    cutoff = "1970-01-01 00:04:10"  # 250 s epoch (session tz is UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {
+        r["user_id"]: r
+        for r in pit_snapshot(
+            e, cutoff, value_cols=("event_id", "event_type", "value")
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["event_id"] == 2 and out[1]["event_type"] == "b"
+    assert out[2]["event_id"] == 5 and out[2]["event_type"] == "y"
