@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_chunk",
     "bigram_topk",
     "corpus_shuffle",
+    "dedup_incremental",
+    "pit_snapshot",
 ]
 
 

@@ -66,3 +66,35 @@ def read_transcripts(spark: SparkSession, name: str) -> DataFrame:
         F.col("tool").cast("string"),
         F.col("ts").cast("timestamp_ntz"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str] | str,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on the join
+    key — the co-located-join layout for tables that are joined
+    repeatedly on the same key (index tables, entity spines, feature
+    stores). A join of two tables bucketed with the SAME count on the
+    join key runs with ZERO exchanges on either side (Catalyst reads
+    the bucket spec as the output partitioning), so the 100 TB join
+    cost collapses to a per-bucket merge; with matching ``sort_cols``
+    and one file per bucket the sorts go too. Bucket membership is
+    Murmur3 on the column — stable across writes, so incremental
+    appends land in the right bucket files.
+
+    This is the parquet/in-memory-catalog twin of Iceberg's bucket
+    partition transform (``writeTo(...).partitionedBy(bucket(N, col))``
+    — see module docstring for the Iceberg routing)."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
