@@ -238,3 +238,81 @@ def test_minhash_production_config_clusters_planted_dups(spark):
     # and distinct groups never merge
     n_clusters = joined.select("cluster_id").distinct().count()
     assert n_clusters == 12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=120), min_size=1, max_size=12
+    ),
+    window=st.integers(min_value=1, max_value=10),
+    stride_frac=st.integers(min_value=1, max_value=10),
+)
+def test_chunk_documents_random_coverage(spark, texts, window, stride_frac):
+    """For any window/stride<=window: chunks tile every token index,
+    consecutive chunk starts differ by exactly stride, only the last
+    chunk may be short, and its window reaches the final token."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    stride = max(1, min(window, stride_frac))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(docs, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        n = len([t for t in text.lower().split() if t])
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert not chunks
+            continue
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c["tok_start"] == i * stride
+            expect_len = min(window, n - c["tok_start"])
+            assert c["n_tokens"] == expect_len
+            if i < len(chunks) - 1:
+                assert c["n_tokens"] == window  # only the last is short
+            covered.update(range(c["tok_start"], c["tok_start"] + c["n_tokens"]))
+        assert covered == set(range(n))
+        # minimality: the penultimate chunk does NOT reach the end
+        if len(chunks) > 1:
+            prev = chunks[-2]
+            assert prev["tok_start"] + window < n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_rows=st.integers(min_value=1, max_value=200),
+    n_shards=st.integers(min_value=1, max_value=9),
+    salt=st.sampled_from(["s1", "s2", "s3"]),
+)
+def test_shuffle_assign_random_permutation(spark, n_rows, n_shards, salt):
+    """Any (n_rows, n_shards, salt): output is a bijection onto
+    shard-dense positions and shard choice matches the md5 key mod."""
+    import hashlib
+
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        shuffle_assign,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(n_rows)], "doc_id long")
+    out = shuffle_assign(docs, n_shards=n_shards, salt=salt).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(n_rows))
+    by_shard = {}
+    for r in out:
+        key = int(
+            hashlib.md5(f"{salt}|{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        assert r["shard"] == key % n_shards
+        by_shard.setdefault(r["shard"], []).append((r["pos"], key, r["doc_id"]))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        # pos order == (key, doc_id) order
+        assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
