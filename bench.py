@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_shuffle",
     "dedup_incremental",
     "pit_snapshot",
+    "embedding_centroids",
 ]
 
 

@@ -675,3 +675,51 @@ def ivf_query(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the primitive under
+    IVF codebook seeding, cluster summaries, and centroid-distance
+    outlier pruning. Emits flat ``(label, pos, n_vecs, centroid)`` rows
+    (|labels| x dim of them); ``F.array_agg`` over pos re-assembles
+    vectors when a consumer wants arrays.
+
+    Cross-engine float discipline: a float mean is order-dependent, so
+    each component is first floor-quantized to the 2^-24 grid (about
+    float32's own resolution) as an int64; the sum is then exact and
+    layout-independent, and the mean divides once at the end
+    (floor-truncated to 1e-6, the shared ``_r6`` rule). Plan: ONE
+    posexplode + ONE map-side-combined groupBy — the shuffle carries
+    |labels x dim| partial sums per partition, never the vectors; the
+    corpus is read once, column-pruned to (label, vec).
+    """
+    scale = float(1 << 24)
+    ex = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "__x")
+    )
+    q = F.floor(F.col("__x").cast("double") * F.lit(scale)).cast("bigint")
+    return (
+        ex.select(label_col, "pos", q.alias("__q"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("__q").alias("__s"),
+        )
+        .select(
+            label_col,
+            "pos",
+            "n_vecs",
+            (
+                F.floor(
+                    F.col("__s").cast("double")
+                    / (F.col("n_vecs") * F.lit(scale))
+                    * F.lit(1_000_000.0)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("centroid"),
+        )
+    )

@@ -3300,3 +3300,34 @@ ORACLES["pit_snapshot"] = """
     FROM ranked WHERE rk = 1
 """
 QUERIES["pit_snapshot"] = pit_snapshot_q
+
+
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.
+    label_centroids): 2^-24 integer quantization makes the mean exact
+    and layout-independent; one posexplode + one map-side-combined
+    groupBy — the shuffle carries |labels x dim| partials."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb)
+
+
+ORACLES["embedding_centroids"] = """
+    WITH e AS (
+      SELECT label, unnest(embedding) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings
+    ), q AS (
+      SELECT label, pos,
+             CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT) AS qx
+      FROM e
+    )
+    SELECT label, CAST(pos AS INT) AS pos, count(*) AS n_vecs,
+           floor(CAST(sum(qx) AS DOUBLE) / (count(*) * 16777216.0)
+                 * 1000000.0) / 1000000.0 AS centroid
+    FROM q GROUP BY label, pos
+"""
+QUERIES["embedding_centroids"] = embedding_centroids_q

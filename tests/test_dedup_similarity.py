@@ -516,3 +516,53 @@ def test_connected_components_vs_python(spark):
     exp = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10,
            20: 20, 21: 20, 99: 99}
     assert got == exp
+
+
+def test_label_centroids_exact_mean(spark):
+    """Quantized centroid equals the floor-truncated true mean on
+    values exactly representable on the 2^-24 grid, per component."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    rows = [
+        (1, 0, [1.0, -0.5]),
+        (2, 0, [0.5, 0.25]),
+        (3, 1, [2.0, 4.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        (r["label"], r["pos"]): r
+        for r in label_centroids(emb).collect()
+    }
+    assert out[(0, 0)]["centroid"] == 0.75
+    assert out[(0, 1)]["centroid"] == -0.125
+    assert out[(0, 0)]["n_vecs"] == 2
+    assert out[(1, 0)]["centroid"] == 2.0
+    assert out[(1, 1)]["centroid"] == 4.0
+
+
+def test_label_centroids_plan_one_shuffle(spark):
+    """One hash exchange, map-side partial aggregation, no Python."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.range(100).select(
+        (F.col("id") % 5).cast("int").alias("label"),
+        F.array(*[F.rand(seed=i).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    plan = label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
