@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_incremental",
     "pit_snapshot",
     "embedding_centroids",
+    "asof_join_nearest",
 ]
 
 

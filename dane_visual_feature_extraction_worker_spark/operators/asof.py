@@ -162,6 +162,53 @@ def asof_join_sorted(
     )
 
 
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_order: str | None,
+):
+    """Shared construction for the union-window as-of family: right
+    rows tagged 0 with their payload struct, left (anchor) rows tagged
+    1, unioned, with an xxhash64 numeric key prefix (distinct 8-byte
+    prefixes restore the sorter's prefix comparator on string keys —
+    measured sort drag at 30M+ rows; the raw key stays in the
+    partition spec so hash collisions cannot merge entities). Returns
+    ``(unioned, left_cols, right_payload_cols)``."""
+    l_cols = list(left.columns)
+    r_extra = [c for c in right.columns if c not in (on, right_ts)]
+    ordcol = (
+        F.col(right_order).cast("bigint")
+        if right_order
+        else F.lit(0).cast("bigint")
+    )
+    r_side = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        ordcol.alias("__ord"),
+        F.struct(
+            F.col(right_ts).alias("matched_ts"),
+            *[F.col(c) for c in r_extra],
+        ).alias("__r"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    l_side = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).cast("bigint").alias("__ord"),
+        F.lit(None)
+        .cast(r_side.schema["__r"].dataType)
+        .alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+    )
+    u = r_side.unionByName(l_side).withColumn("__kh", F.xxhash64("__k"))
+    return u, l_cols, r_extra
+
+
 def asof_join_union(
     left: DataFrame,
     right: DataFrame,
@@ -199,41 +246,9 @@ def asof_join_union(
     Output schema matches the other two paths: left columns +
     ``matched_ts`` + right payload columns.
     """
-    l_cols = list(left.columns)
-    r_extra = [c for c in right.columns if c not in (on, right_ts)]
-    ordcol = (
-        F.col(right_order).cast("bigint")
-        if right_order
-        else F.lit(0).cast("bigint")
+    u, l_cols, r_extra = _tagged_union(
+        left, right, on, left_ts, right_ts, right_order
     )
-    r_side = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
-        ordcol.alias("__ord"),
-        F.struct(
-            F.col(right_ts).alias("matched_ts"),
-            *[F.col(c) for c in r_extra],
-        ).alias("__r"),
-        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in left.schema.fields],
-    )
-    l_side = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        F.lit(0).cast("bigint").alias("__ord"),
-        F.lit(None)
-        .cast(r_side.schema["__r"].dataType)
-        .alias("__r"),
-        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
-    )
-    u = r_side.unionByName(l_side)
-    # xxhash64 prefix on the (string) entity key: distinct 8-byte
-    # numeric prefixes restore the sorter's prefix comparator (string
-    # keys share long prefixes — measured sort drag at 30M+ rows); the
-    # raw key stays in the partition spec so hash collisions cannot
-    # merge entities.
-    u = u.withColumn("__kh", F.xxhash64("__k"))
     w = (
         Window.partitionBy("__kh", "__k")
         .orderBy("__ts", "__tag", "__ord")
@@ -293,4 +308,60 @@ def pit_snapshot(
             F.col(f"__r.{ts_col}").alias(ts_col),
             *[F.col(f"__r.{c}").alias(c) for c in value_cols],
         )
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each anchor takes whichever of its latest-past or
+    earliest-future right row is closer in time; equal distances break
+    BACKWARD (the pandas rule — and the leakage-conservative choice).
+    Within a side, ties at the same timestamp resolve exactly like the
+    backward path: backward takes the greatest ``right_order``, forward
+    the least at the earliest future instant.
+
+    Same physical shape as ``asof_join_union`` — ONE shuffle + ONE
+    sort — with two window frames over the single sorted run: running
+    ``last(ignorenulls)`` up to the anchor (backward) and
+    ``first(ignorenulls)`` from the anchor onward (forward; same-ts
+    right rows sort before the anchor, so the forward frame sees only
+    strictly-later rows — they'd lose to the gap-0 backward match
+    anyway). The gap comparison is exact integer microseconds.
+
+    Use where the anchor is an observation time rather than a feature
+    cutoff (nearest-frame alignment, sensor fusion). NOT for training
+    features: the forward candidate reads the future by construction.
+    """
+    u, l_cols, r_extra = _tagged_union(
+        left, right, on, left_ts, right_ts, right_order
+    )
+    base = Window.partitionBy("__kh", "__k").orderBy("__ts", "__tag", "__ord")
+    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    anchors = (
+        u.withColumn("__b", F.last("__r", ignorenulls=True).over(w_back))
+        .withColumn("__f", F.first("__r", ignorenulls=True).over(w_fwd))
+        .where(F.col("__tag") == 1)
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    back_gap = us(F.col("__ts")) - us(F.col("__b.matched_ts"))
+    fwd_gap = us(F.col("__f.matched_ts")) - us(F.col("__ts"))
+    pick = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(back_gap <= fwd_gap, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    anchors = anchors.withColumn("__m", pick)
+    return anchors.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        F.col("__m.matched_ts").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in r_extra],
     )

@@ -3331,3 +3331,36 @@ ORACLES["embedding_centroids"] = """
     FROM q GROUP BY label, pos
 """
 QUERIES["embedding_centroids"] = embedding_centroids_q
+
+
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (operators/asof.asof_join_nearest):
+    closer of latest-past / earliest-future click per purchase anchor,
+    ties backward — same one-shuffle one-sort union plan as the
+    flagship, two window frames over the single sorted run."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join_nearest(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id",
+    )
+
+
+ORACLES["asof_join_nearest"] = """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts,
+           p.value AS purchase_value,
+           c.ts AS matched_ts, c.event_id AS click_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+    QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY
+        abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        (c.ts > p.ts),
+        CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END
+    ) = 1
+"""
+QUERIES["asof_join_nearest"] = asof_join_nearest_q

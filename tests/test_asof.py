@@ -155,3 +155,49 @@ def test_union_asof_tolerance_nulls_stale_matches(spark):
     assert out[2000.0]["payload"] is None  # 1900s stale: nulled
     assert out[2000.0]["matched_ts"] is None
     assert len(out) == 2  # anchors always survive
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    """Hand-built cases: exact match wins backward at gap 0; strictly
+    closer future row beats a farther past row; equidistant ties go
+    BACKWARD; entities with only-future or only-past rows still match;
+    no-candidate anchors get NULLs."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    def tbl(rows, cols):
+        return spark.createDataFrame(rows, cols).select(
+            *[c for c in cols.split(", ") if not c.startswith("sec")],
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (5, 100)],
+        "k long, sec long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 100, 10),  # exact: gap 0 backward
+            (1, 90, 11),
+            (2, 97, 20),   # past, gap 3
+            (2, 102, 21),  # future, gap 2 -> wins
+            (3, 95, 30),   # equidistant gap 5
+            (3, 105, 31),  # -> backward (30) wins
+            (4, 130, 40),  # only future
+        ],
+        "k long, sec long, rid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "rid")
+    out = {
+        r["k"]: r
+        for r in asof_join_nearest(
+            left, right, on="k", right_order="rid"
+        ).collect()
+    }
+    assert out[1]["rid"] == 10
+    assert out[2]["rid"] == 21
+    assert out[3]["rid"] == 30
+    assert out[4]["rid"] == 40
+    assert out[5]["rid"] is None and out[5]["matched_ts"] is None
