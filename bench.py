@@ -74,6 +74,9 @@ HEADLINE = [
     "pit_snapshot",
     "embedding_centroids",
     "asof_join_nearest",
+    "rolling_median",
+    "rank_features",
+    "rollup_hour_user",
 ]
 
 

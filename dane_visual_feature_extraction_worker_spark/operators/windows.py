@@ -407,3 +407,60 @@ def auto_salt_prefix_features(
         block_seconds=block_seconds,
     ).select(*plain.columns)
     return plain.unionByName(salted)
+
+
+def rolling_median(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    window_rows: int = 10,
+) -> DataFrame:
+    """Rolling median of a money-typed column over the trailing
+    ``window_rows`` rows per entity — the robust-center feature the
+    mean-based rolling_agg can't give (outlier-insensitive baselines,
+    anomaly scores).
+
+    Cross-engine float discipline: the value routes through
+    ``decimal(18,2)`` (exact for money data, the ``_dsum`` precedent)
+    into integer cents, so every window median is the exact midpoint
+    of two ints — both engines interpolate identically and the final
+    /100 is one deterministic IEEE divide. One shuffle + one sort
+    (the entity window); the median itself is Catalyst's
+    ``percentile`` — no Python.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    return df.select(
+        entity,
+        *order,
+        (
+            F.percentile(cents, F.lit(0.5)).over(w) / F.lit(100.0)
+        ).alias("median_value"),
+    )
+
+
+def rank_features(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Per-entity rank block: row_number, percent_rank, cume_dist,
+    ntile — position-within-history features (recency quantile,
+    lifecycle stage). One shuffle + one sort; every function is a pure
+    Catalyst window, and percent_rank/cume_dist are single IEEE
+    divides of two ints, deterministic on any engine."""
+    w = Window.partitionBy(entity).orderBy(*order)
+    return df.select(
+        entity,
+        *order,
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(n_tiles).over(w).cast("int").alias("tile"),
+    )

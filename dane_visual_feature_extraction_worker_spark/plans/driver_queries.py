@@ -3364,3 +3364,84 @@ ORACLES["asof_join_nearest"] = """
     ) = 1
 """
 QUERIES["asof_join_nearest"] = asof_join_nearest_q
+
+
+def rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row median per user (operators/windows.
+    rolling_median): decimal-cents routing makes every window median
+    the exact midpoint of two ints — engine-identical; Catalyst
+    `percentile` window, no Python."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_median,
+    )
+
+    return rolling_median(_events(spark, sf_dir), window_rows=10)
+
+
+ORACLES["rolling_median"] = """
+    SELECT user_id, ts, event_id,
+           median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 100.0
+             AS median_value
+    FROM events
+"""
+QUERIES["rolling_median"] = rolling_median_q
+
+
+def rank_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rank block (operators/windows.rank_features):
+    row_number / percent_rank / cume_dist / ntile(4) — one shuffle,
+    one sort, all Catalyst."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rank_features,
+    )
+
+    return rank_features(_events(spark, sf_dir), n_tiles=4)
+
+
+ORACLES["rank_features"] = """
+    SELECT user_id, ts, event_id,
+           row_number() OVER w AS rn,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INT) AS tile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+QUERIES["rank_features"] = rank_features_q
+
+
+def rollup_hour_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup: (user, hour) -> (user) -> () in ONE pass —
+    Spark expands the sets into a single map-side-combined aggregation,
+    so the multi-granularity report costs one shuffle, not three jobs.
+    Exact decimal sums (the `_dsum` rule); `grouping()` markers
+    disambiguate total rows from genuine NULLs."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hh"),
+        "value",
+    )
+    return (
+        e.rollup("user_id", "hh")
+        .agg(
+            F.grouping("user_id").cast("int").alias("g_user"),
+            F.grouping("hh").cast("int").alias("g_hh"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select("user_id", "hh", "g_user", "g_hh", "n_events", "sum_value")
+    )
+
+
+ORACLES["rollup_hour_user"] = """
+    SELECT user_id, date_trunc('hour', ts) AS hh,
+           CAST(GROUPING(user_id) AS INT) AS g_user,
+           CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hh,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (user_id, date_trunc('hour', ts))
+"""
+QUERIES["rollup_hour_user"] = rollup_hour_user_q

@@ -488,3 +488,47 @@ def test_pit_snapshot_latest_at_cutoff(spark):
     assert set(out) == {1, 2}
     assert out[1]["event_id"] == 2 and out[1]["event_type"] == "b"
     assert out[2]["event_id"] == 5 and out[2]["event_type"] == "y"
+
+
+def test_rolling_median_exact_cents(spark):
+    """Median over trailing rows equals the numpy median of the same
+    cents window, including even-count interpolation."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_median,
+    )
+
+    vals = [6.55, 12.31, 1.63, 19.17, 36.29, 0.01, 7.77]
+    rows = [(i, 1, i * 10, v) for i, v in enumerate(vals)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    out = sorted(
+        rolling_median(e, window_rows=3).collect(), key=lambda r: r["event_id"]
+    )
+    cents = [round(v * 100) for v in vals]
+    for i, r in enumerate(out):
+        window = cents[max(0, i - 2) : i + 1]
+        assert r["median_value"] == float(np.median(window)) / 100.0, i
+
+
+def test_rank_features_block(spark):
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rank_features,
+    )
+
+    rows = [(i, 1, i) for i in range(8)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    out = sorted(rank_features(e).collect(), key=lambda r: r["rn"])
+    assert [r["rn"] for r in out] == list(range(1, 9))
+    assert out[0]["pct_rank"] == 0.0 and out[-1]["pct_rank"] == 1.0
+    assert out[-1]["cume"] == 1.0
+    assert [r["tile"] for r in out] == [1, 1, 2, 2, 3, 3, 4, 4]
