@@ -77,6 +77,7 @@ HEADLINE = [
     "rolling_median",
     "rank_features",
     "rollup_hour_user",
+    "pivot_event_matrix",
 ]
 
 

@@ -3445,3 +3445,41 @@ ORACLES["rollup_hour_user"] = """
     GROUP BY ROLLUP (user_id, date_trunc('hour', ts))
 """
 QUERIES["rollup_hour_user"] = rollup_hour_user_q
+
+
+#: fixed pivot domain — explicit values keep the plan ONE pass (Spark
+#: skips the distinct-discovery job) and the output schema stable on
+#: any engine; unseen types would need a domain refresh, by design.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User x event-type count matrix via `groupBy().pivot(values=...)`:
+    with the domain pinned, Spark compiles the pivot into ONE
+    map-side-combined aggregation (no discovery pass, one shuffle) —
+    the wide-feature construction for per-entity behavior vectors."""
+    e = _events(spark, sf_dir)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+ORACLES["pivot_event_matrix"] = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+"""
+QUERIES["pivot_event_matrix"] = pivot_event_matrix_q
