@@ -78,6 +78,7 @@ HEADLINE = [
     "rank_features",
     "rollup_hour_user",
     "pivot_event_matrix",
+    "corpus_pipeline",
 ]
 
 

@@ -3483,3 +3483,100 @@ ORACLES["pivot_event_matrix"] = """
     FROM events GROUP BY user_id
 """
 QUERIES["pivot_event_matrix"] = pivot_event_matrix_q
+
+
+def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline, one lazy plan: exact dedup
+    (md5 groups, min-id survivor) → quality filter (>= 0.7) →
+    temperature resampling (alpha=0.5, budget 0.5, rates computed on
+    the FILTERED corpus) → seeded shard shuffle. Demonstrates the
+    operators COMPOSE: every stage is the gated operator itself, and
+    Catalyst fuses the chain — the corpus is scanned once, the dedup
+    groupBy and the per-shard window are the only wide stages (the
+    quality filter and both samplers are narrow maps / broadcast
+    joins). Output: (doc_id, shard, pos) — exactly what a shard-writer
+    consumes."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        shuffle_assign,
+        temperature_sample,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = _documents(spark, sf_dir)
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = docs.join(reps, "doc_id")
+    good = (
+        quality_score(kept).where(F.col("quality") >= 0.7).select("doc_id")
+    )
+    filtered = kept.join(good, "doc_id")
+    sampled = temperature_sample(
+        filtered, alpha=0.5, budget_frac=0.5, stratum_col="lang",
+        salt="pipe_t",
+    )
+    return shuffle_assign(sampled, n_shards=8, salt="pipe_s")
+
+
+ORACLES["corpus_pipeline"] = rf"""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), kept AS (
+      SELECT d.doc_id, d.lang, length(d.text) AS n_chars,
+             list_filter(string_split_regex(lower(d.text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents d JOIN reps USING (doc_id)
+    ), scored AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN n_chars * 1.0 / len(toks) ELSE 0.0 END AS avg_tok,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','to','and','in','is','it','for','on'], x)))
+               * 1.0 / len(toks) ELSE 0.0 END AS stop
+      FROM kept
+    ), filtered AS (
+      SELECT doc_id, lang FROM scored
+      WHERE floor((
+              (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                    THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0
+                    THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN stop > 0.02 THEN 0.3 ELSE 0.0 END)
+            ) * 1000000.0) / 1000000.0 >= 0.7
+    ), counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM filtered GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS N,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS s
+      FROM counts
+    ), rates AS (
+      SELECT lang,
+             floor(least(1.0,
+               0.5 * N * sqrt(CAST(n_docs AS DOUBLE)) / s
+                   / CAST(n_docs AS DOUBLE)) * 1e6) / 1e6 AS rate
+      FROM counts, tot
+    ), tkeyed AS (
+      SELECT doc_id, lang, ({_sample_key_terms_sql()}) AS key
+      FROM (SELECT doc_id, lang,
+                   md5('pipe_t' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM filtered)
+    ), sampled AS (
+      SELECT t.doc_id FROM tkeyed t JOIN rates r USING (lang)
+      WHERE t.key < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    ), skeyed AS (
+      SELECT doc_id, ({_sample_key_terms_sql()}) AS key
+      FROM (SELECT doc_id,
+                   md5('pipe_s' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM sampled)
+    )
+    SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+           row_number() OVER (PARTITION BY key % 8
+                              ORDER BY key, doc_id) AS pos
+    FROM skeyed
+"""
+QUERIES["corpus_pipeline"] = corpus_pipeline_q
