@@ -3490,11 +3490,16 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 groups, min-id survivor) → quality filter (>= 0.7) →
     temperature resampling (alpha=0.5, budget 0.5, rates computed on
     the FILTERED corpus) → seeded shard shuffle. Demonstrates the
-    operators COMPOSE: every stage is the gated operator itself, and
-    Catalyst fuses the chain — the corpus is scanned once, the dedup
-    groupBy and the per-shard window are the only wide stages (the
-    quality filter and both samplers are narrow maps / broadcast
-    joins). Output: (doc_id, shard, pos) — exactly what a shard-writer
+    operators COMPOSE: every stage is the gated operator itself.
+    Catalyst does NOT reuse plan prefixes across branches, and this
+    chain branches twice (the temperature-rate rollup and the sample
+    filter both read the filtered set; the dedup join reads the scan
+    twice by construction) — so the filtered (doc_id, lang) projection
+    is `scoped_persist`ed: the corpus is touched only while building
+    that cache (4 column-pruned scans / 6 exchanges, measured), and
+    every downstream branch is an InMemoryTableScan of the two-column
+    frame — vs 12 corpus scans / 24 exchanges with no persist.
+    Output: (doc_id, shard, pos) — exactly what a shard-writer
     consumes."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import (
         exact_dedup,
@@ -3507,13 +3512,20 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
     docs = _documents(spark, sf_dir)
     reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
     kept = docs.join(reps, "doc_id")
     good = (
         quality_score(kept).where(F.col("quality") >= 0.7).select("doc_id")
     )
-    filtered = kept.join(good, "doc_id")
+    filtered = scoped_persist(
+        kept.join(good, "doc_id").select("doc_id", "lang"),
+        "corpus_pipeline_filtered",
+    )
     sampled = temperature_sample(
         filtered, alpha=0.5, budget_frac=0.5, stratum_col="lang",
         salt="pipe_t",
