@@ -591,6 +591,24 @@ def connected_components(
     )
 
 
+
+def canonical_fingerprint(text_col: str = "text") -> F.Column:
+    """Null-safe canonical content fingerprint: md5 of lower +
+    whitespace-collapsed + trimmed text, with null text treated as
+    empty (the tar_ingest precedent). Null-safety matters at the
+    anti join: a null fingerprint key is kept by Spark's left_anti
+    but dropped by SQL NOT IN — coalescing removes the divergence."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+
+
 def incremental_dedup(
     delta: DataFrame,
     base_index: DataFrame,
@@ -622,11 +640,8 @@ def incremental_dedup(
     done per entity (resume check, worker.py:66-90); this is that
     idempotence rule applied corpus-wide by content instead of id.
     """
-    canon = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    )
     fp = delta.select(
-        F.col(id_col), F.md5(canon).alias(index_col)
+        F.col(id_col), canonical_fingerprint(text_col).alias(index_col)
     )
     first = fp.groupBy(index_col).agg(
         F.min(id_col).alias(id_col),

@@ -3228,15 +3228,13 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes). Survivors: first-in-delta holders of fingerprints the index
     has never seen. Both shuffles key on the uniform md5 digest."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        canonical_fingerprint,
         incremental_dedup,
-    )
-    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
-        fingerprint,
     )
 
     docs = _documents(spark, sf_dir)
-    base_index = fingerprint(docs.where(F.col("doc_id") % 3 == 0)).select(
-        "fingerprint"
+    base_index = docs.where(F.col("doc_id") % 3 == 0).select(
+        canonical_fingerprint().alias("fingerprint")
     )
     delta = docs.where(F.col("doc_id") % 3 != 0).unionByName(
         docs.where(F.col("doc_id") % 5 == 1).withColumn(
@@ -3249,7 +3247,8 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_incremental"] = r"""
     WITH canon AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')))
                AS fingerprint
       FROM documents
     ), base AS (

@@ -532,3 +532,25 @@ def test_rank_features_block(spark):
     assert out[0]["pct_rank"] == 0.0 and out[-1]["pct_rank"] == 1.0
     assert out[-1]["cume"] == 1.0
     assert [r["tile"] for r in out] == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_incremental_dedup_null_text_as_empty(spark):
+    """Null and empty text share one fingerprint (the tar_ingest
+    null-as-empty rule): if the index has seen empty text, a null-text
+    delta doc is a duplicate — never a null join key."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        canonical_fingerprint,
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame([("",)], "text string").select(
+        canonical_fingerprint().alias("fingerprint")
+    )
+    delta = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in incremental_dedup(delta, base).collect()}
+    assert out == {3}
