@@ -2085,12 +2085,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out). No sentinel flush plumbing: dedup emits on arrival, not on
     state closure, so availableNow flushes everything. Oracle: batch
     DISTINCT over the same key."""
+    import glob
+    import os
+    import shutil
     import tempfile
+    import time
 
     from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
         dedup_sink_append,
     )
 
+    # best-effort sweep of prior invocations' sink/ckpt dirs (each run
+    # must create a fresh pair — a reused checkpoint would replay as
+    # "nothing new" — so without a sweep they accumulate forever; the
+    # tmpfs-leak lesson from the r4 scaling campaign)
+    cutoff = time.time() - 3600
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "st_dedup_*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     tmp = tempfile.mkdtemp(prefix="st_dedup_")
     sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
     dedup_sink_append(
