@@ -79,6 +79,7 @@ HEADLINE = [
     "rollup_hour_user",
     "pivot_event_matrix",
     "corpus_pipeline",
+    "json_props_stats",
 ]
 
 

@@ -3606,3 +3606,40 @@ ORACLES["corpus_pipeline"] = rf"""
     FROM skeyed
 """
 QUERIES["corpus_pipeline"] = corpus_pipeline_q
+
+
+def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: parse the events `props` JSON
+    with a declared schema (`from_json` — JVM-side Jackson, no UDF)
+    and aggregate the extracted field per event type. At 100 TB the
+    parse is a narrow map fused into the scan stage; declaring the
+    schema (vs schema_of_json inference) keeps it one pass and lets
+    Catalyst prune to the single referenced field."""
+    e = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+ORACLES["json_props_stats"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events GROUP BY event_type
+"""
+QUERIES["json_props_stats"] = json_props_stats_q
