@@ -80,6 +80,7 @@ HEADLINE = [
     "pivot_event_matrix",
     "corpus_pipeline",
     "json_props_stats",
+    "asof_join_forward",
 ]
 
 

@@ -365,3 +365,52 @@ def asof_join_nearest(
         F.col("__m.matched_ts").alias("matched_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in r_extra],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Forward as-of join: each anchor takes the EARLIEST right row
+    strictly after it (``matched_ts > ts``) — "the next event": the
+    conversion-attribution / time-to-next-action primitive (first
+    purchase after each click, next error after each deploy).
+    ``tolerance_seconds`` bounds the lookahead: a match farther than
+    the tolerance nulls out, so "conversion within 30 minutes" is the
+    tolerance form. Strictly-after is deliberate (a simultaneous event
+    is not a *next* event); ties at the earliest future instant take
+    the least ``right_order``.
+
+    Same physical shape as the whole union-window family: ONE shuffle
+    + ONE sort, then a forward ``first(ignorenulls)`` frame — same-ts
+    right rows sort before the anchor, so the frame sees only strictly
+    later rows by construction. Exact integer-microsecond tolerance.
+    """
+    u, l_cols, r_extra = _tagged_union(
+        left, right, on, left_ts, right_ts, right_order
+    )
+    w_fwd = (
+        Window.partitionBy("__kh", "__k")
+        .orderBy("__ts", "__tag", "__ord")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchors = u.withColumn(
+        "__m", F.first("__r", ignorenulls=True).over(w_fwd)
+    ).where(F.col("__tag") == 1)
+    if tolerance_seconds is not None:
+        fresh = F.col("__m").isNotNull() & (
+            F.unix_micros(F.col("__m.matched_ts").cast("timestamp"))
+            - F.unix_micros(F.col("__ts").cast("timestamp"))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        anchors = anchors.withColumn("__m", F.when(fresh, F.col("__m")))
+    return anchors.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        F.col("__m.matched_ts").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in r_extra],
+    )

@@ -3643,3 +3643,36 @@ ORACLES["json_props_stats"] = """
     FROM events GROUP BY event_type
 """
 QUERIES["json_props_stats"] = json_props_stats_q
+
+
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (operators/asof.asof_join_forward): for
+    each click, the earliest purchase strictly after it within 1 hour
+    — the next-event primitive on the flagship's one-shuffle one-sort
+    union plan."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    # anchors are the CLICKS here; the matched row is the next purchase
+    return asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="purchase_id", tolerance_seconds=3600.0,
+    )
+
+
+ORACLES["asof_join_forward"] = """
+    SELECT c.user_id, c.ts, c.click_id, c.click_value,
+           p.ts AS matched_ts, p.purchase_id, p.purchase_value
+    FROM (SELECT user_id, ts, event_id AS click_id, value AS click_value
+          FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts > c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+    QUALIFY row_number() OVER (PARTITION BY c.click_id
+                               ORDER BY p.ts, p.purchase_id) = 1
+"""
+QUERIES["asof_join_forward"] = asof_join_forward_q

@@ -201,3 +201,38 @@ def test_asof_nearest_directions_and_ties(spark):
     assert out[3]["rid"] == 30
     assert out[4]["rid"] == 40
     assert out[5]["rid"] is None and out[5]["matched_ts"] is None
+
+
+def test_asof_forward_strict_and_tolerance(spark):
+    """Next-event semantics: strictly-after (same-ts row is not a
+    next event), earliest wins with least-order ties, tolerance
+    nulls far matches, no-candidate anchors get NULLs."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100)], "k long, sec long"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 100, 10),  # same ts: NOT a next event
+            (1, 105, 11),  # -> winner for k=1
+            (2, 103, 20),  # tie at earliest future instant:
+            (2, 103, 21),  # least rid (20) wins
+            (3, 9999, 30),  # beyond tolerance -> null
+        ],
+        "k long, sec long, rid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "rid")
+    out = {
+        r["k"]: r
+        for r in asof_join_forward(
+            left, right, on="k", right_order="rid", tolerance_seconds=60.0
+        ).collect()
+    }
+    assert out[1]["rid"] == 11
+    assert out[2]["rid"] == 20
+    assert out[3]["rid"] is None
+    assert out[4]["rid"] is None
