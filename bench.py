@@ -81,6 +81,8 @@ HEADLINE = [
     "corpus_pipeline",
     "json_props_stats",
     "asof_join_forward",
+    "user_event_profile",
+    "customer_enrich",
 ]
 
 

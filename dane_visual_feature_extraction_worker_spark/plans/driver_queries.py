@@ -3676,3 +3676,66 @@ ORACLES["asof_join_forward"] = """
                                ORDER BY p.ts, p.purchase_id) = 1
 """
 QUERIES["asof_join_forward"] = asof_join_forward_q
+
+
+def user_event_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: per-user behavioral profile — the
+    sorted distinct event-type set (as CSV for cross-engine hashing),
+    span bounds, and exact distinct count. One map-side-combined
+    groupBy; collect_set stays bounded by the 5-value type domain."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+ORACLES["user_event_profile"] = """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types_csv,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events GROUP BY user_id
+"""
+QUERIES["user_event_profile"] = user_event_profile_q
+
+
+def customer_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic dim-enrichment on the TPC-H tables: customers joined
+    through nation to region with BOTH dims broadcast (they are
+    O(25)/O(5) rows at any scale — the textbook broadcast-join case;
+    asserted via hint so the plan never sort-merges), rolled up to
+    per-region market-segment counts and exact decimal balance sums."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+ORACLES["customer_enrich"] = """
+    SELECT r.r_name AS region, c.c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, c.c_mktsegment
+"""
+QUERIES["customer_enrich"] = customer_enrich_q
