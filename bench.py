@@ -83,6 +83,7 @@ HEADLINE = [
     "asof_join_forward",
     "user_event_profile",
     "customer_enrich",
+    "lineitem_pricing",
 ]
 
 

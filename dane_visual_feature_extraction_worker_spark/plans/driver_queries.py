@@ -3739,3 +3739,57 @@ ORACLES["customer_enrich"] = """
     GROUP BY r.r_name, c.c_mktsegment
 """
 QUERIES["customer_enrich"] = customer_enrich_q
+
+
+def lineitem_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical OLAP scan-aggregate (TPC-H Q1 shape) over the
+    engine's biggest table: shipdate predicate pushed to the parquet
+    scan, ONE map-side-combined groupBy over a 4-value key. All money
+    math routes through decimal (2-decimal source data → products are
+    exact at scale 4/6), so partial aggregation order cannot move a
+    bit; averages divide two exact quantities once, as doubles."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    f = li.where(F.col("l_shipdate") <= "1998-09-02")
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+        (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+ORACLES["lineitem_pricing"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+QUERIES["lineitem_pricing"] = lineitem_pricing_q

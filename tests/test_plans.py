@@ -370,3 +370,19 @@ def test_ngram_topk_partial_aggregate(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_lineitem_pricing_pushdown_and_partial_agg(spark):
+    """TPC-H Q1 shape: the shipdate predicate reaches the parquet scan
+    (PushedFilters) and the aggregation is map-side partially combined
+    around a single exchange."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["lineitem_pricing"](spark, "/root/testdata/sf0.001"))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
