@@ -84,6 +84,7 @@ HEADLINE = [
     "user_event_profile",
     "customer_enrich",
     "lineitem_pricing",
+    "order_revenue_topk",
 ]
 
 

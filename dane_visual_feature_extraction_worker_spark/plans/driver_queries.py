@@ -3793,3 +3793,54 @@ ORACLES["lineitem_pricing"] = """
     GROUP BY l_returnflag, l_linestatus
 """
 QUERIES["lineitem_pricing"] = lineitem_pricing_q
+
+
+def order_revenue_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join + top-k (TPC-H Q3 shape): BUILDING-segment
+    customers (broadcast semi filter) x orders x lineitem on the
+    orderkey — the one genuinely large shuffle join in the TPC-H
+    family, hash-clustered on the uniform orderkey (AQE handles
+    residual skew) — then exact-decimal revenue per order and a
+    TakeOrdered top-10 (never a global sort). Date filters push to
+    both big scans."""
+    cutoff = "1995-03-15"
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > cutoff
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+ORACLES["order_revenue_topk"] = """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+QUERIES["order_revenue_topk"] = order_revenue_topk_q
