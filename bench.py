@@ -85,6 +85,8 @@ HEADLINE = [
     "customer_enrich",
     "lineitem_pricing",
     "order_revenue_topk",
+    "snapshot_diff",
+    "skew_report",
 ]
 
 

@@ -62,3 +62,45 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Key-distribution diagnostic — the measurement that drives the
+    salting decisions (`auto_salt_prefix_features` routes entities past
+    a count threshold into the block-decomposed kernel; this report is
+    how a job picks that threshold and whether to salt at all).
+
+    Emits ONE row: key count, row count, max/mean key size, exact
+    p50/p99 of key sizes, and `skew_factor` = max_rows / mean_rows
+    (the straggler multiplier a single-task-per-key stage pays).
+    Plan: one map-side-combined count per key, then a single-row
+    rollup of the |keys|-sized frame — the corpus is read once,
+    column-pruned to the key."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_rows"),
+        (
+            F.floor(
+                F.sum("__n").cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("mean_rows"),
+        F.percentile(F.col("__n"), F.lit(0.5)).alias("p50_rows"),
+        F.percentile(F.col("__n"), F.lit(0.99)).alias("p99_rows"),
+        (
+            F.floor(
+                F.max("__n").cast("double")
+                / (F.sum("__n").cast("double") / F.count(F.lit(1)))
+                * 1e6
+            )
+            / 1e6
+        ).alias("skew_factor"),
+    )

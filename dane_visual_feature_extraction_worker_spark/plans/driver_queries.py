@@ -3844,3 +3844,92 @@ ORACLES["order_revenue_topk"] = """
     ORDER BY revenue DESC, o.o_orderkey LIMIT 10
 """
 QUERIES["order_revenue_topk"] = order_revenue_topk_q
+
+
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC row diff (operators/merge.snapshot_diff): v1 = documents;
+    v2 = drop doc_id % 11 == 0, rewrite doc_id % 7 == 3, insert a
+    shifted block — classified insert/update/delete in one full-outer
+    join + digest compare."""
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    docs = _documents(spark, sf_dir)
+    old = docs.select("doc_id", "text", "lang", "source")
+    new = (
+        old.where(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.upper(F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"),
+                "text", "lang", "source",
+            )
+        )
+    )
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
+ORACLES["snapshot_diff"] = """
+    WITH old AS (
+      SELECT doc_id, text, lang, source FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END AS text,
+             lang, source
+      FROM old WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 9000000 AS doc_id, text, lang, source
+      FROM old WHERE doc_id % 5 = 2
+    ), od AS (
+      SELECT doc_id, md5(chr(0) || 'v' || text || chr(0) || 'v' || lang
+                         || chr(0) || 'v' || source) AS d
+      FROM old
+    ), nd AS (
+      SELECT doc_id, md5(chr(0) || 'v' || text || chr(0) || 'v' || lang
+                         || chr(0) || 'v' || source) AS d
+      FROM new
+    )
+    SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+           CASE WHEN od.doc_id IS NULL THEN 'insert'
+                WHEN nd.doc_id IS NULL THEN 'delete'
+                WHEN od.d <> nd.d THEN 'update' END AS change
+    FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+    WHERE (od.doc_id IS NULL OR nd.doc_id IS NULL OR od.d <> nd.d)
+"""
+QUERIES["snapshot_diff"] = snapshot_diff_q
+
+
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic on events.user_id (operators/joins.
+    skew_report): the one-row report that picks the auto-salt
+    routing threshold."""
+    from dane_visual_feature_extraction_worker_spark.operators.joins import (
+        skew_report,
+    )
+
+    return skew_report(_events(spark, sf_dir), key_col="user_id")
+
+
+ORACLES["skew_report"] = """
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(n) AS max_rows,
+           floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6) / 1e6
+             AS mean_rows,
+           quantile_cont(n, 0.5) AS p50_rows,
+           quantile_cont(n, 0.99) AS p99_rows,
+           floor(CAST(max(n) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) / count(*)) * 1e6) / 1e6
+             AS skew_factor
+    FROM c
+"""
+QUERIES["skew_report"] = skew_report_q

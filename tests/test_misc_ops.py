@@ -554,3 +554,49 @@ def test_incremental_dedup_null_text_as_empty(spark):
     )
     out = {r["doc_id"] for r in incremental_dedup(delta, base).collect()}
     assert out == {3}
+
+
+def test_snapshot_diff_classification(spark):
+    """Insert/update/delete classification incl. null-vs-empty and
+    null-shift cases the null-tagged digest must distinguish."""
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "b", None),
+            (3, None, "c"),   # null then 'c'
+            (4, "same", "s"),
+            (5, "gone", "g"),
+        ],
+        "k long, u string, v string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a2", "x"),    # update
+            (2, "b", None),    # identical (null preserved)
+            (3, "c", None),    # null SHIFTED between columns -> update
+            (4, "same", "s"),  # identical
+            (6, "fresh", "f"), # insert
+        ],
+        "k long, u string, v string",
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "update", 3: "update", 5: "delete", 6: "insert"}
+
+
+def test_skew_report_values(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.joins import (
+        skew_report,
+    )
+
+    rows = [(i, k) for k, n in [(1, 8), (2, 1), (3, 1)] for i in range(n)]
+    df = spark.createDataFrame(rows, "i long, key long")
+    r = skew_report(df, "key").collect()[0]
+    assert r["n_keys"] == 3 and r["n_rows"] == 10 and r["max_rows"] == 8
+    import math
+    assert r["mean_rows"] == math.floor(10 / 3 * 1e6) / 1e6
+    assert r["skew_factor"] == math.floor(8 / (10 / 3) * 1e6) / 1e6
+    assert r["p50_rows"] == 1.0
