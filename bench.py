@@ -87,6 +87,7 @@ HEADLINE = [
     "order_revenue_topk",
     "snapshot_diff",
     "skew_report",
+    "streaming_enrich",
 ]
 
 

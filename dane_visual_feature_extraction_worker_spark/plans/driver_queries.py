@@ -2076,6 +2076,28 @@ ORACLES["streaming_tumbling_append"] = ORACLES["streaming_tumbling"]
 QUERIES["streaming_tumbling_append"] = streaming_tumbling_append
 
 
+def _fresh_stream_tmp(prefix: str) -> str:
+    """mkdtemp for a streaming sink/checkpoint pair, sweeping prior
+    invocations' dirs first (each run must create a fresh pair — a
+    reused checkpoint would replay as "nothing new" — so without a
+    sweep they accumulate forever; the tmpfs-leak lesson from the r4
+    scaling campaign). Best-effort: dirs older than an hour go."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - 3600
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup to an append-mode parquet sink: first
     arrival per (user_id, event_type) emitted immediately, state-store
@@ -2085,28 +2107,11 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out). No sentinel flush plumbing: dedup emits on arrival, not on
     state closure, so availableNow flushes everything. Oracle: batch
     DISTINCT over the same key."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
         dedup_sink_append,
     )
 
-    # best-effort sweep of prior invocations' sink/ckpt dirs (each run
-    # must create a fresh pair — a reused checkpoint would replay as
-    # "nothing new" — so without a sweep they accumulate forever; the
-    # tmpfs-leak lesson from the r4 scaling campaign)
-    cutoff = time.time() - 3600
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), "st_dedup_*")):
-        try:
-            if os.path.getmtime(d) < cutoff:
-                shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
-    tmp = tempfile.mkdtemp(prefix="st_dedup_")
+    tmp = _fresh_stream_tmp("st_dedup_")
     sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
     dedup_sink_append(
         _events_stream(spark, sf_dir),
@@ -3933,3 +3938,42 @@ ORACLES["skew_report"] = """
     FROM c
 """
 QUERIES["skew_report"] = skew_report_q
+
+
+def streaming_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/enrich.py): the events
+    stream enriched per micro-batch with a batch-computed per-user dim
+    (min event type + first-seen) — stateless, zero stream shuffle;
+    availableNow-bounded for the gate, unbounded in production.
+    Oracle: the identical batch join."""
+    from dane_visual_feature_extraction_worker_spark.streaming.enrich import (
+        enrich_sink_append,
+    )
+
+    e = _events(spark, sf_dir)
+    dim = e.groupBy("user_id").agg(
+        F.min("event_type").alias("first_type"),
+        F.min("ts").alias("first_seen"),
+    )
+    tmp = _fresh_stream_tmp("st_enrich_")
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    enrich_sink_append(
+        _events_stream(spark, sf_dir).select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        sink_dir=sink_dir,
+        checkpoint_dir=ckpt_dir,
+    )
+    return spark.read.parquet(sink_dir).select(
+        "event_id", "user_id", "first_type", "first_seen"
+    )
+
+
+ORACLES["streaming_enrich"] = """
+    SELECT e.event_id, e.user_id, d.first_type, d.first_seen
+    FROM events e
+    JOIN (SELECT user_id, min(event_type) AS first_type,
+                 min(ts) AS first_seen
+          FROM events GROUP BY user_id) d USING (user_id)
+"""
+QUERIES["streaming_enrich"] = streaming_enrich_q
