@@ -282,3 +282,38 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(sink).collect()
     )
     assert got == [(1, "a"), (1, "b"), (1, "c")]
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    """availableNow stream-static broadcast join == the batch join on
+    the same inputs; unmatched stream rows drop (inner join)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.streaming.enrich import (
+        enrich_sink_append,
+    )
+
+    src = str(tmp_path / "src")
+    ev = spark.createDataFrame(
+        [(i, i % 3, i) for i in range(30)],
+        "event_id long, user_id long, sec long",
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    ev.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "user_id long, tag string"
+    )  # user 2 absent: its rows must drop
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enrich_sink_append(
+        stream, dim, on="user_id",
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        (r["event_id"], r["tag"])
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["tag"])
+        for r in ev.join(dim, "user_id").collect()
+    )
+    assert got == want and len(got) == 20
