@@ -316,3 +316,69 @@ def test_shuffle_assign_random_permutation(spark, n_rows, n_shards, salt):
         assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
         # pos order == (key, doc_id) order
         assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5), st.integers(0, 5)),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5), st.integers(0, 5)),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_random_vs_dict_reference(spark, old_rows, new_rows):
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(old_rows, "k long, a long, b long") if old_rows else \
+        spark.createDataFrame([], "k long, a long, b long")
+    new = spark.createDataFrame(new_rows, "k long, a long, b long") if new_rows else \
+        spark.createDataFrame([], "k long, a long, b long")
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    od = {k: (a, b) for k, a, b in old_rows}
+    nd = {k: (a, b) for k, a, b in new_rows}
+    want = {}
+    for k in set(od) | set(nd):
+        if k not in od:
+            want[k] = "insert"
+        elif k not in nd:
+            want[k] = "delete"
+        elif od[k] != nd[k]:
+            want[k] = "update"
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(0, 10_000).map(lambda c: c / 100.0),
+        min_size=1, max_size=40,
+    ),
+    window=st.integers(min_value=1, max_value=8),
+)
+def test_rolling_median_random_vs_numpy(spark, vals, window):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_median,
+    )
+
+    rows = [(i, 1, i * 5, v) for i, v in enumerate(vals)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    out = sorted(
+        rolling_median(e, window_rows=window).collect(),
+        key=lambda r: r["event_id"],
+    )
+    cents = [round(v * 100) for v in vals]
+    for i, r in enumerate(out):
+        w = cents[max(0, i - window + 1) : i + 1]
+        assert r["median_value"] == float(np.median(w)) / 100.0, (i, w)
