@@ -3474,9 +3474,12 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def pivot_event_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User x event-type count matrix via `groupBy().pivot(values=...)`:
-    with the domain pinned, Spark compiles the pivot into ONE
-    map-side-combined aggregation (no discovery pass, one shuffle) —
-    the wide-feature construction for per-entity behavior vectors."""
+    pinning the domain skips the distinct-discovery JOB; the plan is
+    Spark's two-level pivot aggregation — (user, type) pre-count, then
+    pivotfirst per user — both levels map-side combined (plan-audit
+    test). The single-shuffle alternative is plain conditional
+    aggregation (count(when(...)) per category — the oracle's shape);
+    this entry keeps the pivot() API surface itself under the gate."""
     e = _events(spark, sf_dir)
     out = (
         e.groupBy("user_id")

@@ -386,3 +386,58 @@ def test_lineitem_pricing_pushdown_and_partial_agg(spark):
     assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_order_revenue_topk_plan_shapes(spark):
+    """Q3 shape: the segment filter side broadcasts, the orders x
+    lineitem join is the one sort-merge exchange pair, and the top-10
+    is TakeOrderedAndProject — no global sort."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["order_revenue_topk"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    """CDC diff: one full-outer join on the key, no window, no
+    second pass over either snapshot."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    new = spark.range(100, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    plan = _plan(snapshot_diff(old, new, "k"))
+    assert plan.count("FullOuter") >= 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_pivot_event_matrix_two_level_aggregation(spark):
+    """Pinned-domain pivot: no distinct-discovery JOB (values given),
+    and the plan is the documented two-level aggregation — (entity,
+    category) pre-count, then pivotfirst per entity — each level
+    map-side partially combined around its exchange."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["pivot_event_matrix"](spark, "/root/testdata/sf0.001"))
+    assert "pivotfirst" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"partial_", plan)) >= 2, plan
