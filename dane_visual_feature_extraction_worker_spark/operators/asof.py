@@ -284,11 +284,16 @@ def pit_snapshot(
 
     Plan: filter to ts <= cutoff (pushed to the scan; on a
     ts-partitioned table this prunes partitions), then ONE
-    ``max_by(struct(...), struct(ts, tiebreak))`` hash aggregation —
-    algebraic, map-side combined, so the shuffle carries one candidate
-    row per (partition, entity), never the history. No window, no
-    sort. Ties at the same timestamp resolve by greatest struct order
-    of the remaining columns, deterministically.
+    partial+final ``max_by(struct(...), struct(ts, tiebreak))``
+    aggregation around a single exchange — algebraic and map-side
+    combined, so the shuffle carries one candidate row per
+    (partition, entity), never the history (plan-audit test). The
+    physical operator is SortAggregate, not HashAggregate (struct-
+    typed aggregation buffers aren't hash-aggregable in Spark) — a
+    per-partition sort on the entity key, NOT a window over the
+    history; the shuffle-volume story is unchanged. No global sort.
+    Ties at the same timestamp resolve by greatest struct order of
+    the remaining columns, deterministically.
 
     Reference provenance: the reference serves "current state per
     entity" by overwriting per-entity output dirs (io_util.py); this

@@ -441,3 +441,49 @@ def test_pivot_event_matrix_two_level_aggregation(spark):
     assert "pivotfirst" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert len(re.findall(r"partial_", plan)) >= 2, plan
+
+
+def test_pit_snapshot_one_exchange_sortagg(spark):
+    """pit_snapshot: one exchange, partial+final SortAggregate (struct
+    max_by), no window over the history."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["pit_snapshot"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("SortAggregate") == 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_user_event_profile_two_phase_distinct(spark):
+    """user_event_profile: Spark's two-phase exact-distinct plan (two
+    exchanges) with collect_set in ObjectHashAggregate — both phases
+    partial-combined."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["user_event_profile"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "ObjectHashAggregate" in plan, plan
+    assert len(re.findall(r"partial_", plan)) >= 2, plan
+
+
+def test_customer_enrich_both_dims_broadcast(spark):
+    """customer_enrich: nation and region broadcast (never
+    sort-merged); the only exchange is the final rollup's."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["customer_enrich"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
