@@ -7,12 +7,17 @@ highest version per key wins. This module is the engine-side
 implementation for when the catalog isn't doing it for us (plain
 parquet snapshots, backfill reconciliation, unit tests).
 
-Plan: ``unionByName`` the snapshots (narrow), then ONE hash aggregation
-``max_by(struct(payload), version)`` keyed on the merge key. max_by is
-an algebraic aggregate, so the shuffle carries one partially-combined
-candidate row per (partition, key) — never both versions — and there is
-no sort anywhere (the window row_number formulation would sort every
-group; arg-max doesn't need to). Ties must not exist: version is
+Plan: ``unionByName`` the snapshots (narrow), then ONE partial+final
+aggregation ``max_by(struct(payload), version)`` keyed on the merge
+key around a single exchange. max_by is algebraic, so the shuffle
+carries one partially-combined candidate row per (partition, key) —
+never both versions. Physically Spark runs it as SortAggregate
+(struct-typed aggregation buffers aren't hash-aggregable), i.e. a
+per-partition sort on the MERGE KEY — still strictly cheaper than the
+window ``row_number`` formulation, which would shuffle and sort every
+version of every row and keep them all through the exchange; the
+max_by shuffle moves one candidate per partition-key. Ties must not
+exist: version is
 required unique per key (enforce upstream — e.g. commit LSN); the
 deterministic tie-break ``greatest`` on the struct would otherwise
 depend on column order, so we raise that contract in the docstring

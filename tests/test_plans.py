@@ -487,3 +487,19 @@ def test_customer_enrich_both_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_merge_upsert_single_exchange_sortagg(spark):
+    """merge_upsert: one exchange, partial+final SortAggregate (struct
+    max_by) — one candidate per partition-key through the shuffle, no
+    window."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["merge_upsert"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("SortAggregate") == 2, plan
+    assert "Window" not in plan, plan
