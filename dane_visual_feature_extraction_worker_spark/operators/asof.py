@@ -332,13 +332,21 @@ def asof_join_nearest(
     backward path: backward takes the greatest ``right_order``, forward
     the least at the earliest future instant.
 
-    Same physical shape as ``asof_join_union`` — ONE shuffle + ONE
-    sort — with two window frames over the single sorted run: running
-    ``last(ignorenulls)`` up to the anchor (backward) and
-    ``first(ignorenulls)`` from the anchor onward (forward; same-ts
-    right rows sort before the anchor, so the forward frame sees only
-    strictly-later rows — they'd lose to the gap-0 backward match
-    anyway). The gap comparison is exact integer microseconds.
+    Same physical shape as ``asof_join_union`` — ONE shuffle, with two
+    RUNNING frames over it: ``last(ignorenulls)`` up to the anchor in
+    ascending order (backward) and ``last(ignorenulls)`` up to the
+    anchor in DESCENDING order (forward — the next row in ascending
+    time is the latest-seen row in a reverse scan). Both frames are
+    unbounded-PRECEDING running accumulators, i.e. O(n) per entity;
+    the naive forward formulation (``first`` over an
+    unbounded-FOLLOWING frame) looks equivalent but Spark recomputes
+    that frame from each row position — O(n²) per entity, measured
+    unfinishable at 200k rows/entity. Cost of the reverse scan is one
+    extra Sort reusing the same exchange. Same-ts right rows sort
+    after the anchor in the reverse order, so the forward candidate
+    is strictly later by construction — they'd lose to the gap-0
+    backward match anyway. The gap comparison is exact integer
+    microseconds.
 
     Use where the anchor is an observation time rather than a feature
     cutoff (nearest-frame alignment, sensor fusion). NOT for training
@@ -347,12 +355,19 @@ def asof_join_nearest(
     u, l_cols, r_extra = _tagged_union(
         left, right, on, left_ts, right_ts, right_order
     )
-    base = Window.partitionBy("__kh", "__k").orderBy("__ts", "__tag", "__ord")
-    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    w_back = (
+        Window.partitionBy("__kh", "__k")
+        .orderBy("__ts", "__tag", "__ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("__kh", "__k")
+        .orderBy(F.desc("__ts"), F.desc("__tag"), F.desc("__ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     anchors = (
         u.withColumn("__b", F.last("__r", ignorenulls=True).over(w_back))
-        .withColumn("__f", F.first("__r", ignorenulls=True).over(w_fwd))
+        .withColumn("__f", F.last("__r", ignorenulls=True).over(w_fwd))
         .where(F.col("__tag") == 1)
     )
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
@@ -391,21 +406,27 @@ def asof_join_forward(
     is not a *next* event); ties at the earliest future instant take
     the least ``right_order``.
 
-    Same physical shape as the whole union-window family: ONE shuffle
-    + ONE sort, then a forward ``first(ignorenulls)`` frame — same-ts
-    right rows sort before the anchor, so the frame sees only strictly
-    later rows by construction. Exact integer-microsecond tolerance.
+    Same physical shape as the whole union-window family: ONE shuffle,
+    then a running ``last(ignorenulls)`` over the REVERSE time order —
+    the next row in ascending time is the latest-seen row in a reverse
+    scan, an O(n) unbounded-preceding accumulator (the naive
+    ``first`` over an unbounded-FOLLOWING frame is O(n²) per entity in
+    Spark — recomputed from every row position — measured
+    unfinishable at 200k rows/entity; see ``asof_join_nearest``).
+    Same-ts right rows sort after the anchor in the reverse order, so
+    the match is strictly later by construction. Exact
+    integer-microsecond tolerance.
     """
     u, l_cols, r_extra = _tagged_union(
         left, right, on, left_ts, right_ts, right_order
     )
     w_fwd = (
         Window.partitionBy("__kh", "__k")
-        .orderBy("__ts", "__tag", "__ord")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("__ts"), F.desc("__tag"), F.desc("__ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     anchors = u.withColumn(
-        "__m", F.first("__r", ignorenulls=True).over(w_fwd)
+        "__m", F.last("__r", ignorenulls=True).over(w_fwd)
     ).where(F.col("__tag") == 1)
     if tolerance_seconds is not None:
         fresh = F.col("__m").isNotNull() & (
