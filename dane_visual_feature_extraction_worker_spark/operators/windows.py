@@ -427,7 +427,10 @@ def rolling_median(
     of two ints — both engines interpolate identically and the final
     /100 is one deterministic IEEE divide. One shuffle + one sort
     (the entity window); the median itself is Catalyst's
-    ``percentile`` — no Python.
+    ``percentile`` — no Python. Cost: the sliding frame re-aggregates
+    per row, O(n·k) per entity — keep ``window_rows`` modest (it is a
+    feature width, not a data width; the whole-history median would
+    want a different plan).
     """
     w = (
         Window.partitionBy(entity)
