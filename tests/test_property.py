@@ -382,3 +382,68 @@ def test_rolling_median_random_vs_numpy(spark, vals, window):
     for i, r in enumerate(out):
         w = cents[max(0, i - window + 1) : i + 1]
         assert r["median_value"] == float(np.median(w)) / 100.0, (i, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(st.tuples(_entities, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_entities, _ts, st.integers(0, 5)), max_size=15),
+)
+def test_asof_nearest_forward_match_bruteforce_random(spark, left, right):
+    """Random inputs: nearest picks the min-abs-gap candidate with
+    backward tie-break; forward picks the min strictly-later candidate
+    — each vs a python brute force."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    lpd = pd.DataFrame(left, columns=["k", "t"]).drop_duplicates()
+    rpd = pd.DataFrame(right, columns=["k", "t", "o"]).drop_duplicates()
+    ldf = spark.createDataFrame(lpd, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    if len(rpd):
+        rdf = spark.createDataFrame(rpd, "k string, t long, o int").select(
+            "k", F.timestamp_seconds("t").alias("t"), "o"
+        )
+    else:
+        rdf = spark.createDataFrame([], "k string, t timestamp, o int")
+
+    def brute(kind):
+        out = {}
+        for k, t in lpd.itertuples(index=False):
+            cands = [
+                (rt, ro)
+                for rk, rt, ro in rpd.itertuples(index=False)
+                if rk == k
+            ] if len(rpd) else []
+            if kind == "forward":
+                fut = [(rt, ro) for rt, ro in cands if rt > t]
+                pick = min(fut, key=lambda c: (c[0], c[1])) if fut else None
+            else:  # nearest
+                if not cands:
+                    pick = None
+                else:
+                    # min by (abs gap, forward-after-backward, side ord rule)
+                    def rank(c):
+                        rt, ro = c
+                        back = rt <= t
+                        return (abs(rt - t), 0 if back else 1,
+                                -ro if back else ro)
+                    pick = min(cands, key=rank)
+            out[(k, t)] = pick
+        return out
+
+    for kind, fn in (("nearest", asof_join_nearest), ("forward", asof_join_forward)):
+        got = {
+            (r["k"], int(r["t"].timestamp())): (
+                None
+                if r["matched_ts"] is None
+                else (int(r["matched_ts"].timestamp()), r["o"])
+            )
+            for r in fn(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                        right_order="o").collect()
+        }
+        want = brute(kind)
+        assert got == want, kind
