@@ -88,6 +88,7 @@ HEADLINE = [
     "snapshot_diff",
     "skew_report",
     "streaming_enrich",
+    "asof_join_salted",
 ]
 
 

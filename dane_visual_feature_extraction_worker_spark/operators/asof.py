@@ -440,3 +440,85 @@ def asof_join_forward(
         F.col("__m.matched_ts").alias("matched_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in r_extra],
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    block_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Skew-safe as-of join: the hot-conversation twin of
+    ``asof_join_union`` (north rule: salted-key skew mitigation). The
+    plain union-window plan serializes each entity into ONE task's
+    sort+scan — a conversation with 10^8 turns is a straggler no
+    matter the cluster size (AQE cannot split a window partition).
+    Same time-block decomposition as ``salted_running_sum``:
+
+    1. salt by TIME RANGE (``block = floor(epoch(ts)/block_seconds)``)
+       and run the running-last match within each (entity, block)
+       partition — parallel across blocks of the same entity;
+    2. one summary row per (entity, block): the last right payload of
+       the block (``max_by`` over right rows only — anchors excluded
+       by a null ordering key, so empty blocks yield null);
+    3. a tiny window over block summaries carries the latest match
+       across STRICTLY earlier blocks; anchors whose block has no
+       earlier right row coalesce to the carry-in.
+
+    Output is row-identical to ``asof_join_union`` (asserted in tests
+    and by sharing its oracle): the in-block match IS the global match
+    whenever the block contains any right row at or before the
+    anchor, and otherwise the carry-in is exactly the latest right row
+    of all earlier blocks. Choose ``block_seconds`` so a hot entity's
+    densest block fits a task (blocks ≈ entity span / block_seconds);
+    cold entities pay one extra tiny join — route on a count rollup
+    (``skew_report``) exactly like ``auto_salt_prefix_features``.
+    """
+    u, l_cols, r_extra = _tagged_union(
+        left, right, on, left_ts, right_ts, right_order
+    )
+    from dane_visual_feature_extraction_worker_spark.functions import (
+        epoch_seconds,
+    )
+
+    u = u.withColumn(
+        "__blk",
+        F.floor(epoch_seconds("__ts") / F.lit(float(block_seconds))).cast(
+            "bigint"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__kh", "__k", "__blk")
+        .orderBy("__ts", "__tag", "__ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = u.withColumn("__m_in", F.last("__r", ignorenulls=True).over(w_in))
+    # right-rows-only argmax per block: a null ordering key makes
+    # max_by skip anchor rows entirely
+    right_ord = F.when(
+        F.col("__tag") == 0, F.struct(F.col("__ts"), F.col("__ord"))
+    )
+    summaries = u.groupBy("__kh", "__k", "__blk").agg(
+        F.max_by("__r", right_ord).alias("__blk_last")
+    )
+    w_blk = (
+        Window.partitionBy("__kh", "__k")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.withColumn(
+        "__carry", F.last("__blk_last", ignorenulls=True).over(w_blk)
+    ).select("__kh", "__k", "__blk", "__carry")
+    anchors = (
+        intra.where(F.col("__tag") == 1)
+        .join(carry, ["__kh", "__k", "__blk"])
+        .withColumn("__m", F.coalesce(F.col("__m_in"), F.col("__carry")))
+    )
+    return anchors.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        F.col("__m.matched_ts").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in r_extra],
+    )

@@ -3980,3 +3980,24 @@ ORACLES["streaming_enrich"] = """
           FROM events GROUP BY user_id) d USING (user_id)
 """
 QUERIES["streaming_enrich"] = streaming_enrich_q
+
+
+def asof_join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe as-of twin (operators/asof.asof_join_salted):
+    time-block decomposition parallelizes a hot conversation across
+    (entity, block) partitions; block summaries + a tiny carry window
+    restore the exact global match. Row-identical to `asof_join` —
+    shares its oracle (6-hour blocks so the sf tables span many)."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_salted,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join_salted(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id", block_seconds=6 * 3600.0,
+    )
+
+
+ORACLES["asof_join_salted"] = ORACLES["asof_join"]
+QUERIES["asof_join_salted"] = asof_join_salted_q

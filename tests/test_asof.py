@@ -236,3 +236,45 @@ def test_asof_forward_strict_and_tolerance(spark):
     assert out[2]["rid"] == 20
     assert out[3]["rid"] is None
     assert out[4]["rid"] is None
+
+
+def test_asof_salted_identical_to_plain_incl_empty_blocks(spark):
+    """Block decomposition is invisible: identical rows to the plain
+    union-window plan, including anchors whose own block has no right
+    row (carry-in across an arbitrary gap of empty blocks) and ties
+    inside one block."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_salted,
+        asof_join_union,
+    )
+
+    # right rows only in block 0; anchors stretch blocks 0..9 with a
+    # long empty-block gap; duplicate right ts exercises the ord tie
+    left = spark.createDataFrame(
+        [(1, s) for s in (5, 50, 450, 900)] + [(2, 100)],
+        "k long, sec long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 40, 3)],
+        "k long, sec long, rid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "rid")
+    plain = sorted(
+        map(tuple, asof_join_union(left, right, on="k", right_order="rid").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            asof_join_salted(
+                left, right, on="k", right_order="rid", block_seconds=100.0
+            ).collect(),
+        )
+    )
+    assert plain == salted
+    by_sec = {int(r[1].timestamp()): r for r in salted}
+    assert by_sec[5][3] is None           # before any right row
+    assert by_sec[50][3] == 3             # in-block latest
+    assert by_sec[450][3] == 3            # carry across empty blocks
+    assert by_sec[900][3] == 3
+    assert by_sec[100][3] is None         # other entity: no rights
