@@ -89,6 +89,7 @@ HEADLINE = [
     "skew_report",
     "streaming_enrich",
     "asof_join_salted",
+    "asof_join_routed",
 ]
 
 

@@ -522,3 +522,47 @@ def asof_join_salted(
         F.col("__m.matched_ts").alias("matched_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in r_extra],
     )
+
+
+def asof_join_routed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    hot_threshold: int = 1_000_000,
+    block_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Count-routed as-of: plain union-window for the cold majority,
+    time-block salted twin for entities whose COMBINED (left + right)
+    row count reaches ``hot_threshold`` — the same wired routing rule
+    as ``auto_salt_prefix_features`` (r4 VERDICT precedent), applied
+    to the flagship join. One cheap map-side-combined count per side
+    finds the hot set (≤ rows/threshold entities, always
+    broadcastable); the split is broadcast semi/anti, the slices run
+    their own plans, and the union is exact because salted is
+    row-identical to plain (``asof_join_salted`` docstring)."""
+    counts = (
+        left.select(F.col(on).alias("__e"))
+        .unionAll(right.select(F.col(on).alias("__e")))
+        .groupBy("__e")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    hot_keys = counts.where(F.col("__n") >= hot_threshold).select(
+        F.col("__e").alias(on)
+    )
+    kw = dict(on=on, left_ts=left_ts, right_ts=right_ts,
+              right_order=right_order)
+    cold = asof_join_union(
+        left.join(F.broadcast(hot_keys), on, "left_anti"),
+        right.join(F.broadcast(hot_keys), on, "left_anti"),
+        **kw,
+    )
+    hot = asof_join_salted(
+        left.join(F.broadcast(hot_keys), on, "left_semi"),
+        right.join(F.broadcast(hot_keys), on, "left_semi"),
+        block_seconds=block_seconds,
+        **kw,
+    ).select(*cold.columns)
+    return cold.unionByName(hot)

@@ -4001,3 +4001,24 @@ def asof_join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["asof_join_salted"] = ORACLES["asof_join"]
 QUERIES["asof_join_salted"] = asof_join_salted_q
+
+
+def asof_join_routed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-routed as-of (operators/asof.asof_join_routed): the
+    threshold sits at the sf0.01 per-user median so BOTH the plain and
+    salted paths execute under the gate; same oracle as asof_join
+    (routing is purely physical)."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_routed,
+    )
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join_routed(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="click_id", hot_threshold=30,
+        block_seconds=6 * 3600.0,
+    )
+
+
+ORACLES["asof_join_routed"] = ORACLES["asof_join"]
+QUERIES["asof_join_routed"] = asof_join_routed_q
