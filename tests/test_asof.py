@@ -278,3 +278,35 @@ def test_asof_salted_identical_to_plain_incl_empty_blocks(spark):
     assert by_sec[450][3] == 3            # carry across empty blocks
     assert by_sec[900][3] == 3
     assert by_sec[100][3] is None         # other entity: no rights
+
+
+def test_asof_routed_identical_both_paths(spark):
+    """Routed == plain on a mix where one entity crosses the threshold
+    (salted path) and the rest stay cold (plain path)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_routed,
+        asof_join_union,
+    )
+
+    left = spark.range(600).select(
+        F.when(F.col("id") < 500, 1).otherwise(F.col("id") % 5 + 2).alias("k"),
+        F.timestamp_seconds(F.col("id") * 7).alias("ts"),
+    )
+    right = spark.range(200).select(
+        F.when(F.col("id") < 150, 1).otherwise(F.col("id") % 5 + 2).alias("k"),
+        F.timestamp_seconds(F.col("id") * 11 + 1).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    plain = sorted(map(tuple, asof_join_union(left, right, on="k", right_order="rid").collect()))
+    routed = sorted(
+        map(
+            tuple,
+            asof_join_routed(
+                left, right, on="k", right_order="rid",
+                hot_threshold=100, block_seconds=500.0,
+            ).collect(),
+        )
+    )
+    assert plain == routed and len(plain) == 600
