@@ -226,3 +226,40 @@ def test_decoder_truncated_entropy_raises():
     cut = payload[: sos_at + 40]  # a few entropy bytes, then nothing
     with pytest.raises(ValueError):
         decode_jpeg(cut)
+
+
+def test_decoder_420_chroma_subsampling_handbuilt():
+    """Hand-assembled 4:2:0 JPEG (luma 2x2, chroma 1x1 — 4 Y blocks +
+    Cb + Cr per MCU): exercises the interleaved multi-block MCU walk
+    and the nearest-neighbor chroma upsample. Constant blocks with
+    unit quantizers make the expected RGB exact: Y=+8 -> 129,
+    Cr=+8 -> (130, 128, 129) after the JFIF conversion."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17)
+        + bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    dc_bits = [0, 2] + [0] * 14   # '00' -> cat 0, '01' -> cat 4
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2)
+        + b"\x00" + bytes(dc_bits) + bytes([0, 4])
+    )
+    ac_bits = [0, 1] + [0] * 14   # '00' -> EOB
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10" + bytes(ac_bits) + bytes([0])
+    )
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    # Y1: '01'+'1000' (+8), EOB; Y2-4: cat0, EOB; Cb: cat0, EOB;
+    # Cr: '01'+'1000' (+8), EOB  ->  0x60 0x00 0x00 0x60
+    scan = bytes([0x60, 0x00, 0x00, 0x60])
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3)
+    np.testing.assert_array_equal(
+        out, np.broadcast_to(np.array([130, 128, 129], np.uint8), (16, 16, 3))
+    )
