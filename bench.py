@@ -90,6 +90,8 @@ HEADLINE = [
     "streaming_enrich",
     "asof_join_salted",
     "asof_join_routed",
+    "promo_revenue",
+    "supplier_balance",
 ]
 
 

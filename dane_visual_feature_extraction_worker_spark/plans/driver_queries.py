@@ -4022,3 +4022,93 @@ def asof_join_routed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["asof_join_routed"] = ORACLES["asof_join"]
 QUERIES["asof_join_routed"] = asof_join_routed_q
+
+
+def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): one month of lineitem
+    joined to the part dim, conditional decimal revenue ratio. The dim
+    is broadcast (never shuffles lineitem on partkey); date filter
+    pushed to the big scan; the ratio divides two exact decimal sums
+    once, floor-truncated (the shared _r6 rule)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).alias("__pr"),
+        F.sum(rev).alias("__tr"),
+    )
+    return agg.select(
+        F.coalesce(F.col("__pr"), F.lit(0)).cast("double").alias("promo_revenue"),
+        F.col("__tr").cast("double").alias("total_revenue"),
+        _r6(
+            F.lit(100.0)
+            * F.coalesce(F.col("__pr"), F.lit(0)).cast("double")
+            / F.col("__tr").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+ORACLES["promo_revenue"] = """
+    WITH j AS (
+      SELECT CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+             p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    )
+    SELECT CAST(coalesce(sum(rev) FILTER (p_type LIKE 'PROMO%'), 0)
+                AS DOUBLE) AS promo_revenue,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue,
+           floor(100.0
+                 * CAST(coalesce(sum(rev) FILTER (p_type LIKE 'PROMO%'), 0)
+                        AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE) * 1000000.0) / 1000000.0
+             AS promo_pct
+    FROM j
+"""
+QUERIES["promo_revenue"] = promo_revenue_q
+
+
+def supplier_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance rollup through the nation/region dims
+    (both broadcast): count + exact decimal sum + decimal-cents max
+    per region — touches the last otherwise-unused input table."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _dsum("s_acctbal").alias("sum_acctbal"),
+            F.max(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("max_acctbal"),
+        )
+    )
+
+
+ORACLES["supplier_balance"] = """
+    SELECT r.r_name AS region,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal,
+           CAST(max(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+QUERIES["supplier_balance"] = supplier_balance_q
