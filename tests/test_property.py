@@ -447,3 +447,40 @@ def test_asof_nearest_forward_match_bruteforce_random(spark, left, right):
         }
         want = brute(kind)
         assert got == want, kind
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(st.tuples(_entities, _ts), min_size=1, max_size=14),
+    right=st.lists(st.tuples(_entities, _ts, st.integers(0, 5)), max_size=15),
+    block=st.sampled_from([1.0, 7.0, 50.0, 1000.0]),
+)
+def test_asof_salted_identical_to_plain_random(spark, left, right, block):
+    """Any block size (1 s .. one block for everything): the salted
+    decomposition returns row-identical results to the plain plan."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        asof_join_salted,
+        asof_join_union,
+    )
+
+    lpd = pd.DataFrame(left, columns=["k", "t"]).drop_duplicates()
+    rpd = pd.DataFrame(right, columns=["k", "t", "o"]).drop_duplicates()
+    ldf = spark.createDataFrame(lpd, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    if len(rpd):
+        rdf = spark.createDataFrame(rpd, "k string, t long, o int").select(
+            "k", F.timestamp_seconds("t").alias("t"), "o"
+        )
+    else:
+        rdf = spark.createDataFrame([], "k string, t timestamp, o int")
+    plain = sorted(
+        map(str, asof_join_union(ldf, rdf, on="k", left_ts="t",
+                                 right_ts="t", right_order="o").collect())
+    )
+    salted = sorted(
+        map(str, asof_join_salted(ldf, rdf, on="k", left_ts="t",
+                                  right_ts="t", right_order="o",
+                                  block_seconds=block).collect())
+    )
+    assert plain == salted
