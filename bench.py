@@ -92,6 +92,10 @@ HEADLINE = [
     "asof_join_routed",
     "promo_revenue",
     "supplier_balance",
+    "funnel_conversion",
+    "retention_cohorts",
+    "decayed_features",
+    "transcript_digest",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Ordered event-sequence analytics: funnels and retention cohorts.
+
+The reference's per-entity ordered traversal (sorted timestamp key list,
+data_handling.py:33, consumed in order by the batch loop,
+feature_extraction.py:70-81) generalizes to the two classic
+event-sequence questions a transcript/behavior corpus gets asked at
+scale: "how far through an ordered step sequence did each entity get"
+(funnel) and "how does activity persist relative to each entity's first
+appearance" (retention). Both are single-digit-shuffle Catalyst plans —
+no self-joins-per-step, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: per entity, the timestamp of the first
+    occurrence of step k that falls STRICTLY after the resolved time of
+    step k-1 (first view, then first click after that view, then first
+    purchase after that click, ...). Returns one row per entity with
+    ``t_<step>`` columns (NULL once the chain breaks) plus ``reached``,
+    the number of completed steps.
+
+    Plan — ONE window pass, no per-step self-joins: over the ts-sorted
+    per-entity run, ``r_k = min(CASE step_k AND ts > r_{k-1})`` as a
+    running (unbounded-preceding..current) frame. A running min is
+    equivalent to the global min here: any step-k candidate ordered
+    AFTER the current row has ts >= current ts, so it can never satisfy
+    the strict ``ts > r_k`` test the current row performs. The final
+    per-entity reduction is a groupBy on the same key the window
+    shuffled on — Catalyst reuses the exchange, so the whole funnel is
+    one shuffle + one sort regardless of step count. O(steps) state per
+    row; step count is a query constant, never data-sized.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    prev_run = None
+    run_cols = []
+    for i, step in enumerate(steps):
+        if prev_run is None:
+            cand = F.when(F.col(type_col) == step, F.col(ts_col))
+        else:
+            cand = F.when(
+                (F.col(type_col) == step) & (F.col(ts_col) > F.col(prev_run)),
+                F.col(ts_col),
+            )
+        cand_name = f"__cand_{i}"
+        run_name = f"__run_{i}"
+        out = out.withColumn(cand_name, cand).withColumn(
+            run_name, F.min(cand_name).over(w)
+        )
+        prev_run = run_name
+        run_cols.append((step, cand_name))
+    agg = out.groupBy(entity).agg(
+        *[F.min(c).alias(f"t_{s}") for s, c in run_cols]
+    )
+    reached = F.lit(0)
+    for s, _ in run_cols:
+        reached = reached + F.col(f"t_{s}").isNotNull().cast("int")
+    # chain-break monotonicity holds by construction (cand_k needs r_{k-1})
+    return agg.select(
+        entity,
+        *[f"t_{s}" for s, _ in run_cols],
+        reached.cast("int").alias("reached"),
+    )
+
+
+def retention_matrix(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Cohort retention: entities grouped by the bucket of their FIRST
+    event (the cohort), counted distinctly at each bucket offset since
+    that first event — the "day-N retention" matrix.
+
+    Plan: one map-side-combined ``min`` per entity (tiny result: one
+    row per entity) joined back on the entity key — the join reuses
+    the aggregation's hash partitioning, so no extra exchange on the
+    big side — then one groupBy (cohort, offset) with an exact
+    count_distinct. At 100 TB the first agg output is |entities| rows
+    (always << events); the final matrix is |cohorts| x |offsets|,
+    report-sized. All Catalyst; day arithmetic in integer days.
+    """
+    firsts = df.groupBy(entity).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("__cohort")
+    )
+    joined = df.join(firsts, on=entity)
+    return (
+        joined.groupBy(
+            F.col("__cohort").alias("cohort"),
+            F.datediff(F.date_trunc(bucket, F.col(ts_col)), F.col("__cohort"))
+            .cast("int")
+            .alias("offset_days"),
+        )
+        .agg(F.countDistinct(entity).alias("n_entities"))
+        .select("cohort", "offset_days", "n_entities")
+    )

@@ -467,3 +467,46 @@ def rank_features(
         F.cume_dist().over(w).alias("cume"),
         F.ntile(n_tiles).over(w).cast("int").alias("tile"),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    n_terms: int = 16,
+) -> DataFrame:
+    """Exponentially time-decayed rolling sum (half-life = one row):
+    ``sum_{k=0..n-1} value[t-k] * 2^-k`` per entity — the recency-
+    weighted activity feature plain rolling means can't give (recent
+    turns dominate, old turns fade dyadically). Leakage-free: every
+    term is at-or-before the anchor row (reference anchor discipline,
+    data_handling.py:74-84 — features read only ts <= anchor).
+
+    Cross-engine float discipline: the value routes through integer
+    cents (the ``_dsum`` precedent) and the weights are *dyadic*
+    (2^-k), so every term ``cents * 2^-k`` is exact in float64 for
+    k <= 30 and the n-term sum commutes bit-for-bit on any engine —
+    no quantization or rounding gate needed.
+
+    Plan: ``n_terms`` ``lag`` expressions over ONE window — a single
+    shuffle + sort per entity, whole-stage-codegen, O(n_terms) work
+    per row with no sliding re-aggregation (contrast rolling_median's
+    O(n·k) percentile frame).
+    """
+    if not 1 <= n_terms <= 30:
+        raise ValueError(f"n_terms must be in [1, 30], got {n_terms}")
+    w = _w(entity, order)
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    terms = [
+        F.coalesce(F.lag(cents, k).over(w), F.lit(0)) * F.lit(2.0 ** -k)
+        for k in range(n_terms)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return df.select(
+        entity,
+        *order,
+        (total / F.lit(100.0)).alias("decayed_value"),
+    )

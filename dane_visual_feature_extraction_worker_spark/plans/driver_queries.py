@@ -4112,3 +4112,137 @@ ORACLES["supplier_balance"] = """
     GROUP BY r.r_name
 """
 QUERIES["supplier_balance"] = supplier_balance_q
+
+
+# ------------------------------------------------- event-sequence suite
+
+
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view -> click -> purchase per user
+    (operators/funnel.funnel_steps): first view, first click strictly
+    after it, first purchase strictly after that. ONE window pass +
+    an exchange-reusing groupBy — no per-step self-joins. The ordered
+    traversal is the reference's sorted-key loop (data_handling.py:33)
+    asked the classic sequence question."""
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    return funnel_steps(
+        _events(spark, sf_dir), steps=("view", "click", "purchase")
+    )
+
+
+ORACLES["funnel_conversion"] = """
+    WITH s0 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN ts END AS c0,
+               min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS r0
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s1 AS (
+        SELECT user_id, ts, event_id, event_type, c0,
+               CASE WHEN event_type = 'click' AND ts > r0 THEN ts END AS c1,
+               min(CASE WHEN event_type = 'click' AND ts > r0 THEN ts END)
+                   OVER w AS r1
+        FROM s0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+        SELECT user_id, c0, c1,
+               CASE WHEN event_type = 'purchase' AND ts > r1
+                    THEN ts END AS c2
+        FROM s1
+    )
+    SELECT user_id,
+           min(c0) AS t_view,
+           min(c1) AS t_click,
+           min(c2) AS t_purchase,
+           CAST(CAST(min(c0) IS NOT NULL AS INT)
+                + CAST(min(c1) IS NOT NULL AS INT)
+                + CAST(min(c2) IS NOT NULL AS INT) AS INT) AS reached
+    FROM s2
+    GROUP BY user_id
+"""
+QUERIES["funnel_conversion"] = funnel_conversion_q
+
+
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention matrix (operators/funnel.retention_matrix):
+    cohort = day of first event per user; one tiny min-per-user agg
+    joined back on the same key (exchange reuse), then one exact
+    count_distinct per (cohort, offset)."""
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        retention_matrix,
+    )
+
+    return retention_matrix(_events(spark, sf_dir), bucket="day")
+
+
+ORACLES["retention_cohorts"] = """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS INT)
+             AS offset_days,
+           count(DISTINCT e.user_id) AS n_entities
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+"""
+QUERIES["retention_cohorts"] = retention_cohorts_q
+
+
+def decayed_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic time-decayed rolling sum (operators/windows.decayed_sum):
+    sum_{k<16} value[t-k] * 2^-k per user — recency-weighted activity,
+    leakage-free (all terms at-or-before the anchor). Exact cross-
+    engine: integer cents x dyadic weights, every term and the sum
+    bit-identical in float64 — no rounding gate."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        decayed_sum,
+    )
+
+    return decayed_sum(_events(spark, sf_dir), n_terms=16)
+
+
+ORACLES["decayed_features"] = """
+    SELECT user_id, ts, event_id,
+           (""" + " + ".join(
+    "coalesce(lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), "
+    f"{k}) OVER w, 0) * {2.0 ** -k!r}"
+    for k in range(16)
+) + """
+           ) / 100.0 AS decayed_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+QUERIES["decayed_features"] = decayed_features_q
+
+
+def transcript_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation order-sensitive digest
+    (operators/integrity.ordered_digest): md5 over (event_id|type)
+    payloads in stable (ts, event_id) order — the north rule's
+    "per-turn text equality under stable ordering" certificate as one
+    O(|entities|)-sized relation. Partition-layout independent: the
+    stable order is re-established by sort_array AFTER the partial
+    merges."""
+    from dane_visual_feature_extraction_worker_spark.operators.integrity import (
+        ordered_digest,
+    )
+
+    return ordered_digest(_events(spark, sf_dir))
+
+
+ORACLES["transcript_digest"] = """
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_turns,
+           md5(string_agg(CAST(event_id AS VARCHAR) || '|' || event_type,
+                          chr(31) ORDER BY ts, event_id)) AS digest
+    FROM events
+    GROUP BY user_id
+"""
+QUERIES["transcript_digest"] = transcript_digest_q
