@@ -96,6 +96,11 @@ HEADLINE = [
     "retention_cohorts",
     "decayed_features",
     "transcript_digest",
+    "target_encode_pit",
+    "hashed_cross",
+    "holdout_last_k",
+    "session_features",
+    "standardize",
 ]
 
 

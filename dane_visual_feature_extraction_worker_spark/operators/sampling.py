@@ -22,8 +22,10 @@ run own".
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: key space: first 8 md5 hex digits = 32 uniform bits
 SAMPLE_SPACE = 1 << 32
@@ -207,4 +209,32 @@ def shuffle_assign(
         id_col,
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def holdout_last_k(
+    df: DataFrame,
+    k: int = 5,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Temporal train/eval split: each entity's LAST ``k`` rows (in
+    stable time order) become the eval slice, everything earlier is
+    train — the leakage-safe alternative to a random split for
+    time-ordered corpora (a random split trains on the future of its
+    own eval rows; this never does). Deterministic on any layout.
+
+    Plan: one row_number over the REVERSED per-entity order (one
+    shuffle + one sort); the split label is a narrow CASE. At 100 TB
+    this is the same exchange every other per-entity window rides —
+    schedule it in the same stage as the feature windows and the
+    split is free.
+    """
+    rev = [F.col(c).desc() for c in order]
+    w = Window.partitionBy(entity).orderBy(*rev)
+    return df.withColumn(
+        "split",
+        F.when(F.row_number().over(w) <= k, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
     )

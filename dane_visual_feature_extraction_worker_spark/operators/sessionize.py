@@ -53,3 +53,46 @@ def session_stats(
         F.min(ts).alias("start_ts"),
         F.max(ts).alias("end_ts"),
     )
+
+
+def session_features(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    order: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-row session descriptors WITHOUT a join: session_id (gap
+    rule), position within the session (PIT-safe: counts only rows
+    at-or-before the anchor), and session-level size/duration
+    (observation-time analytics — they read the whole session
+    including rows after the anchor, so they are session DESCRIPTORS,
+    not training features; same flag discipline as asof_join_nearest).
+
+    Plan: sessionize's per-entity window + a second window keyed on
+    (entity, session_id) with an unbounded frame. HashPartitioning on
+    ``entity`` SATISFIES the (entity, session_id) clustering (subset
+    rule), so the second window adds a sort but NO second exchange —
+    the whole operator is one shuffle end to end (plan-audit-tested).
+    """
+    order = list(order) if order else [ts]
+    s = sessionize(df, gap_seconds, entity, ts, order)
+    w_pos = Window.partitionBy(entity, "session_id").orderBy(*order)
+    w_all = (
+        Window.partitionBy(entity, "session_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dur = epoch_seconds(F.max(ts).over(w_all)) - epoch_seconds(
+        F.min(ts).over(w_all)
+    )
+    return s.select(
+        entity,
+        *order,
+        "session_id",
+        F.row_number().over(w_pos).cast("bigint").alias("pos_in_session"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("session_n_turns"),
+        (F.floor(dur * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias(
+            "session_duration_s"
+        ),
+    )

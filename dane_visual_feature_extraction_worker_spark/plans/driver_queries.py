@@ -4246,3 +4246,170 @@ ORACLES["transcript_digest"] = """
     GROUP BY user_id
 """
 QUERIES["transcript_digest"] = transcript_digest_q
+
+
+# --------------------------------------------------- encoding + splits
+
+
+def target_encode_pit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encoding (operators/encoding.target_encode_pit):
+    per-row mean of value over STRICTLY EARLIER rows of the same
+    category (frame ends at -1; the row's own target never leaks).
+    Exact: integer-cents numerator / int count — one IEEE divide.
+    One window; skew note in the operator docstring (category domains
+    are small — route hot categories through the salted prefix
+    machinery at scale)."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        target_encode_pit,
+    )
+
+    return target_encode_pit(_events(spark, sf_dir))
+
+
+ORACLES["target_encode_pit"] = """
+    SELECT ts, event_id, event_type,
+           CASE WHEN count(c) OVER w > 0
+                THEN (CAST(sum(c) OVER w AS DOUBLE)
+                      / CAST(count(c) OVER w AS DOUBLE)) / 100.0
+           END AS target_enc,
+           count(c) OVER w AS n_prior
+    FROM (SELECT ts, event_id, event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+QUERIES["target_encode_pit"] = target_encode_pit_q
+
+
+def hashed_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature cross (operators/encoding.hashed_cross):
+    (event_type x user_id) folded into 1024 buckets via md5 first-8-hex
+    — zero shuffles, zero vocabulary build, engine-replayable."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        hashed_cross,
+    )
+
+    return hashed_cross(
+        _events(spark, sf_dir), cols=("event_type", "user_id"), n_buckets=1024
+    ).select("event_id", "cross_bucket")
+
+
+ORACLES["hashed_cross"] = f"""
+    WITH h AS (
+      SELECT event_id,
+             md5(concat_ws('|', event_type, CAST(user_id AS VARCHAR))) AS hx
+      FROM events
+    )
+    SELECT event_id,
+           ({_sample_key_terms_sql()}) % 1024 AS cross_bucket
+    FROM h
+"""
+QUERIES["hashed_cross"] = hashed_cross_q
+
+
+def holdout_last_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split (operators/sampling.holdout_last_k):
+    each user's last 5 events are eval, the rest train — the
+    leakage-safe split for time-ordered corpora. One reversed-order
+    row_number on the shared per-entity exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        holdout_last_k,
+    )
+
+    return holdout_last_k(_events(spark, sf_dir), k=5).select(
+        "event_id", "user_id", "ts", "split"
+    )
+
+
+ORACLES["holdout_last_k"] = """
+    SELECT event_id, user_id, ts,
+           CASE WHEN row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) <= 5
+                THEN 'eval' ELSE 'train' END AS split
+    FROM events
+"""
+QUERIES["holdout_last_k"] = holdout_last_k_q
+
+
+def session_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row session descriptors with NO join
+    (operators/sessionize.session_features): gap sessionization +
+    position-in-session (PIT-safe) + session size/duration
+    (observation-time descriptors, flagged). HashPartitioning(user_id)
+    satisfies the (user_id, session_id) clustering, so the second
+    window adds a sort but no exchange — one shuffle end to end
+    (plan-audit-tested)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_features,
+    )
+
+    return session_features(
+        _events(spark, sf_dir),
+        gap_seconds=3600.0,
+        entity="user_id",
+        ts="ts",
+        order=["ts", "event_id"],
+    )
+
+
+ORACLES["session_features"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - 1 AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, ts, event_id, session_id,
+           row_number() OVER ws AS pos_in_session,
+           count(*) OVER wa AS session_n_turns,
+           floor((epoch(max(ts) OVER wa) - epoch(min(ts) OVER wa))
+                 * 1000000.0) / 1000000.0 AS session_duration_s
+    FROM sess
+    WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id),
+           wa AS (PARTITION BY user_id, session_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING)
+"""
+QUERIES["session_features"] = session_features_q
+
+
+def standardize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-normalization (operators/encoding.standardize): the
+    reference's z-norm (get_sepectogram.py:63-64) with corpus-level
+    stats — one tiny exact-decimal aggregate broadcast into a narrow
+    map; the corpus never shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        standardize,
+    )
+
+    return standardize(_events(spark, sf_dir))
+
+
+ORACLES["standardize"] = """
+    WITH c AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), s AS (
+      SELECT count(c) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS ss
+      FROM c
+    )
+    SELECT event_id,
+           floor((c - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                 * 1000000.0) / 1000000.0 AS z_value
+    FROM c, s
+"""
+QUERIES["standardize"] = standardize_q
