@@ -126,3 +126,105 @@ def standardize(
         *keys,
         (F.floor(z * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias("z_value"),
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value: str = "value",
+    n_buckets: int = 10,
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Global quantile binning (decile features): bucket k holds rows
+    between the k/n and (k+1)/n corpus quantiles. Two-pass — ONE tiny
+    exact `percentile` aggregate over integer cents (n-1 numbers)
+    broadcast into a narrow comparison map; the corpus never shuffles
+    and there is NO global sort (the naive ntile-over-everything plan
+    is one task at 100 TB; this is O(corpus) map work).
+
+    Parity: DISCRETE quantiles (inverse ECDF — the smallest value with
+    cumulative distribution >= q), so every threshold is an ACTUAL
+    integer cent, never an interpolation: interpolated quantiles of
+    tied values can round 1 ULP apart between engines and flip a
+    boundary row's bucket; discrete ones cannot. The bucket id is then
+    a sum of pure integer comparisons — engine-exact end to end.
+    """
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    qs = [k / n_buckets for k in range(1, n_buckets)]
+    stats = df.select(cents.alias("__c")).agg(
+        *[
+            F.expr(
+                f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY __c)"
+            ).alias(f"__q{k}")
+            for k, q in enumerate(qs, 1)
+        ]
+    )
+    j = df.join(F.broadcast(stats))
+    bucket = F.lit(0)
+    for k in range(1, n_buckets):
+        bucket = bucket + (cents > F.col(f"__q{k}")).cast("int")
+    return j.select(*keys, bucket.cast("int").alias("bucket"))
+
+
+def freq_encode(
+    df: DataFrame,
+    category: str = "event_type",
+    min_count: int = 0,
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Frequency (count) encoding with rare-category collapse: each row
+    gets its category's corpus count and share; categories below
+    ``min_count`` collapse into the '__other__' bucket (the standard
+    guard against high-cardinality tails memorizing single rows).
+
+    Plan: one map-side-combined count per category (|domain| rows —
+    always broadcastable) + a broadcast join back; the corpus never
+    shuffles. The share is one IEEE divide of two exact ints.
+    """
+    counts = df.groupBy(category).agg(F.count(F.lit(1)).alias("__cnt"))
+    total = df.count()
+    j = df.join(F.broadcast(counts), on=category)
+    cat_out = F.when(
+        F.col("__cnt") >= min_count, F.col(category).cast("string")
+    ).otherwise(F.lit("__other__"))
+    return j.select(
+        *keys,
+        cat_out.alias("category"),
+        F.col("__cnt").alias("cat_count"),
+        (F.col("__cnt") / F.lit(float(total))).alias("cat_share"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value: str = "value",
+    lower: float = 0.01,
+    upper: float = 0.99,
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Winsorization: clip the value at the global [lower, upper]
+    corpus quantiles — the standard robust-preprocessing step before
+    standardization (a single fat-finger outlier otherwise owns the
+    variance). Same two-pass shape as quantile_bucketize: one tiny
+    exact-percentile aggregate over integer cents, broadcast into a
+    narrow clamp; no corpus shuffle, no global sort.
+
+    Parity: DISCRETE quantiles (inverse ECDF — actual integer cents,
+    never an interpolation that can round 1 ULP apart between
+    engines); the clamp is integer min/max; the final /100 is one
+    IEEE divide.
+    """
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    stats = df.select(cents.alias("__c")).agg(
+        F.expr(
+            f"percentile_disc({lower!r}) WITHIN GROUP (ORDER BY __c)"
+        ).alias("__lo"),
+        F.expr(
+            f"percentile_disc({upper!r}) WITHIN GROUP (ORDER BY __c)"
+        ).alias("__hi"),
+    )
+    j = df.join(F.broadcast(stats))
+    clipped = F.least(F.greatest(cents, F.col("__lo")), F.col("__hi"))
+    return j.select(
+        *keys,
+        (clipped / F.lit(100.0)).alias("value_winsor"),
+    )
