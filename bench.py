@@ -101,6 +101,13 @@ HEADLINE = [
     "holdout_last_k",
     "session_features",
     "standardize",
+    "quantile_bucketize",
+    "freq_encode",
+    "winsorize",
+    "group_kfold",
+    "future_window_label",
+    "tool_usage_profile",
+    "bigram_quality",
 ]
 
 

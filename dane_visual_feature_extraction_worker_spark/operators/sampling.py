@@ -238,3 +238,29 @@ def holdout_last_k(
             F.lit("train")
         ),
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    k: int = 5,
+    group: str = "user_id",
+    salt: str = "kfold",
+) -> DataFrame:
+    """Grouped k-fold assignment: every row of a group lands in the
+    SAME fold (fold = md5-key(group) mod k), so cross-validation never
+    trains on one row of an entity while evaluating on another — the
+    grouped analogue of ``dataset_split``'s leakage guarantee. The
+    assignment is a pure function of the group id: stable across runs,
+    engines, partition layouts, and as new rows arrive for an existing
+    group (an id-range or row-number fold would reshuffle existing
+    groups every time the corpus grows).
+
+    Plan at 100 TB: a narrow map over the scan — NO shuffle, NO
+    group-list materialization, no join; the md5 key is recomputed
+    per-row, which is cheaper at scale than shipping a groups->fold
+    table around.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    fold = F.pmod(sample_key(F.col(group), salt), F.lit(k))
+    return df.withColumn("fold", fold.cast("int"))

@@ -321,6 +321,40 @@ def unigram_logprob_score(
     nll_mean = (nll_micro_sum div n_toks) / 1e6.
     """
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    return _lm_score(toks, id_col, vocab_k)
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    vocab_k: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram-LM quality score: the context-sensitive sibling of
+    ``unigram_logprob_score`` — per-document mean -ln p(bigram) under
+    the corpus's own top-K *word-pair* model. Catches the failure mode
+    a unigram model is blind to: text whose individual words are all
+    common but whose word ORDER is scrambled (template spam, keyword
+    stuffing, shuffled n-gram spinners) scores high here while scoring
+    low on the unigram model.
+
+    Identical quantization/aggregation contract as the unigram scorer
+    (integer micro-nats end to end, exact 64-bit aggregation, SQL
+    oracle replays it bit for bit); identical two-shuffle plan shape —
+    the explode emits one bigram per adjacent token pair (the token
+    array is materialized once per doc before slicing, see _ngrams).
+    Docs with fewer than 2 tokens have no bigrams and are excluded.
+    """
+    arr = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    toks = arr.select(
+        F.col(id_col), F.explode(_ngrams(F.col("__toks"), 2)).alias("term")
+    )
+    return _lm_score(toks, id_col, vocab_k)
+
+
+def _lm_score(toks: DataFrame, id_col: str, vocab_k: int) -> DataFrame:
+    """Shared top-K corpus-LM scorer over a (id, term) stream — see
+    ``unigram_logprob_score`` for the exactness and plan contract."""
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n")).collect()[0][0] or 0  # ONE scalar
     if total == 0:

@@ -4413,3 +4413,278 @@ ORACLES["standardize"] = """
     FROM c, s
 """
 QUERIES["standardize"] = standardize_q
+
+
+_ECDF_DECILES = ", ".join(
+    f"(SELECT min(c) FROM ranked WHERE cd >= {k / 10!r}) AS q{k}"
+    for k in range(1, 10)
+)
+
+
+def quantile_bucketize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile binning (operators/encoding.quantile_bucketize):
+    one tiny percentile_disc aggregate broadcast into a narrow
+    comparison map — no corpus shuffle, no global sort (the ntile
+    alternative is one task at 100 TB). DISCRETE quantiles (actual
+    integer cents) because interpolated ones can round 1 ULP apart
+    between engines on tied values and flip a boundary row."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        quantile_bucketize,
+    )
+
+    return quantile_bucketize(_events(spark, sf_dir), n_buckets=10)
+
+
+ORACLES["quantile_bucketize"] = f"""
+    WITH c AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), ranked AS (
+      SELECT c, cume_dist() OVER (ORDER BY c) AS cd FROM c
+    ), t AS (
+      SELECT {_ECDF_DECILES}
+    )
+    SELECT event_id,
+           CAST({" + ".join(f"CAST(c.c > t.q{k} AS INT)" for k in range(1, 10))}
+                AS INT) AS bucket
+    FROM c, t
+"""
+QUERIES["quantile_bucketize"] = quantile_bucketize_q
+
+
+def freq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding + rare-category collapse
+    (operators/encoding.freq_encode): category corpus count/share per
+    row, categories under 2000 rows folded to '__other__' (the
+    sf0.01 domain straddles 2000, so BOTH branches execute). One tiny
+    count agg + broadcast join back — the corpus never shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        freq_encode,
+    )
+
+    return freq_encode(_events(spark, sf_dir), min_count=2000)
+
+
+ORACLES["freq_encode"] = """
+    WITH counts AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    ), tot AS (SELECT count(*) AS n FROM events)
+    SELECT e.event_id,
+           CASE WHEN c.cnt >= 2000 THEN e.event_type
+                ELSE '__other__' END AS category,
+           c.cnt AS cat_count,
+           CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS cat_share
+    FROM events e JOIN counts c USING (event_type), tot t
+"""
+QUERIES["freq_encode"] = freq_encode_q
+
+
+def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at the global [p01, p99] (operators/encoding.
+    winsorize): discrete-quantile clamp, same two-pass broadcast shape
+    as quantile_bucketize — robust preprocessing before standardize."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        winsorize,
+    )
+
+    return winsorize(_events(spark, sf_dir), lower=0.01, upper=0.99)
+
+
+ORACLES["winsorize"] = """
+    WITH c AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), ranked AS (
+      SELECT c, cume_dist() OVER (ORDER BY c) AS cd FROM c
+    ), t AS (
+      SELECT (SELECT min(c) FROM ranked WHERE cd >= 0.01) AS lo,
+             (SELECT min(c) FROM ranked WHERE cd >= 0.99) AS hi
+    )
+    SELECT event_id,
+           CAST(least(greatest(c.c, t.lo), t.hi) AS DOUBLE) / 100.0
+             AS value_winsor
+    FROM c, t
+"""
+QUERIES["winsorize"] = winsorize_q
+
+
+def group_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold CV assignment (operators/sampling.group_kfold):
+    fold = md5-key(user_id) mod 5, so every event of an entity shares a
+    fold — the grouped analogue of dataset_split's leakage guarantee.
+    Pure narrow map: NO shuffle, no group-table join; stable as the
+    corpus grows."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    return group_kfold(_events(spark, sf_dir), k=5, group="user_id").select(
+        "event_id", "user_id", "fold"
+    )
+
+
+ORACLES["group_kfold"] = f"""
+    WITH h AS (
+      SELECT event_id, user_id,
+             md5('kfold' || '|' || CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(({_sample_key_terms_sql()}) % 5 AS INT) AS fold
+    FROM h
+"""
+QUERIES["group_kfold"] = group_kfold_q
+
+
+def future_window_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label construction (operators/labels.
+    future_window_label): label=1 iff a 'purchase' occurs for the same
+    user STRICTLY after the row (stable (ts, event_id) order) within 24
+    h; tte_micros = exact integer-microsecond gap to the next purchase
+    at any horizon. The strict-future frame is the leakage boundary —
+    an anchor that is itself a purchase never labels itself. Spark plan
+    is the O(n) reversed running-last (the O(n²) min-over-following
+    class is documented in BENCH/BASELINE.md); the oracle uses the
+    declarative following-frame min, which DuckDB evaluates via segment
+    trees — same values, each engine's natural plan."""
+    from dane_visual_feature_extraction_worker_spark.operators.labels import (
+        future_window_label,
+    )
+
+    return future_window_label(
+        _events(spark, sf_dir),
+        target="purchase",
+        horizon_s=86400,
+        entity="user_id",
+    ).select("event_id", "label", "tte_micros")
+
+
+ORACLES["future_window_label"] = """
+    WITH m AS (
+      SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS mic
+      FROM events
+    ), nxt AS (
+      SELECT event_id, mic,
+             min(CASE WHEN event_type = 'purchase' THEN mic END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS nt
+      FROM m
+    )
+    SELECT event_id,
+           CASE WHEN nt IS NOT NULL AND nt - mic <= 86400000000
+                THEN 1 ELSE 0 END AS label,
+           nt - mic AS tte_micros
+    FROM nxt
+"""
+QUERIES["future_window_label"] = future_window_label_q
+
+
+def tool_usage_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT-safe tool-usage features over the transcript projection
+    (operators/toolusage.tool_usage_profile): prior tool-call count,
+    prior DISTINCT tool count (running sum of first-occurrence flags —
+    no per-row set state), turns since last tool call. Two tool names
+    are mapped ('pay', 'retry') so the distinct counter genuinely
+    advances past 1. Both windows cluster by conv_id, so Catalyst's
+    subset rule keeps it ONE exchange + two sorts, zero joins."""
+    from dane_visual_feature_extraction_worker_spark.operators.toolusage import (
+        tool_usage_profile,
+    )
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "purchase", F.lit("pay"))
+        .when(F.col("event_type") == "error", F.lit("retry"))
+        .alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return tool_usage_profile(tr)
+
+
+ORACLES["tool_usage_profile"] = """
+    WITH tr AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             CASE event_type WHEN 'purchase' THEN 'pay'
+                  WHEN 'error' THEN 'retry' END AS tool,
+             ts
+      FROM events
+    ), flagged AS (
+      SELECT conv_id, turn_idx, tool, ts,
+             CASE WHEN tool IS NOT NULL AND row_number() OVER (
+                    PARTITION BY conv_id, tool ORDER BY ts, turn_idx
+                  ) = 1 THEN 1 ELSE 0 END AS first_use
+      FROM tr
+    )
+    SELECT conv_id, turn_idx,
+           CAST(coalesce(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                         OVER w, 0) AS BIGINT) AS tools_so_far,
+           CAST(coalesce(sum(first_use) OVER w, 0)
+                AS BIGINT) AS distinct_tools_so_far,
+           CAST(turn_idx - last_value(
+                  CASE WHEN tool IS NOT NULL THEN turn_idx END IGNORE NULLS
+                ) OVER w AS BIGINT) AS turns_since_tool
+    FROM flagged
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+QUERIES["tool_usage_profile"] = tool_usage_profile_q
+
+
+def bigram_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (operators/textstats.
+    bigram_logprob_score): context-sensitive sibling of
+    unigram_quality — scrambled-word spam scores high here while
+    passing the unigram filter. Same integer micro-nat quantization,
+    same two-shuffle plan; vocab_k=1024 word pairs."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        bigram_logprob_score,
+    )
+
+    return bigram_logprob_score(_documents(spark, sf_dir), vocab_k=1024)
+
+
+ORACLES["bigram_quality"] = r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS term
+      FROM arr WHERE len(t) >= 2
+    ), counts AS (
+      SELECT term, count(*) AS n FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts
+    ), vocab AS (
+      SELECT term,
+             CAST(floor(ln(tot.total / n) * 1e6) AS BIGINT) AS lp_micro
+      FROM counts CROSS JOIN tot
+      ORDER BY n DESC, term ASC LIMIT 1024
+    ), scored AS (
+      SELECT toks.doc_id,
+             coalesce(vocab.lp_micro,
+                      (SELECT CAST(floor(ln(2 * total) * 1e6) AS BIGINT)
+                       FROM tot)) AS lp,
+             CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks LEFT JOIN vocab USING (term)
+    )
+    SELECT doc_id,
+           count(*) AS n_toks,
+           CAST(sum(oov) AS BIGINT) AS oov_toks,
+           CAST(sum(lp) AS BIGINT) AS nll_micro_sum,
+           CAST(sum(lp) // count(*) AS DOUBLE) / 1e6 AS nll_mean
+    FROM scored
+    GROUP BY doc_id
+"""
+QUERIES["bigram_quality"] = bigram_quality_q
