@@ -108,6 +108,9 @@ HEADLINE = [
     "future_window_label",
     "tool_usage_profile",
     "bigram_quality",
+    "sft_pairs",
+    "context_window",
+    "collapse_repeats",
 ]
 
 

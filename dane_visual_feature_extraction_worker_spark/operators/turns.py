@@ -1,0 +1,155 @@
+"""Turn-level transcript→training-data operators.
+
+The last mile of a transcript pipeline is reshaping turn streams into
+model-ready examples: (prompt, response) pairs for SFT, fixed-size
+rolling context windows for sequence models, and collapsing the
+consecutive duplicate turns that retry loops leave behind. All three
+are pure per-conversation window plans — they ride the SAME
+hash(conv_id) exchange the feature kernel already pays, so in a fused
+pipeline they are free of incremental shuffles; none uses a join or a
+single byte of Python in the hot path.
+
+Reference provenance: the reference worker's unit of work is one
+source_id's ordered keyframe list (worker.py:66-90,
+data_handling.py:31-44); these operators are the corpus-scale
+generalization of "walk one conversation in order and emit training
+records".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def sft_pairs(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Extract adjacent (prompt, response) turn pairs: every
+    ``response_role`` turn whose IMMEDIATELY preceding turn (stable
+    per-conversation order) is a ``prompt_role`` turn becomes one
+    supervised example. Non-adjacent pairs are deliberately excluded —
+    an intervening tool/system turn changes what the response was
+    conditioned on, so gluing across it would corrupt the example.
+
+    Plan: one lag window per conversation — no self-join (the naive
+    formulation joins the table to itself on turn_idx+1, a second
+    corpus-wide shuffle and a hash probe per row; the lag is free on
+    the per-entity exchange). Returns (conv, turn_idx of the response,
+    prompt, response).
+    """
+    w = Window.partitionBy(conv).orderBy(*[F.col(c) for c in order])
+    prev_role = F.lag(F.col(role)).over(w)
+    prev_text = F.lag(F.col(text)).over(w)
+    return (
+        tr.select(
+            conv,
+            "turn_idx",
+            F.col(role).alias("__r"),
+            prev_role.alias("__pr"),
+            prev_text.alias("prompt"),
+            F.col(text).alias("response"),
+        )
+        .where((F.col("__r") == response_role) & (F.col("__pr") == prompt_role))
+        .drop("__r", "__pr")
+    )
+
+
+def context_window(
+    tr: DataFrame,
+    k: int = 4,
+    conv: str = "conv_id",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+    sep: str = "\n",
+) -> DataFrame:
+    """Rolling context assembly: each turn becomes one training row
+    carrying the concatenation of its last ``k`` turns (inclusive) in
+    stable order — the fixed-size context a next-turn model trains on.
+
+    Plan: ``collect_list`` over a BOUNDED rows frame (k-1 preceding ..
+    current) — bounded frames are the O(n·k) incremental class, never
+    the O(n²) unbounded-following class (BENCH/BASELINE.md); one
+    exchange, no join, no explode. Returns (conv, turn_idx, n_ctx,
+    context) with ``context`` already flattened to one string so the
+    row is sink-ready (and engine-comparable byte for byte).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = (
+        Window.partitionBy(conv)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(k - 1), 0)
+    )
+    ctx = F.collect_list(F.coalesce(F.col(text), F.lit(""))).over(w)
+    return tr.select(
+        conv,
+        "turn_idx",
+        F.size(ctx).cast("int").alias("n_ctx"),
+        F.array_join(ctx, sep).alias("context"),
+    )
+
+
+def collapse_repeats(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate turns (same role AND same text as
+    the immediately previous turn) — the artifact retry loops and
+    double-submits leave in agent logs. Only adjacent repeats collapse;
+    a legitimate later repetition of an earlier line survives (global
+    dedup is a different operator, dedup.py). The FIRST occurrence of
+    each run is kept, with the run length attached.
+
+    Plan: lag marks run starts; a running sum of start-flags numbers the
+    runs WITHOUT a join (the count then groups on (conv, run)); both
+    windows and the aggregation cluster by conv_id, so the whole
+    operator is one exchange. NULL text compares equal to NULL (eqNullSafe)
+    — two consecutive empty turns are still a run.
+    """
+    ob = [F.col(c) for c in order]
+    w = Window.partitionBy(conv).orderBy(*ob)
+    same = F.col(role).eqNullSafe(F.lag(F.col(role)).over(w)) & F.col(
+        text
+    ).eqNullSafe(F.lag(F.col(text)).over(w))
+    started = tr.select(
+        conv,
+        "turn_idx",
+        role,
+        text,
+        *[c for c in dict.fromkeys(order) if c not in ("turn_idx",)],
+        (~F.coalesce(same, F.lit(False))).cast("bigint").alias("__start"),
+    )
+    w_run = (
+        Window.partitionBy(conv)
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = started.select(
+        conv,
+        "turn_idx",
+        role,
+        text,
+        F.col("__start"),
+        F.sum("__start").over(w_run).alias("__run"),
+        *[F.col(c) for c in dict.fromkeys(order) if c not in ("turn_idx",)],
+    )
+    return (
+        runs.groupBy(conv, "__run")
+        .agg(
+            F.min(F.col("turn_idx")).alias("turn_idx"),
+            F.any_value(F.col(role)).alias(role),
+            F.any_value(F.col(text)).alias(text),
+            F.count(F.lit(1)).cast("bigint").alias("n_repeats"),
+        )
+        .drop("__run")
+    )

@@ -4688,3 +4688,143 @@ ORACLES["bigram_quality"] = r"""
     GROUP BY doc_id
 """
 QUERIES["bigram_quality"] = bigram_quality_q
+
+
+_TR_PROJ_SQL = """
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             CASE event_type WHEN 'click' THEN 'user'
+                  WHEN 'view' THEN 'assistant'
+                  WHEN 'purchase' THEN 'tool'
+                  WHEN 'error' THEN 'system' ELSE 'other' END AS role,
+             coalesce(props, '') AS text,
+             ts
+      FROM events
+"""
+
+
+def _tr_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared transcript projection (conv_id, turn_idx, role, text, ts)
+    — the same mapping pit_features_core gates, factored for the
+    turn-level operators."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("other")
+    )
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def sft_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example extraction (operators/turns.sft_pairs): adjacent
+    user→assistant turn pairs become (prompt, response) rows; pairs
+    with an intervening turn are excluded (the response wasn't
+    conditioned on the prompt alone). One lag window, NO self-join —
+    the naive turn_idx+1 self-join is a second corpus shuffle plus a
+    probe per row."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import sft_pairs
+
+    return sft_pairs(_tr_proj(spark, sf_dir))
+
+
+ORACLES["sft_pairs"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), lagged AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER w AS prev_role,
+             lag(text) OVER w AS prompt,
+             text AS response
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    )
+    SELECT conv_id, turn_idx, prompt, response
+    FROM lagged
+    WHERE role = 'assistant' AND prev_role = 'user'
+"""
+QUERIES["sft_pairs"] = sft_pairs_q
+
+
+def context_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-turn context assembly (operators/turns.
+    context_window): each turn carries the concatenation of its last 4
+    turns — the fixed-size context a next-turn model trains on. Bounded
+    rows frame (O(n·k) incremental, never the O(n²) unbounded class);
+    output flattened to one string so the row is sink-ready."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        context_window,
+    )
+
+    return context_window(_tr_proj(spark, sf_dir), k=4)
+
+
+ORACLES["context_window"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    )
+    SELECT conv_id, turn_idx,
+           CAST(len(list(text) OVER w) AS INT) AS n_ctx,
+           list_aggregate(list(text) OVER w, 'string_agg', chr(10))
+             AS context
+    FROM tr
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+QUERIES["context_window"] = context_window_q
+
+
+def collapse_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate collapse (operators/turns.
+    collapse_repeats): adjacent same-(role, text) turns — retry-loop
+    artifacts — fold into their first occurrence with the run length.
+    To guarantee real runs exist at sf0.01, text is coarsened to its
+    first character (adjacent events sharing a props prefix collapse);
+    the operator itself is content-agnostic. Run-numbering via a
+    running sum of start flags: no join, one exchange end to end."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        collapse_repeats,
+    )
+
+    tr = _tr_proj(spark, sf_dir).withColumn(
+        "text", F.substring(F.col("text"), 1, 1)
+    )
+    return collapse_repeats(tr)
+
+
+ORACLES["collapse_repeats"] = f"""
+    WITH tr0 AS ({_TR_PROJ_SQL}
+    ), tr AS (
+      SELECT conv_id, turn_idx, role, substr(text, 1, 1) AS text, ts
+      FROM tr0
+    ), started AS (
+      SELECT conv_id, turn_idx, role, text, ts,
+             CASE WHEN role IS NOT DISTINCT FROM lag(role) OVER w
+                   AND text IS NOT DISTINCT FROM lag(text) OVER w
+                  THEN 0 ELSE 1 END AS strt
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ), runs AS (
+      SELECT conv_id, turn_idx, role, text,
+             sum(strt) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS run
+      FROM started
+    )
+    SELECT conv_id,
+           min(turn_idx) AS turn_idx,
+           any_value(role) AS role,
+           any_value(text) AS text,
+           CAST(count(*) AS BIGINT) AS n_repeats
+    FROM runs
+    GROUP BY conv_id, run
+"""
+QUERIES["collapse_repeats"] = collapse_repeats_q

@@ -1,0 +1,132 @@
+"""sft_pairs / context_window / collapse_repeats: python brute-force
+cross-checks, adjacency/null edge cases, single-exchange plan audits."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from dane_visual_feature_extraction_worker_spark.operators.turns import (
+    collapse_repeats,
+    context_window,
+    sft_pairs,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, i, r, t, None, T0 + dt.timedelta(seconds=i))
+            for c, i, r, t in rows
+        ],
+        SCHEMA,
+    )
+
+
+def test_sft_pairs_adjacency(spark):
+    rows = [
+        ("a", 0, "user", "q1"),
+        ("a", 1, "assistant", "r1"),  # pair
+        ("a", 2, "user", "q2"),
+        ("a", 3, "tool", "t"),
+        ("a", 4, "assistant", "r2"),  # NOT a pair: tool intervenes
+        ("a", 5, "assistant", "r3"),  # NOT: previous is assistant
+        ("b", 0, "assistant", "r0"),  # NOT: no previous turn
+        ("b", 1, "user", "q3"),
+        ("b", 2, "assistant", "r4"),  # pair
+    ]
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+        for r in sft_pairs(_tr(spark, rows)).collect()
+    }
+    assert out == {("a", 1): ("q1", "r1"), ("b", 2): ("q3", "r4")}
+
+
+def test_context_window_brute_force(spark):
+    rng = random.Random(5)
+    rows = []
+    for c in range(4):
+        for i in range(rng.randint(1, 25)):
+            rows.append((str(c), i, "user", f"t{c}-{i}"))
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["n_ctx"], r["context"])
+        for r in context_window(_tr(spark, rows), k=3, sep="|").collect()
+    }
+    by_conv: dict[str, list] = {}
+    for c, i, _, t in rows:
+        by_conv.setdefault(c, []).append((i, t))
+    for c, evs in by_conv.items():
+        evs.sort()
+        for pos, (i, _) in enumerate(evs):
+            ctx = [t for _, t in evs[max(0, pos - 2) : pos + 1]]
+            assert out[(str(c), i)] == (len(ctx), "|".join(ctx))
+
+
+def test_context_window_null_text(spark):
+    rows = [("a", 0, "user", None), ("a", 1, "user", "x")]
+    out = sorted(
+        (r["turn_idx"], r["context"])
+        for r in context_window(_tr(spark, rows), k=2).collect()
+    )
+    assert out == [(0, ""), (1, "\nx")]
+
+
+def test_collapse_repeats_brute_force(spark):
+    rng = random.Random(11)
+    rows = []
+    for c in range(5):
+        i = 0
+        for _ in range(rng.randint(1, 15)):
+            role = rng.choice(["user", "assistant"])
+            text = rng.choice(["x", "y", None])
+            for _ in range(rng.randint(1, 4)):  # build real runs
+                rows.append((str(c), i, role, text))
+                i += 1
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["n_repeats"])
+        for r in collapse_repeats(_tr(spark, rows)).collect()
+    }
+    # brute force run-length encoding per conv
+    by_conv: dict[str, list] = {}
+    for c, i, r, t in rows:
+        by_conv.setdefault(c, []).append((i, r, t))
+    expected = {}
+    for c, evs in by_conv.items():
+        evs.sort(key=lambda e: e[0])
+        runs: list[list] = []
+        for i, r, t in evs:
+            if runs and (r, t) == (runs[-1][1], runs[-1][2]):
+                runs[-1][3] += 1
+            else:
+                runs.append([i, r, t, 1])
+        for i, r, t, n in runs:
+            expected[(c, i)] = (r, t, n)
+    assert out == expected
+
+
+def test_collapse_repeats_single_exchange(spark):
+    df = _tr(spark, [("a", 0, "user", "x")])
+    plan = (
+        collapse_repeats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_context_window_bounded_frame(spark):
+    df = _tr(spark, [("a", 0, "user", "x")])
+    plan = (
+        context_window(df, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    low = plan.lower()
+    assert "unboundedfollowing" not in low and "unboundedpreceding" not in low, plan
