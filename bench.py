@@ -111,6 +111,7 @@ HEADLINE = [
     "sft_pairs",
     "context_window",
     "collapse_repeats",
+    "grouped_quantiles",
 ]
 
 

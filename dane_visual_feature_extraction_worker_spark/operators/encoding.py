@@ -228,3 +228,41 @@ def winsorize(
         *keys,
         (clipped / F.lit(100.0)).alias("value_winsor"),
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group exact quantiles (p25/p50/p75/p90 by default) — the
+    grouped distribution profile behind per-category monitoring and
+    per-stratum normalization. DISCRETE quantiles over integer cents
+    (inverse ECDF: smallest value with cumulative distribution >= q),
+    same parity rationale as quantile_bucketize: every output is an
+    ACTUAL data value, so no interpolation can round differently
+    between engines.
+
+    Plan at 100 TB: ONE hash shuffle on the group key into a sort-based
+    percentile aggregate — |groups| output rows, no window, no
+    per-group explode. (percentile_disc is not map-side partial —
+    Spark ships group-local sorted runs — so for very-low-cardinality
+    groups over 10^12 rows prefer the two-pass histogram form; at
+    typical group counts the single exchange is the right plan.)
+    """
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    aggs = [
+        (
+            F.expr(
+                f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY __c)"
+            ).cast("double")
+            / 100.0
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return (
+        df.select(F.col(group), cents.alias("__c"))
+        .groupBy(group)
+        .agg(*aggs)
+    )

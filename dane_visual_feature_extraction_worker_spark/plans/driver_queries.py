@@ -4828,3 +4828,41 @@ ORACLES["collapse_repeats"] = f"""
     GROUP BY conv_id, run
 """
 QUERIES["collapse_repeats"] = collapse_repeats_q
+
+
+def grouped_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact quantile profile (operators/encoding.
+    grouped_quantiles): p25/p50/p75/p90 of value per category —
+    DISCRETE quantiles over integer cents (actual data values, no
+    interpolation to diverge between engines); one hash shuffle into a
+    sort-based percentile aggregate, |groups| output rows."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        grouped_quantiles,
+    )
+
+    return grouped_quantiles(_events(spark, sf_dir))
+
+
+ORACLES["grouped_quantiles"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), ranked AS (
+      SELECT event_type, c,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY c) AS cd
+      FROM c
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cd >= 0.25 THEN c END) AS DOUBLE) / 100.0
+             AS p25,
+           CAST(min(CASE WHEN cd >= 0.5 THEN c END) AS DOUBLE) / 100.0
+             AS p50,
+           CAST(min(CASE WHEN cd >= 0.75 THEN c END) AS DOUBLE) / 100.0
+             AS p75,
+           CAST(min(CASE WHEN cd >= 0.9 THEN c END) AS DOUBLE) / 100.0
+             AS p90
+    FROM ranked
+    GROUP BY event_type
+"""
+QUERIES["grouped_quantiles"] = grouped_quantiles_q

@@ -100,3 +100,40 @@ def test_bucketize_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     # the only hash exchange feeds the partial-count rollup
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouped_quantiles_matches_python(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        grouped_quantiles,
+    )
+
+    rng = random.Random(4)
+    vals, types = [], []
+    grid = [1.0, 2.5, 2.5, 7.75, 10.0]
+    for _ in range(400):
+        vals.append(round(rng.choice(grid), 2))
+        types.append(rng.choice(["a", "b", "c"]))
+    df = _mk(spark, vals, types=types)
+    got = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in grouped_quantiles(df).collect()
+    }
+    by_t: dict[str, list] = {}
+    for v, t in zip(vals, types):
+        by_t.setdefault(t, []).append(round(v * 100))
+    for t, cs in by_t.items():
+        cs.sort()
+        exp = tuple(_disc_quantile(cs, q) / 100.0 for q in (0.25, 0.5, 0.75, 0.9))
+        assert got[t] == exp, (t, exp, got[t])
+
+
+def test_grouped_quantiles_single_exchange(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        grouped_quantiles,
+    )
+
+    df = _mk(spark, [float(i) for i in range(50)])
+    plan = (
+        grouped_quantiles(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
