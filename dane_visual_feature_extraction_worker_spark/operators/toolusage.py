@@ -8,6 +8,12 @@ feature in kernel.py they must be point-in-time safe: computed from
 turns STRICTLY BEFORE the current one, so a model scoring turn t never
 peeks at t itself or its future.
 
+Reference provenance: the reference worker walks one entity's ordered
+keyframe stream and accumulates per-entity state as it goes
+(data_handling.py:30-44 ordered timestamp index, worker.py:66-90 one
+source_id per work unit); these are the corpus-scale PIT counters of
+that walk, specialized to the transcript schema's ``tool`` column.
+
 Features per turn:
   - tools_so_far      — prior turns that invoked any tool
   - distinct_tools_so_far — distinct tool names seen in prior turns
