@@ -147,6 +147,14 @@ def quantile_bucketize(
     tied values can round 1 ULP apart between engines and flip a
     boundary row's bucket; discrete ones cannot. The bucket id is then
     a sum of pure integer comparisons — engine-exact end to end.
+
+    Aggregation-state footprint at 10^12 rows: Spark's percentile
+    aggregates keep an (value → count) map, so partial state is
+    O(|distinct cents|), NOT O(rows) — bounded by the value domain
+    (money in cents ⇒ millions of entries at most), and the one merge
+    reducer holds a single such map. For a genuinely unbounded-domain
+    column, swap the exact pass for a fixed-width integer histogram
+    (two passes, same broadcast shape) before trusting this plan.
     """
     cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
     qs = [k / n_buckets for k in range(1, n_buckets)]
@@ -211,7 +219,8 @@ def winsorize(
     Parity: DISCRETE quantiles (inverse ECDF — actual integer cents,
     never an interpolation that can round 1 ULP apart between
     engines); the clamp is integer min/max; the final /100 is one
-    IEEE divide.
+    IEEE divide. Aggregation state is O(|distinct cents|), not
+    O(rows) — see quantile_bucketize for the domain-bound caveat.
     """
     cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
     stats = df.select(cents.alias("__c")).agg(
