@@ -142,3 +142,21 @@ def test_dataclass_invariants_still_enforced(tmp_path):
     )
     with pytest.raises(ValueError):
         load_yaml_config(p)
+
+
+def test_bench_headline_keys_all_registered():
+    """Every bench.py HEADLINE name must exist in queries() — bench's
+    name filter drops unknown keys SILENTLY, so a typo would quietly
+    shrink the measured suite."""
+    import importlib.util as iu
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = iu.spec_from_file_location("bench", os.path.join(repo, "bench.py"))
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from dane_visual_feature_extraction_worker_spark.plans import driver_queries as dq
+
+    missing = [k for k in bench.HEADLINE if k not in dq.QUERIES]
+    assert not missing, missing
