@@ -264,3 +264,53 @@ def group_kfold(
         raise ValueError(f"k must be positive, got {k}")
     fold = F.pmod(sample_key(F.col(group), salt), F.lit(k))
     return df.withColumn("fold", fold.cast("int"))
+
+
+def dataset_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing with fractional epochs — the LLM
+    data-mixing step ("2.5 epochs of wiki, 0.3 of web"): each row of
+    source s appears floor(w_s) times plus one more with probability
+    frac(w_s), decided deterministically by md5 (the ``sample_key``
+    primitive), so the mix is reproducible on any engine/layout and
+    re-drawable per salt. Down-sampling (w<1) and epoch oversampling
+    (w>1) fall out of the same rule; sources absent from ``weights``
+    are dropped (explicit mix manifests only).
+
+    Plan: pure NARROW work — a literal |sources|-row weight rule
+    (CASE chain), an integer copy count, one explode. Zero shuffles,
+    zero joins; output size is Σ w_s·|s| by construction. The copy
+    index is part of the output key so downstream shuffle/packing
+    treats epochs as distinct rows.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    base = F.lit(None).cast("int")
+    frac_thr = F.lit(None).cast("bigint")
+    for s, w in weights.items():
+        whole, frac = int(w), w - int(w)
+        base = F.when(F.col(source_col) == s, F.lit(whole)).otherwise(base)
+        frac_thr = F.when(
+            F.col(source_col) == s, F.lit(_threshold(frac))
+        ).otherwise(frac_thr)
+    key = sample_key(F.col(id_col), salt)
+    n_copies = base + (key < frac_thr).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            n_copies.alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Exact-sum statistics operators: cross-engine-deterministic Pearson
+correlation for feature screening.
+
+The feature-selection step of a training pipeline ("which candidate
+features carry signal about the label?") is a full-corpus reduction —
+at 100 TB it must be ONE map-side-combined aggregate, never a
+per-feature job. These operators compute every moment as an EXACT
+integer/decimal sum (order-independent, so Spark's partial aggregation
+and any SQL engine agree bit for bit) and spend floats only on the
+final O(|features|)-sized formula — the `_dsum` / integer-cents
+discipline of the window kernel applied to corpus statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pearson_corr_exact(
+    df: DataFrame,
+    features: Mapping[str, F.Column],
+    label: F.Column,
+) -> DataFrame:
+    """Pearson r between each integer-valued feature expression and an
+    integer-valued label, computed from EXACT sums.
+
+    ``features`` maps output name -> integer Column; ``label`` is an
+    integer Column (quantize floats to cents/micros at the call site —
+    the repo-wide exactness contract). All six moments per feature
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as decimal(38,0): exact,
+    order-independent, map-side combined — ONE aggregate over the
+    corpus produces a single row, then r is formed per feature from
+    those exact scalars with a fixed IEEE op order
+    (cov / sqrt(vx * vy), each operand a correctly-rounded
+    decimal→double cast), so any engine replays it bit for bit.
+
+    Headroom: with |x|,|y| ≤ 10^6 and 10^12 rows, Σxy ≤ 10^24 and
+    n·Σxy ≤ 10^36 < 10^38 — the decimal(38,0) products stay exact at
+    campaign scale (document per-column bounds if features exceed
+    10^6 in magnitude).
+
+    Output: one row per feature (feature, n, r) — report-sized at any
+    corpus scale. Plan: one narrow projection + one partial+final
+    aggregate; the corpus never shuffles (the exchange carries a
+    single combined row per task).
+    """
+    d38 = "decimal(38,0)"
+    y = label.cast(d38)
+    aggs: list[F.Column] = [F.count(F.lit(1)).cast(d38).alias("__n")]
+    for name, x in features.items():
+        xd = x.cast(d38)
+        aggs += [
+            F.sum(xd).alias(f"__sx_{name}"),
+            F.sum(y).alias(f"__sy_{name}"),
+            F.sum(xd * y).alias(f"__sxy_{name}"),
+            F.sum(xd * xd).alias(f"__sxx_{name}"),
+            F.sum(y * y).alias(f"__syy_{name}"),
+        ]
+    row = df.agg(*aggs)
+
+    per_feature = []
+    for name in features:
+        n = F.col("__n")
+        sx, sy = F.col(f"__sx_{name}"), F.col(f"__sy_{name}")
+        sxy = F.col(f"__sxy_{name}")
+        sxx, syy = F.col(f"__sxx_{name}"), F.col(f"__syy_{name}")
+        cov = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        r = F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+        ).otherwise(F.lit(None).cast("double"))
+        per_feature.append(
+            F.struct(
+                F.lit(name).alias("feature"),
+                n.cast("bigint").alias("n"),
+                (F.floor(r * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias(
+                    "r"
+                ),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*per_feature)).alias("__f")
+    ).select("__f.feature", "__f.n", "__f.r")

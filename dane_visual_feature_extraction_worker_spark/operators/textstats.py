@@ -440,3 +440,86 @@ def ngram_topk(
         .orderBy(F.desc("n"), F.col("gram"))
         .limit(k)
     )
+
+
+def pmi_topk(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: PMI(a,b) =
+    ln( p(ab) / (p(a)·p(b)) ) over the corpus's adjacent word pairs —
+    the association measure behind phrase mining ("new york" scores
+    high, "of the" scores ~0) that raw bigram counts (ngram_topk) are
+    blind to. ``min_count`` suppresses the classic PMI pathology
+    (singleton pairs of rare words score highest).
+
+    Exactness: PMI = ln( (c_ab·N1²) / (N2·c_a·c_b) ) — both products
+    accumulate as decimal(38,0) from exact counts (≤10^36 at 10^12
+    tokens: in-bounds), the quotient is ONE double divide of two
+    correctly-rounded casts, and the ln of that ratio is quantized to
+    integer MICRO-NATS (the _lm_score contract), so aggregation order
+    can never move a bit and a SQL oracle replays it exactly.
+
+    Plan: the token stream explodes ONCE per shape (unigrams, bigrams),
+    each into a map-side-combined count; the bigram table joins the
+    unigram table twice on the uniform word key (broadcastable when
+    the vocab fits — at web scale both sides shuffle on term, no
+    skew: a stop-word-heavy pair has PMI ≤ 0 and min_count keeps the
+    join uniform); top-k is a TakeOrdered, never a vocab-wide sort.
+    """
+    arr = docs.select(_tokens(text_col).alias("__toks"))
+    uni = (
+        arr.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        arr.select(F.explode(_ngrams(F.col("__toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("n1"),
+    ).collect()[0]
+    n1 = int(totals["n1"] or 0)
+    if n1 == 0:
+        return bi.select(
+            F.lit("").alias("w1"),
+            F.lit("").alias("w2"),
+            F.lit(0).cast("bigint").alias("n_ab"),
+            F.lit(0).cast("bigint").alias("pmi_micro"),
+        ).limit(0)
+    n2 = int(
+        bi.agg(F.sum("c_ab")).collect()[0][0] or 0
+    )  # post-filter bigram mass: the model the cutoff actually keeps
+    parts = F.split(F.col("gram"), " ")
+    pairs = bi.select(
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+        "c_ab",
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("c_ab").cast(d38) * F.lit(n1).cast(d38) * F.lit(n1).cast(d38)
+    ).cast("double")
+    den = (
+        F.lit(n2).cast(d38) * F.col("c_a").cast(d38) * F.col("c_b").cast(d38)
+    ).cast("double")
+    scored = (
+        pairs.join(ua, "w1")
+        .join(ub, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("n_ab"),
+            F.floor(F.log(num / den) * 1e6).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -153,3 +153,52 @@ def collapse_repeats(
         )
         .drop("__run")
     )
+
+
+def negative_pairs(
+    pairs: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    response: str = "response",
+    n_shards: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic in-batch negatives for contrastive training: each
+    (prompt, response) example gains a ``neg_response`` drawn from a
+    DIFFERENT example via a seeded ring shift — example i's negative is
+    the response at position i+1 of its md5-shuffled shard (the last
+    wraps to the shard head). The md5 permutation (sampling.sample_key)
+    makes the pairing reproducible on any engine / partition layout and
+    re-drawable per salt, unlike rand()-based negative mining.
+
+    Plan: one narrow (key, shard) map + ONE hash exchange on shard +
+    one per-shard sort (the shuffle_assign shape — no global sort; at
+    100 TB raise n_shards so a shard fits a task's sort budget). lead
+    + a shard-head first() over the running frame give the ring in two
+    window expressions on the same sorted run. A single-example shard
+    degenerates to neg == response (flagged by ``is_self``) — callers
+    drop or re-salt those rather than silently training on a positive
+    labeled negative.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_key,
+    )
+
+    key = sample_key(
+        F.concat_ws("|", F.col(conv), F.col(idx).cast("string")), salt
+    )
+    keyed = pairs.withColumn("__key", key).withColumn(
+        "__shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("__shard").orderBy("__key", conv, idx)
+    ring = F.coalesce(
+        F.lead(F.col(response)).over(w), F.first(F.col(response)).over(w)
+    )
+    return keyed.select(
+        conv,
+        idx,
+        "prompt",
+        response,
+        ring.alias("neg_response"),
+        (ring == F.col(response)).alias("is_self"),
+    )

@@ -510,3 +510,43 @@ def decayed_sum(
         *order,
         (total / F.lit(100.0)).alias("decayed_value"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    col: str = "event_type",
+    k: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct count: how many DISTINCT values of
+    ``col`` appear in the entity's last ``k`` rows (inclusive) — the
+    recency-bounded diversity feature (distinct tools touched lately,
+    distinct event types this session tail). PIT-safe by construction:
+    the frame ends at the current row.
+
+    Spark has no count_distinct window, so the frame's values are
+    materialized as a BOUNDED collect_list (≤ k elements per row —
+    O(n·k) state, the context_window precedent, never an unbounded
+    per-row set) and reduced with array_distinct/size, all JVM codegen
+    expressions. One shuffle + one sort on the entity — rides the same
+    per-entity exchange every kernel window pays. Nulls in ``col`` are
+    skipped (collect_list drops them), matching count(DISTINCT)
+    semantics.
+
+    For k beyond a few hundred, prefer the running-sum-of-first-flags
+    decomposition (toolusage.tool_usage_profile) bounded per session
+    instead — the list frame's O(n·k) copy cost crosses over.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(k - 1), 0)
+    )
+    return df.select(
+        *order,
+        entity,
+        F.size(F.array_distinct(F.collect_list(F.col(col)).over(w)))
+        .cast("int")
+        .alias("n_distinct_k"),
+    )

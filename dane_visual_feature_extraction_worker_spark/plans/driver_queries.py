@@ -4866,3 +4866,297 @@ ORACLES["grouped_quantiles"] = """
     GROUP BY event_type
 """
 QUERIES["grouped_quantiles"] = grouped_quantiles_q
+
+
+def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flag (operators/encoding.
+    robust_outliers): |x - median| > 3*MAD over integer cents — the
+    50%-breakdown twin of the mean/std gate `standardize` enables.
+    Three tiny discrete-quantile aggregates broadcast back; the corpus
+    never shuffles; the flag itself is pure int64 comparison."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        robust_outliers,
+    )
+
+    return robust_outliers(_events(spark, sf_dir), value="value", k=3)
+
+
+ORACLES["mad_outliers"] = """
+    WITH c AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), med AS (
+      SELECT min(c) AS m FROM (
+        SELECT c, cume_dist() OVER (ORDER BY c) AS cd FROM c
+      ) WHERE cd >= 0.5
+    ), dev AS (
+      SELECT abs(c.c - med.m) AS d FROM c, med
+    ), mad AS (
+      SELECT min(d) AS md FROM (
+        SELECT d, cume_dist() OVER (ORDER BY d) AS cd FROM dev
+      ) WHERE cd >= 0.5
+    )
+    SELECT event_id,
+           CAST(c.c - med.m AS DOUBLE) / 100.0 AS deviation,
+           (abs(c.c - med.m) > 3 * mad.md) AS is_outlier
+    FROM c, med, mad
+"""
+QUERIES["mad_outliers"] = mad_outliers_q
+
+
+def feature_label_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-screening Pearson r (operators/stats.pearson_corr_exact):
+    two candidate features (props length in chars, hour of day) vs the
+    cents label, every moment an exact decimal(38,0) sum in ONE
+    map-side-combined aggregate — the corpus is read once and never
+    shuffled; floats appear only in the final |features|-sized formula
+    with a fixed IEEE op order (cov / sqrt(vx*vy))."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        pearson_corr_exact,
+    )
+
+    e = _events(spark, sf_dir)
+    label = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    feats = {
+        "props_len": F.length(F.coalesce(F.col("props"), F.lit(""))),
+        "hour_of_day": F.hour(F.col("ts")),
+    }
+    return pearson_corr_exact(e, feats, label)
+
+
+ORACLES["feature_label_corr"] = """
+    WITH base AS (
+      SELECT CAST(length(coalesce(props, '')) AS HUGEINT) AS x1,
+             CAST(hour(ts) AS HUGEINT) AS x2,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM events
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1 * y) AS sxy1, sum(x2 * y) AS sxy2,
+             sum(x1 * x1) AS sxx1, sum(x2 * x2) AS sxx2,
+             sum(y * y) AS syy
+      FROM base
+    ), u AS (
+      SELECT 'props_len' AS feature, n,
+             CAST(n * sxy1 - sx1 * sy AS DOUBLE) AS cov,
+             CAST(n * sxx1 - sx1 * sx1 AS DOUBLE) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vy
+      FROM m
+      UNION ALL
+      SELECT 'hour_of_day' AS feature, n,
+             CAST(n * sxy2 - sx2 * sy AS DOUBLE) AS cov,
+             CAST(n * sxx2 - sx2 * sx2 AS DOUBLE) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vy
+      FROM m
+    )
+    SELECT feature, CAST(n AS BIGINT) AS n,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN floor((cov / sqrt(vx * vy)) * 1000000.0) / 1000000.0
+                ELSE NULL END AS r
+    FROM u
+"""
+QUERIES["feature_label_corr"] = feature_label_corr_q
+
+
+def rolling_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8-row distinct event types per user (operators/windows.
+    rolling_distinct): bounded collect_list frame (O(n*k), the
+    context_window class) reduced by array_distinct/size — all JVM
+    codegen, one shuffle + sort on the entity, PIT-safe frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_distinct,
+    )
+
+    return rolling_distinct(
+        _events(spark, sf_dir),
+        entity="user_id",
+        order=("ts", "event_id"),
+        col="event_type",
+        k=8,
+    )
+
+
+ORACLES["rolling_distinct"] = """
+    SELECT ts, event_id, user_id,
+           CAST(len(list_distinct(list_filter(
+                 list(event_type) OVER w, t -> t IS NOT NULL)))
+                AS INT) AS n_distinct_k
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+"""
+QUERIES["rolling_distinct"] = rolling_distinct_q
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 2.5, "src2": 1.0, "src3": 1.5}
+
+
+def dataset_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing with fractional epochs (operators/
+    sampling.dataset_mix): floor(w) full copies + one md5-decided
+    extra with probability frac(w) — down-sampling and epoch
+    oversampling under one deterministic rule. Pure narrow plan
+    (CASE + explode), zero shuffles; sources outside the manifest are
+    dropped. Weights straddle 1.0 so all three branches (drop, keep,
+    oversample) execute at sf0.01."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        dataset_mix,
+    )
+
+    return dataset_mix(
+        _documents(spark, sf_dir), weights=_MIX_WEIGHTS, salt="mix"
+    )
+
+
+def _dataset_mix_oracle() -> str:
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        _threshold,
+    )
+
+    k = _sample_key_terms_sql()
+    whole_case = " ".join(
+        f"WHEN source = '{s}' THEN {int(w)}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    frac_case = " ".join(
+        f"WHEN source = '{s}' THEN {_threshold(w - int(w))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 md5('mix' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, source,
+                 (CASE {whole_case} ELSE NULL END)
+                 + (CASE WHEN ({k}) < (CASE {frac_case} ELSE NULL END)
+                         THEN 1 ELSE 0 END) AS n
+          FROM h
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, n)) AS INT) AS copy_idx
+        FROM counted WHERE n > 0
+    """
+
+
+ORACLES["dataset_mix"] = _dataset_mix_oracle()
+QUERIES["dataset_mix"] = dataset_mix_q
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI (operators/textstats.pmi_topk):
+    ln(p(ab)/(p(a)p(b))) from exact decimal(38,0) count products,
+    quantized to integer micro-nats (the _lm_score contract);
+    min_count=3 suppresses the singleton-pair pathology. One explode
+    per shape, two uniform-key joins, TakeOrdered top-k."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        pmi_topk,
+    )
+
+    return pmi_topk(_documents(spark, sf_dir), k=50, min_count=3)
+
+
+ORACLES["pmi_collocations"] = r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS HUGEINT) AS c
+      FROM (SELECT unnest(toks) AS w FROM t)
+      GROUP BY w
+    ), g AS (
+      SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      FROM t WHERE len(toks) >= 2
+    ), bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2,
+             CAST(count(*) AS HUGEINT) AS c_ab
+      FROM g
+      GROUP BY w1, w2 HAVING count(*) >= 3
+    ), n1 AS (
+      SELECT sum(c) AS n1 FROM uni
+    ), n2 AS (
+      SELECT sum(c_ab) AS n2 FROM bi
+    )
+    SELECT bi.w1, bi.w2, CAST(bi.c_ab AS BIGINT) AS n_ab,
+           CAST(floor(ln(CAST(bi.c_ab * n1.n1 * n1.n1 AS DOUBLE)
+                         / CAST(n2.n2 * ua.c * ub.c AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS pmi_micro
+    FROM bi, n1, n2,
+         uni ua, uni ub
+    WHERE ua.w = bi.w1 AND ub.w = bi.w2
+    ORDER BY pmi_micro DESC, bi.w1, bi.w2
+    LIMIT 50
+"""
+QUERIES["pmi_collocations"] = pmi_collocations_q
+
+
+def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negatives for the SFT pairs (operators/turns.
+    negative_pairs): seeded md5 ring shift within 8 shards — one
+    narrow key map + ONE hash exchange + per-shard sort; example i's
+    negative is example i+1's response, the shard tail wraps to its
+    head; is_self flags degenerate draws."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        negative_pairs,
+        sft_pairs,
+    )
+
+    return negative_pairs(
+        sft_pairs(_tr_proj(spark, sf_dir)), n_shards=8, salt="neg"
+    )
+
+
+ORACLES["negative_sampling"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), lagged AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER w AS prev_role,
+             lag(text) OVER w AS prompt,
+             text AS response
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ), pairs AS (
+      SELECT conv_id, turn_idx, prompt, response
+      FROM lagged
+      WHERE role = 'assistant' AND prev_role = 'user'
+    ), h AS (
+      SELECT conv_id, turn_idx, prompt, response,
+             md5('neg' || '|' || conv_id || '|'
+                 || CAST(turn_idx AS VARCHAR)) AS hx
+      FROM pairs
+    ), keyed AS (
+      SELECT conv_id, turn_idx, prompt, response,
+             ({_sample_key_terms_sql()}) AS key
+      FROM h
+    )
+    SELECT conv_id, turn_idx, prompt, response,
+           coalesce(lead(response) OVER w,
+                    first_value(response) OVER w) AS neg_response,
+           (coalesce(lead(response) OVER w,
+                     first_value(response) OVER w) = response) AS is_self
+    FROM keyed
+    WINDOW w AS (PARTITION BY key % 8 ORDER BY key, conv_id, turn_idx)
+"""
+QUERIES["negative_sampling"] = negative_sampling_q
+
+
+def approx_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile (operators/sketches.approx_profile): per-user
+    HLL++ distinct event types + GK approximate p50/p95 of value in
+    ONE map-side-combined pass — fixed KB of state per group at any
+    corpus size. APPROXIMATE by construction, so no SQL oracle
+    (rows-only gate); the numeric contract is the tolerance test vs
+    the exact twins (tests/test_sketches.py)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        approx_profile,
+    )
+
+    return approx_profile(_events(spark, sf_dir))
+
+
+QUERIES["approx_profile"] = approx_profile_q
