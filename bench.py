@@ -112,6 +112,13 @@ HEADLINE = [
     "context_window",
     "collapse_repeats",
     "grouped_quantiles",
+    "mad_outliers",
+    "feature_label_corr",
+    "rolling_distinct",
+    "dataset_mix",
+    "pmi_collocations",
+    "negative_sampling",
+    "approx_profile",
 ]
 
 
