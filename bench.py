@@ -119,6 +119,11 @@ HEADLINE = [
     "pmi_collocations",
     "negative_sampling",
     "approx_profile",
+    "behavior_entropy",
+    "session_cooccurrence",
+    "cusum_drift",
+    "rolling_slope",
+    "doc_pagerank",
 ]
 
 

@@ -650,3 +650,90 @@ def incremental_dedup(
     return first.join(
         base_index.select(index_col), index_col, "left_anti"
     ).select(id_col, index_col, "n_in_delta")
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration INTEGER PageRank over an undirected pair graph —
+    centrality scoring of near-dup candidate graphs (pick the canonical
+    representative of a duplicate cluster by connectivity, not by
+    min-id) and of any other entity-affinity graph the engine builds.
+
+    Exactness: ranks live in integer MICRO-UNITS (start 10^6 per node);
+    each round every node contributes ``rank div degree`` (integer
+    div) along its edges and collects
+    ``(1−d)·10^6 + (d_pct · Σ contribs) div 100`` — all int64, no
+    float anywhere, so ANY engine replays every round bit for bit (the
+    classic float PageRank diverges in the 15th digit per engine per
+    round; this one cannot). With 10^12 nodes ranks stay ≤ ~10^6·N/E
+    bounded by total mass ~10^18 — within int64 for the damped sum as
+    long as a node's in-mass stays below ~9·10^18 (document per-graph;
+    a hub collecting the ENTIRE graph's mass at 10^12 nodes would need
+    the decimal widening).
+
+    Plan per round: ranks ⋈ edges on the uniform src key (both sides
+    hash-clustered; AQE handles residual skew) → one map-side-combined
+    sum per dst → left join back to the node spine (isolated nodes
+    collect nothing and settle at (1−d)·10^6). ``iters`` is FIXED and
+    small — each round materializes via localCheckpoint (the
+    connected_components precedent) so lineage stays flat; total cost
+    is iters·(one join + one groupBy), no driver-side state beyond the
+    loop counter.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # Pin the graph ONCE: edges/deg/spine are referenced every round, and
+    # leaving them lazy re-derives the upstream pair generation (e.g. the
+    # whole MinHash pipeline) per iteration — the exact O(iters × source
+    # scans) blow-up the r3 Lloyd loop had (BENCH/BASELINE.md); measured
+    # here too (10.1 s → see bench) before the checkpoint.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    spine = (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = F.lit((100 - damping_pct) * 10_000).cast("bigint")  # (1-d)*1e6
+    ranks = spine.select(
+        "node", F.lit(1_000_000).cast("bigint").alias("rank_micro")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"], "inner")
+            .select(
+                "node",
+                F.expr("rank_micro div deg").alias("__c"),
+            )
+            .join(edges, F.col("node") == F.col("src"), "inner")
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        nxt = spine.join(
+            contrib, spine["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                base
+                + F.expr(
+                    f"({damping_pct} * coalesce(__in, CAST(0 AS BIGINT)))"
+                    " div 100"
+                )
+            ).alias("rank_micro"),
+        )
+        prev = ranks
+        ranks = nxt.localCheckpoint(eager=True)
+        prev.unpersist()
+    return ranks.select(F.col("node").alias(id_col), "rank_micro")

@@ -96,3 +96,52 @@ def session_features(
             "session_duration_s"
         ),
     )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    entity: str = "conv_id",
+    category: str = "role",
+    ts: str = "ts",
+    order: Sequence[str] | None = None,
+    min_sessions: int = 1,
+) -> DataFrame:
+    """Within-session co-occurrence counts: for every unordered pair of
+    DISTINCT ``category`` values, in how many sessions do both appear —
+    the association structure behind "tools used together", market-
+    basket features, and co-usage embeddings (PMI over these counts is
+    pmi_topk's job; this operator produces the exact pair table).
+
+    Plan: sessionize (one per-entity window) → per-session sorted
+    DISTINCT category set (collect_set is bounded by the category
+    domain, not session length) → explode the i<j pairs of the sorted
+    array via a nested `transform`/`flatten` (pure codegen — the
+    self-join formulation shuffles the session table twice; this
+    shuffles it never) → one map-side-combined count per pair. The
+    session rollup rides the sessionize exchange (subset rule:
+    hash(entity) satisfies (entity, session_id) clustering); the pair
+    count is the only other exchange and its key domain is
+    |categories|² — broadcast-scale at any corpus size.
+    """
+    s = sessionize(df, gap_seconds, entity, ts, order)
+    sets = s.groupBy(entity, "session_id").agg(
+        F.array_sort(F.collect_set(F.col(category))).alias("__cats")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(__cats, (a, i) -> "
+                    "transform(slice(__cats, i + 2, size(__cats)), "
+                    "b -> struct(a AS cat_a, b AS cat_b)))"
+                )
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select("__p.cat_a", "__p.cat_b")
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_sessions)
+    )

@@ -85,3 +85,56 @@ def pearson_corr_exact(
     return row.select(
         F.explode(F.array(*per_feature)).alias("__f")
     ).select("__f.feature", "__f.n", "__f.r")
+
+
+def behavior_profile(
+    df: DataFrame,
+    entity: str = "user_id",
+    category: str = "event_type",
+) -> DataFrame:
+    """Per-entity distribution-shape features over a categorical
+    column: Shannon entropy (behavioral diversity — a bot hammering one
+    event type scores 0, a browser touching everything scores ln k)
+    and the Herfindahl concentration index Σ(cᵢ/n)² (the complementary
+    "how dominated is the mix" signal), plus the distinct count.
+
+    Exactness: entropy = ln n − (Σ cᵢ·ln cᵢ)/n is quantized at the
+    TERM level — each ln is of a bare integer count (correctly rounded
+    on any libm, the _lm_score contract), floor-scaled to integer
+    micro-nats, multiplied and summed as exact int64, and the final
+    division is an integer `div` — so aggregation order cannot move a
+    bit and SQL replays it exactly. HHI = Σcᵢ²/n² is ONE IEEE divide
+    of two exact integers. entropy_micro ≤ ln(10^12)·10^6 ≈ 2.8e7 per
+    term and Σ c·lnc ≤ 10^12·28·10^6 ≈ 2.8e19 — within int64 for
+    per-entity histories up to ~3·10^11 rows; decimal-widen beyond.
+
+    Plan: one map-side-combined count per (entity, category) — the
+    only full-corpus exchange — then an |entity×category|-sized rollup
+    to |entity| rows (its exchange on `entity` moves only histogram
+    rows, not the corpus).
+    """
+    c = df.groupBy(entity, category).agg(F.count(F.lit(1)).alias("__c"))
+    lc_micro = F.floor(F.log(F.col("__c").cast("double")) * 1e6).cast(
+        "bigint"
+    )
+    per = c.groupBy(entity).agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__s2"),
+        F.sum(F.col("__c") * lc_micro).cast("bigint").alias("__slc"),
+    )
+    ln_n_micro = F.floor(F.log(F.col("__n").cast("double")) * 1e6).cast(
+        "bigint"
+    )
+    return per.select(
+        entity,
+        F.col("__n").alias("n_rows"),
+        "n_categories",
+        (
+            (ln_n_micro - F.expr("__slc div __n")).cast("double") / 1e6
+        ).alias("entropy_nats"),
+        (
+            F.col("__s2").cast("double")
+            / (F.col("__n") * F.col("__n")).cast("double")
+        ).alias("hhi"),
+    )

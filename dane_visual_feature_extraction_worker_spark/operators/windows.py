@@ -550,3 +550,113 @@ def rolling_distinct(
         .cast("int")
         .alias("n_distinct_k"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    drift_cents: int = 50,
+    threshold_cents: int = 500,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per entity: the classic
+    changepoint/level-shift detector s_i = max(0, s_{i-1} + (x_i − k))
+    with reference drift ``k`` and alarm threshold ``h`` — flags the
+    point where a metric's level has persistently shifted upward
+    (fraud bursts, latency regressions, runaway retry loops).
+
+    The recursion LOOKS like it needs a per-entity sequential kernel
+    (applyInPandas), but it has a closed windowed form:
+        s_i = P_i − min(0, min_{j≤i} P_j),   P = running Σ (x − k)
+    so the whole detector is ONE window pass with two running
+    aggregates (sum + min) over the same sorted run — pure Catalyst
+    codegen, no Python, no recursion, one shuffle + one sort on the
+    entity. All arithmetic in integer cents: exact on any engine.
+
+    PIT-safe by construction (the frame ends at the current row);
+    alarm = s_i > h. At 100 TB a hot entity routes through the salted
+    prefix machinery like every other prefix feature (the running sum
+    and running min both regroup exactly by block).
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    with_p = df.select(
+        *order,
+        entity,
+        F.sum(cents - F.lit(drift_cents)).over(w).alias("__p"),
+    )
+    s = F.col("__p") - F.least(
+        F.lit(0).cast("bigint"), F.min("__p").over(w)
+    )
+    return with_p.select(
+        *order,
+        entity,
+        (s.cast("double") / 100.0).alias("cusum"),
+        (s > F.lit(threshold_cents)).alias("is_alarm"),
+    )
+
+
+def rolling_slope(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    k: int = 16,
+) -> DataFrame:
+    """Trailing-window least-squares TREND: the slope of value vs
+    position over the entity's last ``k`` rows — "is this metric
+    rising or falling, and how fast" as a PIT-safe feature (the
+    regression sibling of rolling_agg's level statistics).
+
+    Closed form over bounded-frame sums: with x = 0..m-1 (position
+    within the frame, oldest first) and y the cents values,
+        slope = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²)
+    Σx and Σx² are pure functions of the frame length m; Σxy needs
+    x per element, which a ROWS frame doesn't expose — so the frame's
+    values are materialized as a bounded collect_list (≤ k elements,
+    the context_window/rolling_distinct O(n·k) class) and all four
+    sums are exact int64 `aggregate` folds over it (position from the
+    running index). ONE IEEE divide of exact ints at the end — any
+    engine replays it bit for bit. One exchange + one sort on the
+    entity. Frames of m < 2 (or zero x-variance) yield NULL.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(k - 1), 0)
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    ys = F.collect_list(cents).over(w)
+    with_frame = df.select(*order, entity, ys.alias("__ys"))
+    m = F.size("__ys")
+    mb = m.cast("bigint")
+    # Σx = m(m-1)/2, Σx² = m(m-1)(2m-1)/6 — exact closed forms
+    sx = F.expr("CAST(size(__ys) AS BIGINT) * (size(__ys) - 1) div 2")
+    sxx = F.expr(
+        "CAST(size(__ys) AS BIGINT) * (size(__ys) - 1) "
+        "* (2 * size(__ys) - 1) div 6"
+    )
+    sy = F.expr(
+        "aggregate(__ys, CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+    )
+    sxy = F.expr(
+        "aggregate(zip_with(__ys, sequence(0, size(__ys) - 1), "
+        "(y, i) -> y * CAST(i AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    num = (mb * sxy - sx * sy).cast("double")
+    den = (mb * sxx - sx * sx).cast("double")
+    slope = F.when(den > 0, num / den / F.lit(100.0)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return with_frame.select(
+        *order,
+        entity,
+        m.cast("int").alias("frame_len"),
+        slope.alias("slope"),
+    )

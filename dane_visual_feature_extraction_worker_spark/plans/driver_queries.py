@@ -5160,3 +5160,266 @@ def approx_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["approx_profile"] = approx_profile_q
+
+
+def behavior_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distribution-shape features (operators/stats.
+    behavior_profile): Shannon entropy of the event-type mix in
+    term-level-quantized integer micro-nats (the _lm_score contract —
+    each ln is of a bare integer count) + Herfindahl concentration as
+    one IEEE divide of exact ints. One corpus exchange on (user, type),
+    then a histogram-sized rollup."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        behavior_profile,
+    )
+
+    return behavior_profile(_events(spark, sf_dir))
+
+
+ORACLES["behavior_entropy"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), per AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                               AS BIGINT)) AS BIGINT) AS slc
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n AS n_rows, n_categories,
+           CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                - (slc // n) AS DOUBLE) / 1e6 AS entropy_nats,
+           CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS hhi
+    FROM per
+"""
+QUERIES["behavior_entropy"] = behavior_entropy_q
+
+
+def session_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence (operators/sessionize.
+    session_cooccurrence): for each unordered type pair, the number of
+    1h-gap sessions containing both — sessionize window → bounded
+    per-session collect_set → codegen i<j pair explode → one
+    |types|²-key count. The self-join formulation shuffles the session
+    table twice; this shuffles it never."""
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_cooccurrence,
+    )
+
+    return session_cooccurrence(
+        _events(spark, sf_dir),
+        gap_seconds=3600.0,
+        entity="user_id",
+        category="event_type",
+        ts="ts",
+        order=("ts", "event_id"),
+    )
+
+
+ORACLES["session_cooccurrence"] = """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sets AS (
+      SELECT user_id, session_id,
+             list_sort(list(DISTINCT event_type)) AS cats
+      FROM sess GROUP BY user_id, session_id
+    ), pairs AS (
+      SELECT a.a AS cat_a, b.b AS cat_b
+      FROM sets,
+           unnest(cats) AS a(a),
+           unnest(cats) AS b(b)
+      WHERE a.a < b.b
+    )
+    SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pairs GROUP BY cat_a, cat_b
+"""
+QUERIES["session_cooccurrence"] = session_cooccurrence_q
+
+
+def cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector (operators/windows.cusum_drift):
+    s_i = max(0, s_{i-1} + (x_i − k)) — the recursion has the closed
+    windowed form s_i = P_i − min(0, min_{j≤i} P_j) with P the running
+    Σ(x−k), so the whole detector is one exchange + one sort with two
+    running aggregates (sum, min) in pure codegen, exact integer
+    cents; no applyInPandas, no recursion. k = 50.00, h = 550.00."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        cusum_drift,
+    )
+
+    return cusum_drift(
+        _events(spark, sf_dir),
+        entity="user_id",
+        order=("ts", "event_id"),
+        value="value",
+        drift_cents=5000,
+        threshold_cents=55000,
+    )
+
+
+ORACLES["cusum_drift"] = """
+    WITH p AS (
+      SELECT ts, event_id, user_id,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 - 5000) OVER w AS p
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ts, event_id, user_id,
+           CAST(p - least(CAST(0 AS BIGINT), min(p) OVER w2) AS DOUBLE)
+             / 100.0 AS cusum,
+           ((p - least(CAST(0 AS BIGINT), min(p) OVER w2)) > 55000)
+             AS is_alarm
+    FROM p
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+QUERIES["cusum_drift"] = cusum_drift_q
+
+
+def rolling_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16-row least-squares trend per user (operators/windows.
+    rolling_slope): slope from exact int64 bounded-frame sums
+    (Σx/Σx² closed-form in the frame length, Σy/Σxy as integer
+    aggregate folds over the ≤16-element frame list), ONE IEEE divide
+    chain at the end — engine-exact. One exchange + one sort."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_slope,
+    )
+
+    return rolling_slope(
+        _events(spark, sf_dir),
+        entity="user_id",
+        order=("ts", "event_id"),
+        value="value",
+        k=16,
+    )
+
+
+ORACLES["rolling_slope"] = """
+    WITH f AS (
+      SELECT ts, event_id, user_id,
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER w AS ys
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT ts, event_id, user_id,
+             CAST(len(ys) AS BIGINT) AS m,
+             CAST(len(ys) AS BIGINT) * (len(ys) - 1) // 2 AS sx,
+             CAST(len(ys) AS BIGINT) * (len(ys) - 1)
+               * (2 * len(ys) - 1) // 6 AS sxx,
+             CAST(list_sum(ys) AS BIGINT) AS sy,
+             CAST(coalesce(list_sum(list_transform(ys,
+                    (y, i) -> y * (CAST(i AS BIGINT) - 1))), 0)
+                  AS BIGINT) AS sxy
+      FROM f
+    )
+    SELECT ts, event_id, user_id,
+           CAST(m AS INT) AS frame_len,
+           CASE WHEN (m * sxx - sx * sx) > 0
+                THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE) / 100.0
+                ELSE NULL END AS slope
+    FROM s
+"""
+QUERIES["rolling_slope"] = rolling_slope_q
+
+
+def doc_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 rounds, d=0.85) over the MinHash-LSH
+    candidate graph (operators/dedup.pagerank_fixed): centrality-based
+    canonical-representative scoring for near-dup clusters. Ranks in
+    integer micro-units with `div` contributions — every round is
+    exact int64, so the unrolled SQL twin replays all three rounds bit
+    for bit (the float formulation CANNOT be gated; this one can)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        pagerank_fixed,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+    return pagerank_fixed(pairs, docs.select("doc_id"), iters=3)
+
+
+def _pagerank_oracle(iters: int = 3, damping_pct: int = 85) -> str:
+    rounds = []
+    prev = "it0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    , it{i} AS (
+      SELECT spine.node,
+             CAST({(100 - damping_pct) * 10_000}
+                  + ({damping_pct} * coalesce(m.inm, 0)) // 100
+                  AS BIGINT) AS r
+      FROM spine LEFT JOIN (
+        SELECT e.t AS node, sum({prev}.r // deg.deg) AS inm
+        FROM {prev}
+        JOIN deg ON deg.s = {prev}.node
+        JOIN edges e ON e.s = {prev}.node
+        GROUP BY e.t
+      ) m ON m.node = spine.node
+    )""")
+        prev = f"it{i}"
+    return (
+        r"""
+    WITH arr AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS shingle
+      FROM arr WHERE len(a) >= 3
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ), edges AS (
+      SELECT DISTINCT s, t FROM (
+        SELECT doc_a AS s, doc_b AS t FROM cand
+        UNION ALL
+        SELECT doc_b, doc_a FROM cand
+      )
+    ), deg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY s
+    ), spine AS (
+      SELECT doc_id AS node FROM documents
+    ), it0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM spine
+    )"""
+        + "".join(rounds)
+        + f"""
+    SELECT node AS doc_id, r AS rank_micro FROM it{iters}
+"""
+    )
+
+
+ORACLES["doc_pagerank"] = _pagerank_oracle()
+QUERIES["doc_pagerank"] = doc_pagerank_q

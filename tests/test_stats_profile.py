@@ -1,0 +1,126 @@
+"""Unit tests: behavior_profile (entropy/HHI), session_cooccurrence,
+and the closed-form CUSUM drift detector."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def _events_df(spark, n=1000, n_users=10):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 11).alias("ts"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("id") * 13 % 997) / 100.0).alias("value"),
+    )
+
+
+def test_behavior_profile_matches_direct_formula(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        behavior_profile,
+    )
+
+    df = _events_df(spark)
+    got = {r["user_id"]: r for r in behavior_profile(df).collect()}
+    pd = df.toPandas()
+    for uid, g in pd.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        n = int(counts.sum())
+        # replicate the micro-nat quantization exactly
+        slc = sum(int(c) * math.floor(math.log(c) * 1e6) for c in counts)
+        ent = (math.floor(math.log(n) * 1e6) - slc // n) / 1e6
+        hhi = float(sum(int(c) ** 2 for c in counts)) / float(n * n)
+        r = got[uid]
+        assert r["n_rows"] == n
+        assert r["n_categories"] == len(counts)
+        assert math.isclose(r["entropy_nats"], ent, abs_tol=1e-12)
+        assert math.isclose(r["hhi"], hhi, rel_tol=1e-12)
+    # entropy of a single-category entity is exactly 0
+    one = spark.createDataFrame(
+        [(1, "only")] * 5, "user_id int, event_type string"
+    )
+    assert behavior_profile(one).collect()[0]["entropy_nats"] == 0.0
+
+
+def test_session_cooccurrence_brute_force(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_cooccurrence,
+        sessionize,
+    )
+
+    df = _events_df(spark, n=600, n_users=6)
+    got = {
+        (r["cat_a"], r["cat_b"]): r["n_sessions"]
+        for r in session_cooccurrence(
+            df,
+            gap_seconds=40.0,
+            entity="user_id",
+            category="event_type",
+            order=("ts", "event_id"),
+        ).collect()
+    }
+    sess = sessionize(
+        df, 40.0, entity="user_id", order=("ts", "event_id")
+    ).toPandas()
+    expect: dict[tuple[str, str], int] = {}
+    for _, g in sess.groupby(["user_id", "session_id"]):
+        cats = sorted(set(g["event_type"]))
+        for i in range(len(cats)):
+            for j in range(i + 1, len(cats)):
+                expect[(cats[i], cats[j])] = (
+                    expect.get((cats[i], cats[j]), 0) + 1
+                )
+    assert got == expect
+
+
+def test_cusum_matches_recursion_and_flags_shift(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        cusum_drift,
+    )
+
+    # one entity: baseline 1.00 then a sustained shift to 3.00
+    rows = [(i, 1_700_000_000 + i, 0, 1.0 if i < 50 else 3.0) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "event_id long, epoch long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+        "user_id",
+        "value",
+    )
+    out = (
+        cusum_drift(df, drift_cents=150, threshold_cents=600)
+        .orderBy("event_id")
+        .collect()
+    )
+    # brute-force recursion in integer cents
+    s, expect = 0, []
+    for i in range(80):
+        x = 100 if i < 50 else 300
+        s = max(0, s + (x - 150))
+        expect.append(s)
+    for r, e in zip(out, expect):
+        assert math.isclose(r["cusum"], e / 100.0, abs_tol=1e-12)
+        assert r["is_alarm"] == (e > 600)
+    # the baseline stays at 0; the alarm fires during the shift
+    assert all(not r["is_alarm"] for r in out[:50])
+    assert any(r["is_alarm"] for r in out[50:])
+
+
+def test_cusum_single_exchange_plan(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        cusum_drift,
+    )
+
+    plan = (
+        cusum_drift(_events_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
