@@ -124,6 +124,8 @@ HEADLINE = [
     "cusum_drift",
     "rolling_slope",
     "doc_pagerank",
+    "streaming_interval_join",
+    "weighted_sample",
 ]
 
 

@@ -289,8 +289,12 @@ def dataset_mix(
     treats epochs as distinct rows.
     """
     for s, w in weights.items():
-        if w < 0:
-            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+        if not 0.0 <= w <= 1000.0:
+            # floor(w) full copies are EXPLODED per row — an absurd weight
+            # is far more likely a units bug than a real 1000-epoch mix
+            raise ValueError(
+                f"weight for {s!r} must be in [0, 1000], got {w}"
+            )
     base = F.lit(None).cast("int")
     frac_thr = F.lit(None).cast("bigint")
     for s, w in weights.items():
@@ -313,4 +317,50 @@ def dataset_mix(
             source_col,
             F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx"),
         )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): keep the k rows with the largest u^(1/w), u a
+    uniform draw — every row's inclusion probability is proportional
+    to its weight among the survivors, the standard "sample documents
+    ∝ length/quality" step rand() cannot do reproducibly.
+
+    Determinism: u = (md5key+1)/2^32 (the sample_key primitive — an
+    integer ratio, so ln(u) is correctly rounded on any libm, the
+    _lm_score contract), score = ln(u)/w maximized ⇔ u^(1/w) maximized
+    (strictly monotone for u∈(0,1], w>0), floor-quantized to integer
+    micro-units with ties broken by id — any engine replays the exact
+    sample. Weights must be positive integers (quantize at the call
+    site); zero/negative-weight rows are EXCLUDED (they'd never win in
+    the limit anyway; silently keeping them would bias the tail).
+
+    Plan: pure narrow scoring map + TakeOrderedAndProject — zero
+    shuffles, no global sort; the k-row heap merge is the reduction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = sample_key(F.col(id_col), salt)
+    u_num = key + F.lit(1)
+    score = (
+        F.floor(
+            F.log(u_num.cast("double") / F.lit(float(SAMPLE_SPACE)))
+            * F.lit(1e6)
+            / F.col(weight_col).cast("double")
+        )
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), score)
+        .orderBy(F.desc("score_micro"), F.col(id_col))
+        .limit(k)
     )

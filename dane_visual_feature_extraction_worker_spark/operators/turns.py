@@ -159,6 +159,7 @@ def negative_pairs(
     pairs: DataFrame,
     conv: str = "conv_id",
     idx: str = "turn_idx",
+    prompt: str = "prompt",
     response: str = "response",
     n_shards: int = 8,
     salt: str = "neg",
@@ -197,7 +198,7 @@ def negative_pairs(
     return keyed.select(
         conv,
         idx,
-        "prompt",
+        prompt,
         response,
         ring.alias("neg_response"),
         (ring == F.col(response)).alias("is_self"),

@@ -5423,3 +5423,107 @@ def _pagerank_oracle(iters: int = 3, damping_pct: int = 85) -> str:
 
 ORACLES["doc_pagerank"] = _pagerank_oracle()
 QUERIES["doc_pagerank"] = doc_pagerank_q
+
+
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py): clicks and
+    purchases as two watermarked unbounded streams, purchases
+    attributed to clicks within 1 h — state bounded by the interval +
+    watermark horizon, constant for a steady stream at any length.
+    availableNow-bounded for the gate with a conservative lateness
+    budget (inner stream-stream joins drop late rows by design; the
+    oracle is the identical batch range join)."""
+    from dane_visual_feature_extraction_worker_spark.streaming.joins import (
+        interval_join_sink_append,
+    )
+
+    s = _events_stream(spark, sf_dir)
+    clicks = s.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    tmp = _fresh_stream_tmp("st_ivj_")
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    # A stream-stream join keeps FOUR state stores per shuffle
+    # partition (two sides × keyWithIndex/keyWithNumValues); their
+    # open/commit latency — not data volume — dominates a bounded run,
+    # so pin the query's state partitioning low. The setting is baked
+    # into the checkpoint at first start (a real deployment sizes it
+    # to peak in-interval rows per partition and keeps it forever).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        interval_join_sink_append(
+            clicks,
+            purchases,
+            on="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            interval_seconds=3600.0,
+            sink_dir=sink_dir,
+            checkpoint_dir=ckpt_dir,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink_dir).select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+
+
+ORACLES["streaming_interval_join"] = """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+"""
+QUERIES["streaming_interval_join"] = streaming_interval_join_q
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.weighted_sample, Efraimidis-Spirakis A-Res): top-100 docs
+    by ln(u)/n_chars with the md5 uniform — inclusion ∝ length,
+    engine-replayable. Pure narrow scoring + TakeOrdered, zero
+    shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        _documents(spark, sf_dir), k=100, weight_col="n_chars", salt="ws5"
+    )
+
+
+ORACLES["weighted_sample"] = f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('ws5' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+      WHERE n_chars > 0
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(ln(CAST(({_sample_key_terms_sql()}) + 1 AS DOUBLE)
+                           / 4294967296.0)
+                        * 1000000.0 / CAST(n_chars AS DOUBLE))
+                  AS BIGINT) AS score_micro
+      FROM h
+    )
+    SELECT doc_id, n_chars, score_micro
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 100
+"""
+QUERIES["weighted_sample"] = weighted_sample_q

@@ -124,3 +124,50 @@ def test_cusum_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan audits: the shapes the SURVEY rows claim."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        robust_outliers,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_cooccurrence,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_distinct,
+        rolling_slope,
+    )
+
+    e = _events_df(spark)
+
+    # rolling_slope / rolling_distinct: ONE hash exchange (the entity
+    # sort), nothing else
+    for op in (rolling_slope, rolling_distinct):
+        p = _plan(op(e))
+        assert p.count("Exchange hashpartitioning") == 1, op.__name__
+        assert "BroadcastExchange" not in p, op.__name__
+
+    # robust_outliers: the corpus NEVER hash-shuffles — the quantile
+    # scalars come back as broadcasts (median twice: once feeding the
+    # deviation aggregate inside the MAD subtree, once in the final
+    # flag map; MAD once)
+    p = _plan(robust_outliers(e))
+    assert p.count("BroadcastExchange") == 3
+    assert "Exchange hashpartitioning" not in p
+
+    # session_cooccurrence: no joins at all (the self-join formulation
+    # is the plan this operator exists to avoid); the sessionize window
+    # exchange + the pair-count exchange
+    p = _plan(
+        session_cooccurrence(
+            e, 40.0, entity="user_id", category="event_type",
+            order=("ts", "event_id"),
+        )
+    )
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2
