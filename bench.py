@@ -126,6 +126,9 @@ HEADLINE = [
     "doc_pagerank",
     "streaming_interval_join",
     "weighted_sample",
+    "null_profile",
+    "quantile_normalize",
+    "source_overlap",
 ]
 
 

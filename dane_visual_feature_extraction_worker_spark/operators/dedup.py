@@ -737,3 +737,72 @@ def pagerank_fixed(
         ranks = nxt.localCheckpoint(eager=True)
         prev.unpersist()
     return ranks.select(F.col("node").alias(id_col), "rank_micro")
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus-slice overlap matrix: pairwise shingle Jaccard between
+    document GROUPS (sources/snapshots/splits) — the dataset-level
+    contamination diagnostic ("how much of source B is already in
+    source A?") that per-document dedup can't answer directly.
+
+    Plan: the token stream reduces to DISTINCT (group, shingle) rows
+    (one map-side-combined distinct — shingle multiplicity inside a
+    group is irrelevant to Jaccard); per-group shingle counts come
+    from the same frame; the pair table is a self-join on the shingle
+    key where each shingle contributes at most |groups|²/2 pairs —
+    bounded fan-out at ANY corpus size because the join multiplicity
+    is per-GROUP, not per-document. ``max_df`` (in groups) optionally
+    drops shingles present in nearly every group (stop-shingles
+    inflate intersections and the join's hot keys, the dedup_jaccard
+    df-cap precedent). Jaccard = one IEEE divide of exact ints,
+    floor-truncated to 1e-6.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"), _tokens(text_col).alias("__toks")
+    )
+    grams = toks.select(
+        "g",
+        F.explode(_shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        df_t = grams.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        grams = (
+            grams.join(df_t, "shingle").where(F.col("__df") <= max_df)
+            .select("g", "shingle")
+        )
+    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("g").alias("g_a"), "shingle")
+    b = grams.select(F.col("g").alias("g_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "g_a")
+        .join(F.broadcast(sb), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.floor(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )

@@ -324,3 +324,45 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value: str = "value",
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """ECDF transform: map every value to its exact empirical quantile
+    rank P(X <= x) — rank-order normalization that makes any two
+    features comparable regardless of their marginal distributions
+    (the continuous generalization of quantile_bucketize's 10 bins).
+
+    The naive plan — cume_dist() over a global ORDER BY — is ONE task
+    at 100 TB. Instead: one map-side-combined count per DISTINCT cent,
+    a running sum over the distinct-value frame (domain-bound: the
+    same O(|distinct cents|) state quantile_bucketize documents — for
+    an unbounded domain substitute the fixed-width histogram), and a
+    join back on the cent. ecdf = cum/n is one IEEE divide of exact
+    ints, identical to cume_dist by definition (count of rows <= x
+    over n), which is exactly what the oracle replays. The ECDF table
+    is BROADCAST back (domain-bound), so the corpus never shuffles —
+    for a domain too large to broadcast, drop the hint and the join
+    shuffles on the cent key (uniform by construction: each key is
+    one distinct value).
+    """
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    counts = df.select(cents.alias("__c")).groupBy("__c").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, 0)
+    n_total = df.count()
+    ecdf = counts.select(
+        "__c",
+        (
+            F.sum("__k").over(w).cast("double") / F.lit(float(n_total))
+        ).alias("ecdf"),
+    )
+    return (
+        df.select(*keys, cents.alias("__c"))
+        .join(F.broadcast(ecdf), "__c")
+        .select(*keys, "ecdf")
+    )

@@ -5527,3 +5527,116 @@ ORACLES["weighted_sample"] = f"""
     LIMIT 100
 """
 QUERIES["weighted_sample"] = weighted_sample_q
+
+
+def null_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality null/empty/NaN profile of the events table
+    (operators/stats.null_profile): ONE map-side-combined aggregate —
+    every counter a CASE sum, no per-column jobs — exploded to a
+    |columns|-row report."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        null_profile,
+    )
+
+    return null_profile(_events(spark, sf_dir))
+
+
+ORACLES["null_profile"] = """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_event_id,
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_ts,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_user_id,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_event_type,
+             CAST(sum(CASE WHEN event_type = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS em_event_type,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_value,
+             CAST(sum(CASE WHEN value IS NOT NULL AND isnan(value)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS na_value,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_props,
+             CAST(sum(CASE WHEN props = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS em_props
+      FROM events
+    )
+    SELECT 'event_id' AS "column", n AS n_rows, nu_event_id AS n_null,
+           CAST(NULL AS BIGINT) AS n_empty, CAST(NULL AS BIGINT) AS n_nan
+    FROM m
+    UNION ALL
+    SELECT 'ts', n, nu_ts, NULL, NULL FROM m
+    UNION ALL
+    SELECT 'user_id', n, nu_user_id, NULL, NULL FROM m
+    UNION ALL
+    SELECT 'event_type', n, nu_event_type, em_event_type, NULL FROM m
+    UNION ALL
+    SELECT 'value', n, nu_value, NULL, na_value FROM m
+    UNION ALL
+    SELECT 'props', n, nu_props, em_props, NULL FROM m
+"""
+QUERIES["null_profile"] = null_profile_q
+
+
+def quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF rank transform (operators/encoding.quantile_normalize):
+    exact P(X <= x) per row WITHOUT a global sort — distinct-cent
+    counts + a domain-bound running sum, broadcast back; cume_dist by
+    definition, which is exactly what the oracle runs."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(_events(spark, sf_dir))
+
+
+ORACLES["quantile_normalize"] = """
+    SELECT event_id,
+           cume_dist() OVER (
+             ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           ) AS ecdf
+    FROM events
+"""
+QUERIES["quantile_normalize"] = quantile_normalize_q
+
+
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-Jaccard matrix (operators/dedup.
+    source_overlap): dataset-level contamination diagnostic. Distinct
+    (source, shingle) reduction → per-shingle self-join with
+    |groups|-bounded fan-out → exact-int Jaccard."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        source_overlap,
+    )
+
+    return source_overlap(_documents(spark, sf_dir))
+
+
+ORACLES["source_overlap"] = r"""
+    WITH toks AS (
+      SELECT source AS g, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT g,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS shingle
+      FROM toks WHERE len(a) >= 3
+    ), sizes AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY g
+    ), common AS (
+      SELECT x.g AS g_a, y.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM grams x JOIN grams y
+        ON x.shingle = y.shingle AND x.g < y.g
+      GROUP BY x.g, y.g
+    )
+    SELECT c.g_a, c.g_b, c.n_common,
+           floor(c.n_common / (sa.n + sb.n - c.n_common) * 1e6) / 1e6
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.g = c.g_a
+    JOIN sizes sb ON sb.g = c.g_b
+"""
+QUERIES["source_overlap"] = source_overlap_q

@@ -171,3 +171,67 @@ def test_new_ops_plan_shapes(spark):
     )
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_null_profile_counts(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        null_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "", None),
+            (None, None, float("nan")),
+        ],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in null_profile(df).collect()}
+    assert got["id"]["n_rows"] == 3 and got["id"]["n_null"] == 1
+    assert got["id"]["n_empty"] is None and got["id"]["n_nan"] is None
+    assert got["s"]["n_null"] == 1 and got["s"]["n_empty"] == 1
+    assert got["v"]["n_null"] == 1 and got["v"]["n_nan"] == 1
+
+
+def test_quantile_normalize_is_cume_dist(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        quantile_normalize,
+    )
+
+    df = _events_df(spark, n=500)
+    got = dict(
+        quantile_normalize(df, keys=("event_id",)).collect()
+    )
+    pd = df.toPandas()
+    cents = (pd["value"] * 100).round().astype("int64")
+    n = len(pd)
+    for eid, c in zip(pd["event_id"], cents):
+        expect = (cents <= c).sum() / n
+        assert abs(got[eid] - expect) < 1e-12
+    # ties share the same ecdf by construction
+    # corpus never shuffles: ECDF table comes back broadcast
+    plan = (
+        quantile_normalize(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_overlap_identical_and_disjoint(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma delta", "s2"),  # identical to s1
+            (3, "zig zag zoom boom pow", "s3"),  # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["g_a"], r["g_b"]): r["jaccard"]
+        for r in source_overlap(docs).collect()
+    }
+    assert out[("s1", "s2")] == 1.0
+    assert ("s1", "s3") not in out and ("s3", "s1") not in out
