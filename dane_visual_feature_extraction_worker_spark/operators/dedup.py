@@ -710,32 +710,40 @@ def pagerank_fixed(
     ranks = spine.select(
         "node", F.lit(1_000_000).cast("bigint").alias("rank_micro")
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["src"], "inner")
-            .select(
-                "node",
-                F.expr("rank_micro div deg").alias("__c"),
-            )
-            .join(edges, F.col("node") == F.col("src"), "inner")
-            .groupBy("dst")
-            .agg(F.sum("__c").alias("__in"))
-        )
-        nxt = spine.join(
-            contrib, spine["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (
-                base
-                + F.expr(
-                    f"({damping_pct} * coalesce(__in, CAST(0 AS BIGINT)))"
-                    " div 100"
+    try:
+        for _ in range(iters):
+            contrib = (
+                ranks.join(deg, ranks["node"] == deg["src"], "inner")
+                .select(
+                    "node",
+                    F.expr("rank_micro div deg").alias("__c"),
                 )
-            ).alias("rank_micro"),
-        )
-        prev = ranks
-        ranks = nxt.localCheckpoint(eager=True)
-        prev.unpersist()
+                .join(edges, F.col("node") == F.col("src"), "inner")
+                .groupBy("dst")
+                .agg(F.sum("__c").alias("__in"))
+            )
+            nxt = spine.join(
+                contrib, spine["node"] == contrib["dst"], "left"
+            ).select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__in, CAST(0 AS BIGINT)))"
+                        " div 100"
+                    )
+                ).alias("rank_micro"),
+            )
+            prev = ranks
+            ranks = nxt.localCheckpoint(eager=True)
+            prev.unpersist()
+    finally:
+        # each round's ranks checkpoint is materialized EAGERLY, so the
+        # pinned graph is no longer needed once the loop exits — release
+        # it (the connected_components try/finally precedent); only the
+        # returned frame's own blocks stay, owned by the caller
+        edges.unpersist()
+        spine.unpersist()
     return ranks.select(F.col("node").alias(id_col), "rank_micro")
 
 
@@ -763,13 +771,12 @@ def source_overlap(
     df-cap precedent). Jaccard = one IEEE divide of exact ints,
     floor-truncated to 1e-6.
     """
-    toks = docs.select(
-        F.col(group_col).alias("g"), _tokens(text_col).alias("__toks")
+    # shingle_table already builds the distinct (key, shingle) frame;
+    # the group column plays the id role (duplicating the construction
+    # here would drift if tokenization changes)
+    grams = shingle_table(docs, id_col=group_col, text_col=text_col, k=k).select(
+        F.col(group_col).alias("g"), "shingle"
     )
-    grams = toks.select(
-        "g",
-        F.explode(_shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
-    ).distinct()
     if max_df is not None:
         df_t = grams.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("__df")

@@ -354,11 +354,16 @@ def quantile_normalize(
         F.count(F.lit(1)).alias("__k")
     )
     w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, 0)
-    n_total = df.count()
+    # n = total of the per-cent counts — same frame, no second corpus
+    # scan and no eager action at plan-construction time
+    w_all = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ecdf = counts.select(
         "__c",
         (
-            F.sum("__k").over(w).cast("double") / F.lit(float(n_total))
+            F.sum("__k").over(w).cast("double")
+            / F.sum("__k").over(w_all).cast("double")
         ).alias("ecdf"),
     )
     return (

@@ -49,24 +49,28 @@ def pearson_corr_exact(
     """
     d38 = "decimal(38,0)"
     y = label.cast(d38)
-    aggs: list[F.Column] = [F.count(F.lit(1)).cast(d38).alias("__n")]
+    # label moments are feature-independent — accumulate them ONCE, not
+    # per feature (2(F-1) redundant decimal sum states otherwise)
+    aggs: list[F.Column] = [
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    ]
     for name, x in features.items():
         xd = x.cast(d38)
         aggs += [
             F.sum(xd).alias(f"__sx_{name}"),
-            F.sum(y).alias(f"__sy_{name}"),
             F.sum(xd * y).alias(f"__sxy_{name}"),
             F.sum(xd * xd).alias(f"__sxx_{name}"),
-            F.sum(y * y).alias(f"__syy_{name}"),
         ]
     row = df.agg(*aggs)
 
     per_feature = []
     for name in features:
         n = F.col("__n")
-        sx, sy = F.col(f"__sx_{name}"), F.col(f"__sy_{name}")
+        sx, sy = F.col(f"__sx_{name}"), F.col("__sy")
         sxy = F.col(f"__sxy_{name}")
-        sxx, syy = F.col(f"__sxx_{name}"), F.col(f"__syy_{name}")
+        sxx, syy = F.col(f"__sxx_{name}"), F.col("__syy")
         cov = (n * sxy - sx * sy).cast("double")
         vx = (n * sxx - sx * sx).cast("double")
         vy = (n * syy - sy * sy).cast("double")
@@ -104,9 +108,11 @@ def behavior_profile(
     micro-nats, multiplied and summed as exact int64, and the final
     division is an integer `div` — so aggregation order cannot move a
     bit and SQL replays it exactly. HHI = Σcᵢ²/n² is ONE IEEE divide
-    of two exact integers. entropy_micro ≤ ln(10^12)·10^6 ≈ 2.8e7 per
-    term and Σ c·lnc ≤ 10^12·28·10^6 ≈ 2.8e19 — within int64 for
-    per-entity histories up to ~3·10^11 rows; decimal-widen beyond.
+    of two exact integers; Σcᵢ² and n² are accumulated as
+    decimal(38,0) (an int64 Σc² wraps silently at ~3·10^9 rows in ONE
+    category — 100× below the 10^12 target). The remaining int64 term
+    is Σ c·ln(c)·10^6 ≤ 2.8e19 at 10^12 single-category rows — widen
+    __slc too if a single entity×category can exceed ~3·10^11 rows.
 
     Plan: one map-side-combined count per (entity, category) — the
     only full-corpus exchange — then an |entity×category|-sized rollup
@@ -117,10 +123,11 @@ def behavior_profile(
     lc_micro = F.floor(F.log(F.col("__c").cast("double")) * 1e6).cast(
         "bigint"
     )
+    d38 = "decimal(38,0)"
     per = c.groupBy(entity).agg(
         F.sum("__c").cast("bigint").alias("__n"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
-        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__s2"),
+        F.sum(F.col("__c").cast(d38) * F.col("__c").cast(d38)).alias("__s2"),
         F.sum(F.col("__c") * lc_micro).cast("bigint").alias("__slc"),
     )
     ln_n_micro = F.floor(F.log(F.col("__n").cast("double")) * 1e6).cast(
@@ -135,7 +142,10 @@ def behavior_profile(
         ).alias("entropy_nats"),
         (
             F.col("__s2").cast("double")
-            / (F.col("__n") * F.col("__n")).cast("double")
+            / (
+                F.col("__n").cast("decimal(38,0)")
+                * F.col("__n").cast("decimal(38,0)")
+            ).cast("double")
         ).alias("hhi"),
     )
 
@@ -172,13 +182,15 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     row = df.agg(*aggs)
     outs = []
     for c in cols:
+        # sum() over an all-NULL column is NULL — coalesce so a 100%-null
+        # string column reports n_empty = 0, not "not a string column"
         empty = (
-            F.col(f"__empty_{c}")
+            F.coalesce(F.col(f"__empty_{c}"), F.lit(0)).cast("bigint")
             if schema[c] == "string"
             else F.lit(None).cast("bigint")
         )
         nan = (
-            F.col(f"__nan_{c}")
+            F.coalesce(F.col(f"__nan_{c}"), F.lit(0)).cast("bigint")
             if schema[c] in ("double", "float")
             else F.lit(None).cast("bigint")
         )

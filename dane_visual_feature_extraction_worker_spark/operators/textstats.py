@@ -469,17 +469,26 @@ def pmi_topk(
     skew: a stop-word-heavy pair has PMI ≤ 0 and min_count keeps the
     join uniform); top-k is a TakeOrdered, never a vocab-wide sort.
     """
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
     arr = docs.select(_tokens(text_col).alias("__toks"))
-    uni = (
+    # both vocab frames feed a scalar total AND the scoring join — pin
+    # them (vocab-sized) or each reference re-scans/re-explodes the
+    # corpus as its own job (the pagerank_fixed/Lloyd lesson)
+    uni = scoped_persist(
         arr.select(F.explode("__toks").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        "textstats.pmi_uni",
     )
-    bi = (
+    bi = scoped_persist(
         arr.select(F.explode(_ngrams(F.col("__toks"), 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        .where(F.col("c_ab") >= min_count),
+        "textstats.pmi_bi",
     )
     totals = uni.agg(
         F.sum("c").cast("bigint").alias("n1"),

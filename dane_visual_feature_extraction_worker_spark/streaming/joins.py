@@ -62,7 +62,12 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (
             rw[right_ts]
-            <= lw[left_ts] + F.expr(f"INTERVAL {int(interval_seconds)} SECONDS")
+            <= lw[left_ts]
+            # milliseconds so a sub-second window is not silently
+            # truncated to INTERVAL 0 by int(seconds)
+            + F.expr(
+                f"INTERVAL {int(round(interval_seconds * 1000))} MILLISECONDS"
+            )
         )
     )
     return lw.join(rw, cond, "inner").drop(rw[on])
