@@ -129,6 +129,7 @@ HEADLINE = [
     "null_profile",
     "quantile_normalize",
     "source_overlap",
+    "embedding_quantize",
 ]
 
 

@@ -5640,3 +5640,40 @@ ORACLES["source_overlap"] = r"""
     JOIN sizes sb ON sb.g = c.g_b
 """
 QUERIES["source_overlap"] = source_overlap_q
+
+
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to int8-range codes (operators/
+    similarity.quantize_embeddings): the 4x-compression map stage of a
+    quantized ANN index — pure narrow array math, zero shuffles; codes
+    bit-identical across engines (exact float32->double lift, fixed op
+    order, floor)."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_embeddings(spark, sf_dir))
+
+
+ORACLES["embedding_quantize"] = """
+    WITH a AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, arr,
+             CAST(list_min(arr) AS DOUBLE) AS q_min,
+             CAST(list_max(arr) AS DOUBLE) AS q_max
+      FROM a
+    )
+    SELECT vec_id, q_min, q_max,
+           list_aggregate(
+             list_transform(arr,
+               x -> CAST(CASE WHEN q_max - q_min > 0
+                              THEN CAST(floor((x - q_min) * 255.0
+                                              / (q_max - q_min)) AS INT)
+                              ELSE 0 END AS VARCHAR)),
+             'string_agg', ',') AS codes
+    FROM s
+"""
+QUERIES["embedding_quantize"] = embedding_quantize_q

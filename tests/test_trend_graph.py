@@ -106,3 +106,34 @@ def test_pagerank_deterministic_across_layouts(spark):
         pairs.repartition(13), nodes.repartition(3), iters=3
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quantize_embeddings_reconstruction_bound(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") * 7 + i * 13) % 101).cast("float") / 10.0,
+        ).alias("embedding"),
+    )
+    out = quantize_embeddings(vecs).collect()
+    src = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for r in out:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        span = r["q_max"] - r["q_min"]
+        scale = span / 255.0
+        for c, x in zip(codes, src[r["vec_id"]]):
+            # mid-point dequantization error <= scale/2 (+ eps)
+            deq = r["q_min"] + (c + 0.5) * scale
+            assert abs(deq - x) <= scale / 2 + 1e-9
+    # constant vector codes to all zeros, not a division error
+    const = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<float>"
+    )
+    row = quantize_embeddings(const).collect()[0]
+    assert row["codes"] == "0,0,0" and row["q_min"] == row["q_max"]
