@@ -37,6 +37,7 @@ def stream_interval_join(
     right_ts: str,
     interval_seconds: float,
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Inner-join two watermarked streams on ``on`` with the time-range
     condition ``left_ts <= right_ts <= left_ts + interval_seconds``.
@@ -54,6 +55,16 @@ def stream_interval_join(
     stream-stream joins silently drop late rows by design — determinism
     of the gate requires the conservative budget; the state-eviction
     semantics are identical, just with a longer horizon).
+
+    ``how="leftOuter"`` adds unmatched-left emission: a buffered left
+    row with no match is emitted null-extended only once the RIGHT
+    watermark passes its join horizon (Spark can't know "no match" any
+    earlier) — so outer rows trail live data by the watermark delay,
+    and a bounded run only emits the outer rows whose horizon a later
+    micro-batch's watermark crossed (tests/test_stream_join_wsample.py
+    drives this with a multi-batch replay). The gate key stays inner:
+    outer emission is watermark-timing-dependent, which a value-hash
+    oracle can't replay deterministically.
     """
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
@@ -70,7 +81,7 @@ def stream_interval_join(
             )
         )
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop(rw[on])
 
 
 def interval_join_sink_append(
