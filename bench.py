@@ -130,6 +130,9 @@ HEADLINE = [
     "quantile_normalize",
     "source_overlap",
     "embedding_quantize",
+    "scd2_build",
+    "scd2_lookup",
+    "embedding_gram",
 ]
 
 

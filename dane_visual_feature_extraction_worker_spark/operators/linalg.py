@@ -1,0 +1,91 @@
+"""Distributed exact linear algebra over embedding columns.
+
+``gram_matrix`` computes the d x d Gramian G = sum_r x_r x_r^T of an
+embedding column — the one aggregate behind PCA / whitening /
+covariance feature screens (eigendecomposition of G, a d x d driver-side
+numpy call, is free once G is exact). The reference ships dense float
+feature matrices to a single process (feature_extraction.py batches of
+256); at 10^12 rows the only thing that crosses the wire can be
+d(d+1)/2 partial sums per partition, never vectors.
+
+Exactness discipline (the label_centroids precedent): float dot-product
+sums are order-dependent, so each component is first floor-quantized to
+the 2^-24 grid as an int64; every per-row product and every partial sum
+is then INTEGER arithmetic — bit-identical on any engine, any layout,
+any partition count. Per-term bound |q_i q_j| < 2^48, so a 50k-row
+numpy batch partial stays under 2^63 (asserted); cross-batch totals are
+summed as decimal(38,0), overflow-proof past 10^12 rows (2^48 x 10^12
+~ 2.8e26 << 1e38).
+
+Plan: mapInPandas emits d(d+1)/2 rows per Arrow batch (the vectorized
+einsum is the Arrow-batch fast path; per-row posexplode of d^2 products
+would shuffle n*d^2 rows before partial agg) + ONE map-side-combined
+groupBy on (i, j) — the exchange carries partials, bounded by
+|partitions| x d(d+1)/2 regardless of row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_SCALE_BITS = 24
+_BATCH_CAP = 50_000  # 50k * 2^48 < 2^63: int64 partials cannot wrap
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact quantized Gramian: rows ``(i, j, gram)`` for i <= j, where
+    ``gram = sum_r floor(x_ri * 2^24) * floor(x_rj * 2^24)`` as a
+    decimal(38,0) rendered to string (engine-portable; divide by 2^48
+    for the float Gramian, see ``pca_components``)."""
+    scale = float(1 << _SCALE_BITS)
+    src = emb.select(F.col(vec_col).alias("v"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            for lo in range(0, x.shape[0], _BATCH_CAP):
+                q = np.floor(x[lo : lo + _BATCH_CAP] * scale).astype(
+                    np.int64
+                )
+                g = q.T @ q  # int64 matmul, exact under the batch cap
+                iu, ju = np.triu_indices(g.shape[0])
+                yield pd.DataFrame(
+                    {
+                        "i": iu.astype(np.int32),
+                        "j": ju.astype(np.int32),
+                        "s": g[iu, ju],
+                    }
+                )
+
+    parts = src.mapInPandas(partials, schema="i int, j int, s long")
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("gram")
+    )
+
+
+def pca_components(gram_rows, dim: int, n_rows: int, k: int) -> np.ndarray:
+    """Driver-side PCA from the exact Gramian: rebuild the symmetric
+    d x d second-moment matrix from ``gram_matrix`` output rows (list of
+    Row/dict with i, j, gram), descale by 2^48 / n, and return the top-k
+    eigenvectors (d x k, descending eigenvalue order). d x d work — for
+    d = 64 this is microseconds; the distributed part was the one pass
+    that built G."""
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in gram_rows:
+        v = float(int(r["gram"])) / float(1 << (2 * _SCALE_BITS))
+        g[r["i"], r["j"]] = v
+        g[r["j"], r["i"]] = v
+    vals, vecs = np.linalg.eigh(g / max(n_rows, 1))
+    order = np.argsort(vals)[::-1][:k]
+    return vecs[:, order]

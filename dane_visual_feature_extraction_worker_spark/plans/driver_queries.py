@@ -5677,3 +5677,133 @@ ORACLES["embedding_quantize"] = """
     FROM s
 """
 QUERIES["embedding_quantize"] = embedding_quantize_q
+
+
+def scd2_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd2.scd2_build): collapse the
+    per-user event log into type-2 validity intervals — change
+    detection (null-safe lag compare) and interval close (lead) ride
+    ONE entity exchange + one sort; no-op re-statements are absorbed
+    into the open version."""
+    from dane_visual_feature_extraction_worker_spark.operators.scd2 import scd2_build
+
+    return scd2_build(
+        _events(spark, sf_dir),
+        entity_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_col="event_id",
+    )
+
+
+ORACLES["scd2_build"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_attr
+      FROM events
+    ), opens AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type
+      FROM ordered
+      WHERE prev_attr IS DISTINCT FROM event_type
+    )
+    SELECT user_id, valid_from, event_type,
+           lead(valid_from) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM opens
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+QUERIES["scd2_build"] = scd2_build_q
+
+
+def scd2_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 read (operators/scd2.scd2_lookup): purchases
+    enriched with the browsing-mode version in force at purchase time.
+    Because SCD2 intervals TILE time per entity, the lookup compiles to
+    the flagship union-window as-of join (one shuffle) instead of an
+    interval join's O(|facts| x |versions|) candidate blow-up — the
+    oracle states the interval semantics directly and must agree."""
+    from dane_visual_feature_extraction_worker_spark.operators.scd2 import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_build(
+        ev.where(F.col("event_type").isin("view", "click")),
+        entity_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_col="event_id",
+    ).withColumnRenamed("event_type", "mode")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "value",
+    )
+    return scd2_lookup(facts, dim, entity_col="user_id", fact_ts="ts")
+
+
+ORACLES["scd2_lookup"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_attr
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ), opens AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type
+      FROM ordered
+      WHERE prev_attr IS DISTINCT FROM event_type
+    ), dim AS (
+      SELECT user_id, valid_from, event_type AS mode,
+             lead(valid_from) OVER w AS valid_to,
+             CAST(row_number() OVER w AS INT) AS version
+      FROM opens
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts, p.value,
+           d.valid_from AS matched_ts, d.mode, d.valid_to, d.version
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+QUERIES["scd2_lookup"] = scd2_lookup_q
+
+
+def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized Gramian (operators/linalg.gram_matrix): the one
+    aggregate behind PCA/whitening. 2^-24 integer quantization makes
+    every product-sum exact integer arithmetic (engine- and
+    layout-independent); Arrow batches compute int64 einsum partials
+    (d(d+1)/2 rows per batch), ONE map-side-combined groupBy totals
+    them as decimal(38,0) — the exchange never carries vectors."""
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import (
+        gram_matrix,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_matrix(emb)
+
+
+ORACLES["embedding_gram"] = """
+    WITH q AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0)
+                  AS BIGINT) AS qx
+      FROM embeddings
+    )
+    SELECT CAST(a.pos AS INT) AS i, CAST(b.pos AS INT) AS j,
+           CAST(CAST(sum(CAST(a.qx AS HUGEINT) * b.qx)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS gram
+    FROM q a JOIN q b USING (vec_id)
+    WHERE a.pos <= b.pos
+    GROUP BY 1, 2
+"""
+QUERIES["embedding_gram"] = embedding_gram_q
