@@ -133,6 +133,9 @@ HEADLINE = [
     "scd2_build",
     "scd2_lookup",
     "embedding_gram",
+    "chunk_dedup",
+    "session_paths",
+    "big_orders",
 ]
 
 

@@ -813,3 +813,67 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup (the C4 / MassiveText "repeated span"
+    rule adapted to space-tokenized text): split each document into
+    consecutive ``window``-word chunks, keep only the GLOBALLY FIRST
+    occurrence of every distinct chunk (order: doc_id, then position),
+    and reassemble each document from its surviving chunks. Boilerplate
+    repeated across documents disappears from every copy but the first;
+    a fully-duplicated document loses all chunks and drops from the
+    output entirely — doc-level dedup is the degenerate case.
+
+    Emits ``(doc_id, clean_text, n_kept, n_chunks)`` for documents with
+    >= 1 surviving chunk.
+
+    Plan: narrow chunking fused into the scan (split once, explode an
+    int sequence, slice) → ONE hash exchange on the chunk digest (md5
+    distributes uniformly — no skew key exists) for the first-occurrence
+    window → ONE exchange on doc_id for ordered reassembly
+    (sort_array over collected (chunk_id, text) structs). Two shuffles
+    total, both uniform; chunk text crosses the wire once. At 100 TB
+    the digest exchange carries (16B md5 + chunk text) per chunk —
+    set ``window`` larger to trade recall for bytes.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    n_chunks = F.expr(f"(__n + {window} - 1) DIV {window}")
+    chunks = (
+        toks.where(F.col("__n") > 0)
+        .withColumn("n_chunks", n_chunks.cast("bigint"))
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks").cast("int") - 1)),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__t"), F.col("chunk_id") * window + 1, window), " "
+            ).alias("__chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("__chunk"))).orderBy(id_col, "chunk_id")
+    kept = chunks.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n_chunks").alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_id", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    ).select(id_col, "clean_text", "n_kept", "n_chunks")

@@ -145,3 +145,50 @@ def session_cooccurrence(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_sessions)
     )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_seconds: float = 3600.0,
+    entity: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    order: Sequence[str] | None = None,
+    path_len: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k ordered event PATHS: the most common length-``path_len``
+    event-type sequences occurring INSIDE a session — the behavioral
+    n-gram feature ("view>view>purchase") that funnel_conversion's
+    fixed pattern and session_cooccurrence's unordered pairs both
+    cannot express. Session boundaries cut paths: a sequence spanning
+    two sessions is two user visits, not one behavior.
+
+    Plan: sessionize's per-entity exchange; the ``path_len - 1`` leads
+    ride the SAME sorted run ((entity, session_id) ordering is
+    satisfied by the entity hash clustering — subset rule, no second
+    exchange); rows whose window crosses the session end drop (lead's
+    session_id differs); then ONE map-side-combined count on the path
+    string (|distinct paths| <= |types|^path_len partials per
+    partition) and a TakeOrderedAndProject for the top k — no global
+    sort. Ties break on the path string, so top-k is deterministic.
+    """
+    order = list(order) if order else [ts]
+    s = sessionize(df, gap_seconds, entity, ts, order)
+    w = Window.partitionBy(entity, "session_id").orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, path_len)
+    ]
+    # the path stays in-session iff the LAST step is (session_id is
+    # constant within the window partition, so any lead that exists is
+    # in-session; null means the session ended first)
+    path = F.concat_ws(">", *steps)
+    got_all = steps[-1].isNotNull()
+    return (
+        s.withColumn("path", F.when(got_all, path))
+        .where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("path"))
+        .limit(k)
+    )

@@ -5807,3 +5807,129 @@ ORACLES["embedding_gram"] = """
     GROUP BY 1, 2
 """
 QUERIES["embedding_gram"] = embedding_gram_q
+
+
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-span removal (operators/dedup.chunk_dedup):
+    8-word chunks, keep the globally-first occurrence, reassemble —
+    the C4/MassiveText boilerplate rule; doc-level dedup is the
+    degenerate case (fully-duplicated docs drop). Two uniform shuffles
+    (chunk digest, then doc_id)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup(docs, window=8)
+
+
+ORACLES["chunk_dedup"] = """
+    WITH base AS (
+      SELECT doc_id, t, CAST((len(t) + 7) // 8 AS BIGINT) AS n_chunks
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id, n_chunks,
+             unnest(generate_series(0, CAST(n_chunks AS INT) - 1))
+               AS chunk_id,
+             t
+      FROM base
+    ), txt AS (
+      SELECT doc_id, n_chunks, chunk_id,
+             array_to_string(
+               list_slice(t, chunk_id * 8 + 1, chunk_id * 8 + 8), ' ')
+               AS chunk
+      FROM ch
+    ), kept AS (
+      SELECT * FROM txt
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id) = 1
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+           count(*) AS n_kept,
+           any_value(n_chunks) AS n_chunks
+    FROM kept GROUP BY doc_id
+"""
+QUERIES["chunk_dedup"] = chunk_dedup_q
+
+
+def session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 in-session event trigram paths (operators/sessionize.
+    session_paths): ordered behavioral n-grams, session-bounded —
+    sessionize's entity exchange + leads on the same sorted run
+    (subset rule), one map-side-combined path count, TakeOrdered."""
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_paths,
+    )
+
+    return session_paths(
+        _events(spark, sf_dir),
+        gap_seconds=3600.0,
+        entity="user_id",
+        ts="ts",
+        type_col="event_type",
+        order=["ts", "event_id"],
+        path_len=3,
+        k=20,
+    )
+
+
+ORACLES["session_paths"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged
+    ), paths AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w2
+               || '>' || lead(event_type, 2) OVER w2 AS path,
+             lead(event_type, 2) OVER w2 AS last_step
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT path, count(*) AS n FROM paths
+    WHERE last_step IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+QUERIES["session_paths"] = session_paths_q
+
+
+def big_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem
+    quantities BEFORE the orders join — the exchange carries one row
+    per order key, not per line item; exact decimal sums; the filter
+    on the aggregate halves again what reaches the join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .where(F.col("__q") > 250)
+    )
+    return qty.join(
+        orders, qty["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("__q").cast("double").alias("sum_qty"),
+    )
+
+
+ORACLES["big_orders"] = """
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2, 3, 4
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+"""
+QUERIES["big_orders"] = big_orders_q
