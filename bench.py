@@ -136,6 +136,8 @@ HEADLINE = [
     "chunk_dedup",
     "session_paths",
     "big_orders",
+    "time_travel",
+    "hard_negatives",
 ]
 
 

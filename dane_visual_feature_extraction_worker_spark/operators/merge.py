@@ -113,3 +113,45 @@ def snapshot_diff(
         j.select(F.col(key_col), change.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+def time_travel_read(
+    log: DataFrame,
+    key_col: str,
+    version_col: str,
+    op_col: str,
+    as_of,
+) -> DataFrame:
+    """Materialize table state AS OF ``version <= as_of`` from an
+    append-only CDC log with upserts and tombstones — the Iceberg/Delta
+    time-travel read implemented over plain parquet: per key, the
+    latest op at-or-before the cut wins; keys whose latest op is a
+    delete ('D' in ``op_col``) are absent from the snapshot.
+
+    ``as_of`` may be a literal version, or a ONE-ROW DataFrame with an
+    ``as_of`` column (e.g. a scalar aggregate like "70% of max seq") —
+    the frame is broadcast-crossJoined so the whole read stays lazy,
+    no driver round-trip.
+
+    Plan: a literal version filter is a pushed predicate (on a
+    version-partitioned log it prunes partitions — reading a snapshot
+    near version V scans only files up to V; the DataFrame form
+    evaluates post-scan, the price of laziness); then ONE
+    map-side-combined ``max_by(struct(payload), version)`` aggregate —
+    the exchange carries one candidate row per (partition, key), never
+    the history. Tombstones filter AFTER the agg: a delete must be able
+    to win (and suppress the key), not be pre-filtered away.
+    """
+    payload = [c for c in log.columns if c != key_col]
+    if isinstance(as_of, DataFrame):
+        snap = log.crossJoin(F.broadcast(as_of)).where(
+            F.col(version_col) <= F.col("as_of")
+        )
+    else:
+        snap = log.where(F.col(version_col) <= F.lit(as_of))
+    latest = snap.groupBy(key_col).agg(
+        F.max_by(F.struct(*payload), F.col(version_col)).alias("__r")
+    )
+    return latest.where(F.col(f"__r.{op_col}") != "D").select(
+        key_col, *[F.col(f"__r.{c}").alias(c) for c in payload]
+    )

@@ -769,3 +769,105 @@ def quantize_embeddings(
         "q_max",
         F.array_join(F.transform(F.col("__a"), code), ",").alias("codes"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label (the near-misses a ring-shift negative_sampling cannot find —
+    those are random, these are HARD). Emits
+    ``(qid, vec_id, neg_label, cos, rank)``.
+
+    ``queries`` is a small frame (qid, qe, qlabel) — one per anchor
+    class, typically |labels| rows; it is collected to the driver and
+    closed over the scan (the topk_cosine_blas discipline; the
+    reference holds its query vector the same way, vec_example_np.py).
+
+    Plan: ONE mapInPandas scan computes the Q x batch cosine matmul,
+    masks same-label columns, and keeps a running per-query top-2k per
+    PARTITION — survivors are O(2k * Q * partitions), never the corpus.
+    Survivors are re-scored with the sequential JVM fold so emitted
+    values are bit-identical to the oracle's fold order (BLAS ordering
+    only gates candidacy; the 2k margin absorbs ULP disagreement at the
+    k boundary). Ranking uses the FLOOR-QUANTIZED cosine (1e-6) with
+    vec_id tie-break — engine-stable by construction. The final window
+    runs on the survivor set (tiny), so the qid-keyed partition skew a
+    corpus-wide window would suffer at Q << cores never materializes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = queries.select("qid", "qe", "qlabel").collect()
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qlabels = np.asarray([r["qlabel"] for r in qrows], dtype=np.int64)
+    qm = np.asarray([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    keep_n = 2 * k
+
+    def scan(batches):
+        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_cos = [np.empty(0, dtype=np.float64) for _ in qids]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0.0] = np.inf  # zero vectors never rank
+            cos = (qm @ x.T) / (qn[:, None] * xn[None, :])
+            for qi in range(len(qids)):
+                mask = (labels != qlabels[qi]) & (ids != qids[qi])
+                if not mask.any():
+                    continue
+                c = np.concatenate([best_cos[qi], cos[qi][mask]])
+                i = np.concatenate([best_ids[qi], ids[mask]])
+                top = np.argsort(-c, kind="stable")[:keep_n]
+                best_cos[qi], best_ids[qi] = c[top], i[top]
+        out_q = np.concatenate(
+            [np.full(len(best_ids[qi]), qids[qi]) for qi in range(len(qids))]
+        ) if qids.size else np.empty(0, dtype=np.int64)
+        out_i = (
+            np.concatenate(best_ids) if qids.size else np.empty(0, np.int64)
+        )
+        yield pd.DataFrame({"qid": out_q, id_col: out_i})
+
+    surv = emb.select(id_col, vec_col, label_col).mapInPandas(
+        scan, schema=f"qid bigint, {id_col} bigint"
+    )
+    cand = (
+        emb.select(id_col, vec_col, F.col(label_col).alias("neg_label"))
+        .join(F.broadcast(surv.distinct()), id_col)
+        .join(
+            F.broadcast(queries.select("qid", "qe")), "qid"
+        )
+    )
+    scored = cand.select(
+        "qid",
+        id_col,
+        "neg_label",
+        (
+            F.floor(
+                _dot(F.col(vec_col), F.col("qe"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qe")))
+                * 1e6
+            )
+            / 1e6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "neg_label", "cos", "rank")
+    )

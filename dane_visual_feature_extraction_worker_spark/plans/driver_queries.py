@@ -5933,3 +5933,103 @@ ORACLES["big_orders"] = """
     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
 """
 QUERIES["big_orders"] = big_orders_q
+
+
+def time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log time travel (operators/merge.time_travel_read): events
+    as an append-only upsert/tombstone log (errors delete the key);
+    state AS OF 70% of the max sequence. Lazy scalar cut (broadcast
+    crossJoin, no driver round-trip), one max_by aggregate, tombstones
+    filtered AFTER the agg so a delete can win and suppress its key."""
+    from dane_visual_feature_extraction_worker_spark.operators.merge import (
+        time_travel_read,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+        "ts",
+    )
+    cut = ev.agg(F.max("event_id").alias("__m")).select(
+        F.expr("__m * 7 DIV 10").cast("bigint").alias("as_of")
+    )
+    return time_travel_read(
+        log, key_col="user_id", version_col="event_id", op_col="op", as_of=cut
+    )
+
+
+ORACLES["time_travel"] = """
+    WITH cut AS (
+      SELECT max(event_id) * 7 // 10 AS v FROM events
+    ), log AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value, ts
+      FROM events
+    ), latest AS (
+      SELECT l.* FROM log l, cut
+      WHERE l.event_id <= cut.v
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_id, op, event_type, value, ts
+    FROM latest WHERE op <> 'D'
+"""
+QUERIES["time_travel"] = time_travel_q
+
+
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): per
+    class anchor (first vector of each label), the top-5 most-similar
+    DIFFERENT-label vectors — one Arrow matmul scan keeping per-query
+    partition-local top-2k, exact JVM re-score of survivors, floored
+    1e-6 ranking with id tie-break."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    firsts = (
+        emb.groupBy("label")
+        .agg(F.min("vec_id").alias("qid"))
+        .select("qid")
+    )
+    queries = emb.join(firsts, emb["vec_id"] == firsts["qid"]).select(
+        "qid",
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    return hard_negatives(emb, queries, k=5)
+
+
+ORACLES["hard_negatives"] = """
+    WITH q AS (
+      SELECT label AS qlabel, min(vec_id) AS qid FROM embeddings GROUP BY label
+    ), qv AS (
+      SELECT q.qid, q.qlabel, e.embedding AS qe
+      FROM q JOIN embeddings e ON e.vec_id = q.qid
+    ), scored AS (
+      SELECT qv.qid, e.vec_id, e.label AS neg_label,
+             floor((
+               list_sum(list_transform(list_zip(e.embedding, qv.qe),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(qv.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+             ) * 1000000.0) / 1000000.0 AS cos
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.label <> qv.qlabel AND e.vec_id <> qv.qid
+    )
+    SELECT qid, vec_id, neg_label, cos,
+           CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5
+"""
+QUERIES["hard_negatives"] = hard_negatives_q
