@@ -138,6 +138,9 @@ HEADLINE = [
     "big_orders",
     "time_travel",
     "hard_negatives",
+    "psi_drift",
+    "purged_folds",
+    "bucketed_join",
 ]
 
 

@@ -364,3 +364,56 @@ def weighted_sample(
         .orderBy(F.desc("score_micro"), F.col(id_col))
         .limit(k)
     )
+
+
+def purged_folds(
+    df: DataFrame,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    k: int = 5,
+    embargo_seconds: float = 3600.0,
+) -> DataFrame:
+    """Purged time-series cross-validation (the leakage-safe CV for
+    temporally-correlated data, de Prado's purged k-fold): the time
+    range splits into k contiguous validation windows; for each fold a
+    row is ``val`` inside the window, ``purged`` within the embargo
+    margin on EITHER side (features built from rolling windows leak
+    across a naive train/val boundary in both directions), else
+    ``train``. Emits (id, fold, split) — k rows per input row.
+
+    group_kfold shuffles ENTITIES across folds (iid assumption);
+    temporal holdout cuts ONCE. This is the k-fold that respects time:
+    every fold's train set excludes an embargo-widened band around its
+    validation window, so a rolling feature computed at a train row can
+    never have read a val row.
+
+    Exactness: all boundary math in integer microseconds —
+    ``lo_f = mn + span·f DIV k`` (multiply before divide, exact) — so
+    fold membership is engine-identical. Plan: the (min, max) bounds
+    are ONE lazy broadcast scalar; the fold fan-out is a narrow
+    explode of a k-element sequence fused into the scan — ZERO
+    shuffles at any corpus size.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    bounds = df.agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    )
+    emb_us = int(embargo_seconds * 1_000_000)
+    folded = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        us.alias("__us"),
+        "__mn",
+        "__mx",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("fold"),
+    )
+    lo = F.col("__mn") + F.expr(f"(__mx - __mn + 1) * fold DIV {k}")
+    hi = F.col("__mn") + F.expr(f"(__mx - __mn + 1) * (fold + 1) DIV {k}")
+    split = (
+        F.when((F.col("__us") >= lo) & (F.col("__us") < hi), "val")
+        .when(
+            (F.col("__us") >= lo - emb_us) & (F.col("__us") < hi + emb_us),
+            "purged",
+        )
+        .otherwise("train")
+    )
+    return folded.select(id_col, "fold", split.alias("split"))

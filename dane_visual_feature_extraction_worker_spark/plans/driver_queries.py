@@ -6033,3 +6033,163 @@ ORACLES["hard_negatives"] = """
       PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5
 """
 QUERIES["hard_negatives"] = hard_negatives_q
+
+
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor (operators/stats.psi_drift): PSI terms
+    per event_type between the first and second time half — micro-nat
+    integer ln decomposition, exact rational (p−q), one corpus read,
+    the corpus never shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import psi_drift
+
+    return psi_drift(_events(spark, sf_dir))
+
+
+ORACLES["psi_drift"] = """
+    WITH cut AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+               AS v
+      FROM events
+    ), counts AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM events e, cut GROUP BY event_type
+    ), tot AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts
+    )
+    SELECT event_type, c1, c2,
+           CASE WHEN c1 > 0 AND c2 > 0 THEN
+             floor(
+               CAST((CAST(c1 AS DECIMAL(38,0)) * n2
+                     - CAST(c2 AS DECIMAL(38,0)) * n1)
+                    * CAST(CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                         - CAST(floor(ln(CAST(n1 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                         - CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                         + CAST(floor(ln(CAST(n2 AS DOUBLE)) * 1000000.0)
+                                AS BIGINT) AS DECIMAL(38,0))
+                    AS DOUBLE)
+               / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1000000.0)
+               * 1000000.0) / 1000000.0
+           END AS psi_term
+    FROM counts, tot
+"""
+QUERIES["psi_drift"] = psi_drift_q
+
+
+def purged_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series k-fold (operators/sampling.purged_folds):
+    5 folds, 1 h embargo on both sides of each validation window —
+    integer-microsecond boundaries, zero shuffles (lazy broadcast
+    bounds + narrow fold explode)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        purged_folds,
+    )
+
+    return purged_folds(
+        _events(spark, sf_dir), ts="ts", id_col="event_id", k=5,
+        embargo_seconds=3600.0,
+    )
+
+
+ORACLES["purged_folds"] = """
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ), f AS (
+      SELECT unnest(generate_series(0, 4)) AS fold
+    ), r AS (
+      SELECT e.event_id, epoch_us(e.ts) AS us, f.fold,
+             b.mn + (b.mx - b.mn + 1) * f.fold // 5 AS lo,
+             b.mn + (b.mx - b.mn + 1) * (f.fold + 1) // 5 AS hi
+      FROM events e, f, b
+    )
+    SELECT event_id, CAST(fold AS INT) AS fold,
+           CASE WHEN us >= lo AND us < hi THEN 'val'
+                WHEN us >= lo - 3600000000 AND us < hi + 3600000000
+                  THEN 'purged'
+                ELSE 'train' END AS split
+    FROM r
+"""
+QUERIES["purged_folds"] = purged_folds_q
+
+
+def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (sources/catalog.write_bucketed): both
+    per-user aggregate tables persisted hash-bucketed (8 buckets,
+    sorted) on the join key, then joined with ZERO exchanges on either
+    side — Catalyst reads the bucket spec as the output partitioning
+    (the write-once / join-many layout for feature stores and entity
+    spines; the zero-exchange plan is asserted in
+    tests/test_sources.py's bucketed-join audit and re-checked here).
+    The oracle states the plain join — bucketing may never change
+    results, only the plan."""
+    from dane_visual_feature_extraction_worker_spark.sources.catalog import (
+        write_bucketed,
+    )
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _dsum("value").alias("click_value"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum("value").alias("purchase_value"),
+        )
+    )
+    # a fresh session's catalog does not know a previous run's managed
+    # tables, but their warehouse directories survive — drop both ways
+    # or saveAsTable raises LOCATION_ALREADY_EXISTS
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("bj_clicks", "bj_purchases"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(wh.removeprefix("file:"), t)
+        if "://" not in wh and os.path.isdir(loc):
+            shutil.rmtree(loc)
+    write_bucketed(clicks, "bj_clicks", 8, "user_id", "user_id")
+    write_bucketed(purchases, "bj_purchases", 8, "user_id", "user_id")
+    # disable broadcast so the plan exercises (and the assert pins) the
+    # bucketed sort-merge path — at 100 TB neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c, p = spark.table("bj_clicks"), spark.table("bj_purchases")
+        out = c.join(p, "user_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (
+            "bucketed join must be exchange-free: " + plan
+        )
+        out = out.localCheckpoint()  # materialize under the conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
+ORACLES["bucketed_join"] = """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, count(*) AS n_purchases,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_clicks, c.click_value,
+           p.n_purchases, p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+"""
+QUERIES["bucketed_join"] = bucketed_join_q
