@@ -141,6 +141,7 @@ HEADLINE = [
     "psi_drift",
     "purged_folds",
     "bucketed_join",
+    "overlap_join",
 ]
 
 

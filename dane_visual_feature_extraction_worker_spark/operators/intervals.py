@@ -80,3 +80,76 @@ def interval_join(
         )
         .drop("__i_start", "__i_end")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "user_id",
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    cell_seconds: float = 3600.0,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: all (left, right) pairs of the
+    same entity whose closed time ranges intersect
+    (``l_start <= r_end AND r_start <= l_end``) — the generalization of
+    ``interval_join``'s point-in-interval probe (reference precedent:
+    keyframe-in-shot, data_handling.py:121-126; two RANGES overlapping
+    is the shot-vs-ad-break / session-vs-incident case neither side of
+    that lookup covers).
+
+    Scale plan — equi-join on GRID CELLS, never a theta join: each
+    interval explodes to the ``cell_seconds`` grid cells it touches
+    (floor(start/L)..floor(end/L)); candidates join on
+    ``(entity, cell)`` — pure equi keys, hash-partitionable, AQE-skew-
+    splittable; a pair spanning k shared cells appears k times, so a
+    ``distinct`` on the pair key dedups before the exact overlap
+    predicate filters false cell-neighbors. A naive theta join is a
+    per-entity CROSS product (dead at 10^12 rows); the grid costs
+    (len/L + 1) candidate rows per interval — pick L near the median
+    interval length so the explode factor stays ~2 and a cell holds few
+    intervals. All boundary math in integer microseconds.
+
+    Inputs carry an ``l_id`` / ``r_id`` column each; output is one row
+    per overlapping pair with both ranges and the overlap length in
+    microseconds (closed intervals: touching endpoints overlap with
+    length 0).
+    """
+    cell_us = int(cell_seconds * 1_000_000)
+
+    def cells(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
+        # integer DIV, not floor(a/b): a 53-bit double quotient can
+        # round up across a cell boundary
+        lo = F.expr(
+            f"unix_micros(CAST(`{s}` AS TIMESTAMP)) DIV {cell_us}"
+        )
+        hi = F.expr(
+            f"unix_micros(CAST(`{e}` AS TIMESTAMP)) DIV {cell_us}"
+        )
+        return df.select(
+            "*", F.explode(F.sequence(lo, hi)).alias(f"__cell_{tag}")
+        )
+    lc = cells(left, l_start, l_end, "l")
+    rc = cells(right, r_start, r_end, "r")
+    cand = lc.join(
+        rc,
+        (lc[entity] == rc[entity]) & (lc["__cell_l"] == rc["__cell_r"]),
+    ).drop(rc[entity])
+    pairs = cand.drop("__cell_l", "__cell_r").distinct()
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    overlap = (us(l_start) <= us(r_end)) & (us(r_start) <= us(l_end))
+    ov_len = F.least(us(l_end), us(r_end)) - F.greatest(
+        us(l_start), us(r_start)
+    )
+    return pairs.where(overlap).select(
+        entity,
+        "l_id",
+        "r_id",
+        l_start,
+        l_end,
+        r_start,
+        r_end,
+        ov_len.alias("overlap_us"),
+    )

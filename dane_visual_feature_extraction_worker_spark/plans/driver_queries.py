@@ -6193,3 +6193,68 @@ ORACLES["bucketed_join"] = """
     FROM c JOIN p ON c.user_id = p.user_id
 """
 QUERIES["bucketed_join"] = bucketed_join_q
+
+
+def overlap_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/intervals.
+    overlap_join): user sessions × per-user event-type activity spans
+    that intersect in time — grid-cell equi-join candidates (1-day
+    cells), distinct pair dedup, exact overlap predicate; never a
+    theta/cross join."""
+    from dane_visual_feature_extraction_worker_spark.operators.intervals import (
+        overlap_join,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    ev = _events(spark, sf_dir)
+    sessions = session_stats(
+        ev, gap_seconds=3600.0, entity="user_id", ts="ts",
+        order=["ts", "event_id"],
+    ).select(
+        "user_id",
+        F.col("session_id").alias("l_id"),
+        F.col("start_ts").alias("l_start"),
+        F.col("end_ts").alias("l_end"),
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("r_start"), F.max("ts").alias("r_end")
+    ).select(
+        "user_id", F.col("event_type").alias("r_id"), "r_start", "r_end"
+    )
+    return overlap_join(
+        sessions, spans, entity="user_id", cell_seconds=86400.0
+    )
+
+
+ORACLES["overlap_join"] = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - 1 AS BIGINT)
+               AS l_id
+      FROM flagged
+    ), s AS (
+      SELECT user_id, l_id, min(ts) AS l_start, max(ts) AS l_end
+      FROM sess GROUP BY user_id, l_id
+    ), r AS (
+      SELECT user_id, event_type AS r_id,
+             min(ts) AS r_start, max(ts) AS r_end
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT s.user_id, s.l_id, r.r_id, s.l_start, s.l_end,
+           r.r_start, r.r_end,
+           epoch_us(least(s.l_end, r.r_end))
+             - epoch_us(greatest(s.l_start, r.r_start)) AS overlap_us
+    FROM s JOIN r ON r.user_id = s.user_id
+     AND s.l_start <= r.r_end AND r.r_start <= s.l_end
+"""
+QUERIES["overlap_join"] = overlap_join_q
