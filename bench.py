@@ -142,6 +142,8 @@ HEADLINE = [
     "purged_folds",
     "bucketed_join",
     "overlap_join",
+    "training_set_pipeline",
+    "oov_rate",
 ]
 
 

@@ -532,3 +532,47 @@ def pmi_topk(
     return scored.orderBy(
         F.desc("pmi_micro"), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the tokenizer-coverage diagnostic run before any
+    training job (a corpus whose docs average 30% OOV against the
+    tokenizer's vocab wastes context on <unk>/byte-fallback): emits
+    ``(doc_id, n_tokens, n_oov, oov_rate)`` for non-empty docs.
+
+    Plan: the vocabulary (vocab_topk — count desc, term asc, top-k) is
+    |k| rows and BROADCASTS into the membership probe: one explode +
+    broadcast left join + per-doc count aggregate. The corpus token
+    stream shuffles ONCE (the doc_id rollup, map-side combined to one
+    row per (partition, doc)); the vocab build's own shuffle carries
+    (term, partial_count) rows only. oov_rate floor-truncates at 1e-6
+    (the shared cross-engine float rule).
+    """
+    vocab = vocab_topk(docs, k=vocab_k, text_col=text_col).select(
+        "term", F.lit(True).alias("__in_vocab")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    probed = toks.join(F.broadcast(vocab), "term", "left")
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_oov"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("oov_rate"),
+    )

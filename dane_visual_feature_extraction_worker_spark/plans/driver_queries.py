@@ -6258,3 +6258,146 @@ ORACLES["overlap_join"] = """
      AND s.l_start <= r.r_end AND r.r_start <= s.l_end
 """
 QUERIES["overlap_join"] = overlap_join_q
+
+
+def training_set_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINING-SET build composed from this round's gated
+    operators in ONE lazy plan (the corpus_pipeline discipline applied
+    to the feature side): purchases → point-in-time SCD2 browsing-mode
+    enrichment (scd2_lookup — compiles to the as-of plan) → trailing-5
+    rolling purchase features (one entity window) → leakage-safe
+    purged-fold split (fold 0 of 5, 1 h embargo, boundaries over the
+    FACTS' time range) joined back on the fact key. Every stage's
+    semantics is individually hash-gated; this entry gates their
+    COMPOSITION — Catalyst fuses the whole thing into one DAG (the
+    as-of exchange, the window sort, the narrow fold math, one final
+    fact-key join)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        purged_folds,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.scd2 import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_build(
+        ev.where(F.col("event_type").isin("view", "click")),
+        entity_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_col="event_id",
+    ).withColumnRenamed("event_type", "mode")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    enriched = scd2_lookup(facts, dim, entity_col="user_id", fact_ts="ts").select(
+        "purchase_id", "user_id", "ts", "value", "mode"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "purchase_id")
+        .rowsBetween(-4, 0)
+    )
+    feat = enriched.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+    )
+    split = purged_folds(
+        facts, ts="ts", id_col="purchase_id", k=5, embargo_seconds=3600.0
+    ).where(F.col("fold") == 0)
+    return feat.join(split.select("purchase_id", "split"), "purchase_id")
+
+
+ORACLES["training_set_pipeline"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_attr
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ), opens AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type
+      FROM ordered
+      WHERE prev_attr IS DISTINCT FROM event_type
+    ), dim AS (
+      SELECT user_id, valid_from, event_type AS mode,
+             lead(valid_from) OVER w AS valid_to
+      FROM opens
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ), facts AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), enriched AS (
+      SELECT f.purchase_id, f.user_id, f.ts, f.value, d.mode
+      FROM facts f
+      LEFT JOIN dim d
+        ON d.user_id = f.user_id
+       AND d.valid_from <= f.ts
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ), feat AS (
+      SELECT *,
+             count(*) OVER w AS roll_n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS roll_sum
+      FROM enriched
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, purchase_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ), b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM facts
+    ), split AS (
+      SELECT purchase_id,
+             CASE WHEN us >= lo AND us < hi THEN 'val'
+                  WHEN us >= lo - 3600000000 AND us < hi + 3600000000
+                    THEN 'purged'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT f.purchase_id, epoch_us(f.ts) AS us,
+               b.mn AS lo, b.mn + (b.mx - b.mn + 1) // 5 AS hi
+        FROM facts f, b
+      )
+    )
+    SELECT feat.*, split.split
+    FROM feat JOIN split USING (purchase_id)
+"""
+QUERIES["training_set_pipeline"] = training_set_pipeline_q
+
+
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic (operators/textstats.oov_rate):
+    per-doc OOV fraction vs the corpus top-50 vocabulary — broadcast
+    vocab membership probe, one doc rollup shuffle."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oov_rate(docs, vocab_k=50)
+
+
+ORACLES["oov_rate"] = """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n FROM toks GROUP BY term
+      ) ORDER BY n DESC, term LIMIT 50
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           floor(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000.0) / 1000000.0
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.term = t.term
+    GROUP BY t.doc_id
+"""
+QUERIES["oov_rate"] = oov_rate_q
