@@ -771,6 +771,80 @@ def quantize_embeddings(
     )
 
 
+def _mq_candidates(
+    emb: DataFrame,
+    qrows,
+    keep_n: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Shared multi-query candidate scan (hard_negatives/knn_classify):
+    one mapInPandas pass computes the Q x batch cosine matmul and keeps
+    a running per-query top-``keep_n`` per PARTITION — survivors are
+    O(keep_n * Q * partitions), never the corpus. When ``label_col`` is
+    given, same-label columns are masked per query (hard-negative
+    semantics); the query's own id is always excluded. Ordering here
+    only gates CANDIDACY — callers re-score survivors with the exact
+    JVM fold."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.asarray([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qlabels = (
+        np.asarray([r["qlabel"] for r in qrows], dtype=np.int64)
+        if label_col
+        else None
+    )
+
+    def scan(batches):
+        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_cos = [np.empty(0, dtype=np.float64) for _ in qids]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = (
+                pdf[label_col].to_numpy(dtype=np.int64)
+                if label_col
+                else None
+            )
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0.0] = np.inf  # zero vectors never rank
+            cos = (qm @ x.T) / (qn[:, None] * xn[None, :])
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                if labels is not None:
+                    mask &= labels != qlabels[qi]
+                if not mask.any():
+                    continue
+                c = np.concatenate([best_cos[qi], cos[qi][mask]])
+                i = np.concatenate([best_ids[qi], ids[mask]])
+                top = np.argsort(-c, kind="stable")[:keep_n]
+                best_cos[qi], best_ids[qi] = c[top], i[top]
+        out_q = (
+            np.concatenate(
+                [np.full(len(best_ids[qi]), qids[qi]) for qi in range(len(qids))]
+            )
+            if qids.size
+            else np.empty(0, dtype=np.int64)
+        )
+        out_i = (
+            np.concatenate(best_ids) if qids.size else np.empty(0, np.int64)
+        )
+        yield pd.DataFrame({"qid": out_q, id_col: out_i})
+
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    return emb.select(*cols).mapInPandas(
+        scan, schema=f"qid bigint, {id_col} bigint"
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     queries: DataFrame,
@@ -801,50 +875,10 @@ def hard_negatives(
     runs on the survivor set (tiny), so the qid-keyed partition skew a
     corpus-wide window would suffer at Q << cores never materializes.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
 
     qrows = queries.select("qid", "qe", "qlabel").collect()
-    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
-    qlabels = np.asarray([r["qlabel"] for r in qrows], dtype=np.int64)
-    qm = np.asarray([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
-    qn = np.sqrt((qm * qm).sum(axis=1))
-    keep_n = 2 * k
-
-    def scan(batches):
-        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
-        best_cos = [np.empty(0, dtype=np.float64) for _ in qids]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            x = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            labels = pdf[label_col].to_numpy(dtype=np.int64)
-            xn = np.sqrt((x * x).sum(axis=1))
-            xn[xn == 0.0] = np.inf  # zero vectors never rank
-            cos = (qm @ x.T) / (qn[:, None] * xn[None, :])
-            for qi in range(len(qids)):
-                mask = (labels != qlabels[qi]) & (ids != qids[qi])
-                if not mask.any():
-                    continue
-                c = np.concatenate([best_cos[qi], cos[qi][mask]])
-                i = np.concatenate([best_ids[qi], ids[mask]])
-                top = np.argsort(-c, kind="stable")[:keep_n]
-                best_cos[qi], best_ids[qi] = c[top], i[top]
-        out_q = np.concatenate(
-            [np.full(len(best_ids[qi]), qids[qi]) for qi in range(len(qids))]
-        ) if qids.size else np.empty(0, dtype=np.int64)
-        out_i = (
-            np.concatenate(best_ids) if qids.size else np.empty(0, np.int64)
-        )
-        yield pd.DataFrame({"qid": out_q, id_col: out_i})
-
-    surv = emb.select(id_col, vec_col, label_col).mapInPandas(
-        scan, schema=f"qid bigint, {id_col} bigint"
-    )
+    surv = _mq_candidates(emb, qrows, 2 * k, id_col, vec_col, label_col)
     cand = (
         emb.select(id_col, vec_col, F.col(label_col).alias("neg_label"))
         .join(F.broadcast(surv.distinct()), id_col)
@@ -870,4 +904,67 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", id_col, "neg_label", "cos", "rank")
+    )
+
+
+def knn_classify(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification: each query
+    vector gets the modal label of its k most-similar corpus vectors —
+    the zero-training baseline classifier every embedding-quality eval
+    starts with. Emits ``(qid, pred_label, votes, top_cos)``; ties in
+    the vote break to the SMALLER label (deterministic on any engine).
+
+    Same physical discipline as ``hard_negatives`` (one Arrow matmul
+    scan, per-query partition-local top-2k candidates, exact JVM
+    re-score of the tiny survivor set, floored-1e-6 ranking with id
+    tie-break) — the only semantic differences: no label mask (the
+    query's own class SHOULD vote), self-id still excluded (a labeled
+    query must not vote for itself when it is drawn from the corpus),
+    and a vote rollup replaces the rank emit.
+    """
+    from pyspark.sql import Window
+
+    qrows = queries.select("qid", "qe").collect()
+    surv = _mq_candidates(emb, qrows, 2 * k, id_col, vec_col, None)
+    cand = (
+        emb.select(id_col, vec_col, label_col)
+        .join(F.broadcast(surv.distinct()), id_col)
+        .join(F.broadcast(queries.select("qid", "qe")), "qid")
+    )
+    scored = cand.select(
+        "qid",
+        id_col,
+        label_col,
+        (
+            F.floor(
+                _dot(F.col(vec_col), F.col("qe"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qe")))
+                * 1e6
+            )
+            / 1e6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    topk = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    votes = topk.groupBy("qid", label_col).agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cos").alias("top_cos")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("votes"), F.col(label_col)
+    )
+    return (
+        votes.withColumn("__rv", F.row_number().over(wv))
+        .where(F.col("__rv") == 1)
+        .select(
+            "qid", F.col(label_col).alias("pred_label"), "votes", "top_cos"
+        )
     )

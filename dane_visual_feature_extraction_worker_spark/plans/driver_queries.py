@@ -6401,3 +6401,51 @@ ORACLES["oov_rate"] = """
     GROUP BY t.doc_id
 """
 QUERIES["oov_rate"] = oov_rate_q
+
+
+def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification (operators/similarity.
+    knn_classify): 8 corpus vectors as queries, modal label of the 10
+    nearest (self excluded), vote ties to the smaller label — same
+    Arrow-scan + exact-re-score discipline as hard_negatives."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return knn_classify(emb, queries, k=10)
+
+
+ORACLES["knn_classify"] = """
+    WITH qv AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT qv.qid, e.vec_id, e.label,
+             floor((
+               list_sum(list_transform(list_zip(e.embedding, qv.qe),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(qv.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+             ) * 1000000.0) / 1000000.0 AS cos
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> qv.qid
+    ), topk AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+    ), votes AS (
+      SELECT qid, label, count(*) AS votes, max(cos) AS top_cos
+      FROM topk GROUP BY qid, label
+    )
+    SELECT qid, label AS pred_label, votes, top_cos
+    FROM votes
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY votes DESC, label) = 1
+"""
+QUERIES["knn_classify"] = knn_classify_q
