@@ -144,6 +144,13 @@ HEADLINE = [
     "overlap_join",
     "training_set_pipeline",
     "oov_rate",
+    "knn_classify",
+    "zorder_layout",
+    "bloom_join_prune",
+    "triangle_count",
+    "grouping_sets_agg",
+    "sliding_window_agg",
+    "pareto_frontier",
 ]
 
 

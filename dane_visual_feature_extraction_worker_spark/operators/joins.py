@@ -104,3 +104,79 @@ def skew_report(
             / 1e6
         ).alias("skew_factor"),
     )
+
+
+def bloom_join_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Inner equi-join with an EXPLICIT Bloom-filter pre-prune of the
+    fact side — result identical to ``fact.join(dim, ...)`` (false
+    positives survive the prune but die in the exact join, so the
+    filter's hash choice can never change the answer; that is what
+    makes this gateable against a plain-join oracle).
+
+    Why at 100 TB: when the dim side is too big to broadcast-join but
+    its KEY SET still fits a few KB of bits, the shuffle join pays
+    full freight on fact rows that can never match.  A Bloom filter of
+    the dim keys applied BEFORE the exchange cuts shuffle bytes by the
+    non-match fraction — this is Spark's own runtime row-level filter
+    (spark.sql.optimizer.runtime.bloomFilter.*) made explicit and
+    deterministic, for the paths the optimizer doesn't cover (e.g. a
+    pre-filtered dim computed in the same job, or applyInPandas stages
+    that hide the join from Catalyst).
+
+    Plan: dim keys -> k xxhash64 positions -> groupBy word index with
+    a bit_or rollup (m_bits/64 rows — KBs, collected and re-broadcast
+    as an array LITERAL baked into the fact-side predicate, so the
+    probe is pure whole-stage codegen: element_at + shift + mask, no
+    UDF, no second scan of dim).  The final join stays an ordinary
+    equi-join for Catalyst/AQE to strategize.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+
+    def positions(col: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+
+    pos = dim.select(
+        F.explode(F.array(*positions(F.col(dim_key)))).alias("__p")
+    )
+    words_rows = (
+        pos.groupBy((F.col("__p") / F.lit(64)).cast("int").alias("__w"))
+        .agg(
+            # F.shiftleft takes a Python-int shift; call the SQL
+            # function directly for a Column-valued shift amount.
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (F.col("__p") % 64).cast("int"),
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    words = [0] * n_words
+    for r in words_rows:
+        words[r["__w"]] = r["__bits"]
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    pred = None
+    for p in positions(F.col(fact_key)):
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        bit = F.call_function(
+            "shiftrightunsigned", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("bigint")) == F.lit(1)
+        pred = bit if pred is None else (pred & bit)
+
+    pruned = fact.where(pred)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

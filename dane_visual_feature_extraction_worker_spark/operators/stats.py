@@ -283,3 +283,51 @@ def psi_drift(
         F.floor(term * 1e6) / 1e6,
     )
     return j.select(category, "c1", "c2", psi.alias("psi_term"))
+
+
+def pareto_frontier(
+    df: DataFrame,
+    maximize: str,
+    minimize: str,
+    group: str | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated under
+    (maximize ``maximize``, minimize ``minimize``) — per ``group`` when
+    given.  Row j dominates row i iff x_j >= x_i AND y_j <= y_i with at
+    least one strict.  Ties on BOTH coordinates are mutually
+    non-dominating, so duplicates of a frontier point all survive
+    (exactly the NOT EXISTS semantics an oracle states directly).
+
+    The textbook formulation is a quadratic dominance self-join — dead
+    at corpus scale.  For two dimensions the frontier is a SORT
+    problem: order by x descending, and a row is on the frontier iff
+    its y is strictly below every y seen at strictly-greater x (one
+    running min) and not strictly above the minimum y within its own x
+    tie-group (one per-x min).  Both are windows over the SAME single
+    sort exchange; whole-stage codegen end to end, no join at all.
+    ``maximize`` must be integer-valued (the strict-greater frame is a
+    RANGE offset of 1); per-group parallelism is the partition key —
+    grouping by a low-cardinality column serializes each group's sort,
+    the documented trade of every order-statistic operator here.
+    """
+    from pyspark.sql import Window
+
+    part = [group] if group else []
+    neg = (-F.col(maximize)).cast("bigint")
+    w_gt = (
+        Window.partitionBy(*part)
+        .orderBy(neg)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy(*(part + [maximize]))
+    min_above = F.min(F.col(minimize)).over(w_gt)
+    min_tie = F.min(F.col(minimize)).over(w_tie)
+    return (
+        df.withColumn("__m1", min_above)
+        .withColumn("__m2", min_tie)
+        .where(
+            (F.col("__m1").isNull() | (F.col(minimize) < F.col("__m1")))
+            & (F.col(minimize) <= F.col("__m2"))
+        )
+        .drop("__m1", "__m2")
+    )

@@ -6449,3 +6449,260 @@ ORACLES["knn_classify"] = """
       PARTITION BY qid ORDER BY votes DESC, label) = 1
 """
 QUERIES["knn_classify"] = knn_classify_q
+
+
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (ts, user_id) (operators/layout.py):
+    equal-quantum integer buckets from one scalar min/max aggregate,
+    16+16 bit Morton interleave as pure shift/add codegen, then the
+    range exchange + in-partition sort an OPTIMIZE ZORDER write path
+    uses. The gate hashes the KEY (layout decisions are row-order
+    -independent under the sorted compare)."""
+    from dane_visual_feature_extraction_worker_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("xv"),
+        F.col("user_id").alias("yv"),
+    )
+    return zorder_layout(ev, "xv", "yv", bits=16).select("event_id", "zkey")
+
+
+def _zinterleave_sql(xb: str, yb: str, bits: int = 16) -> str:
+    return " + ".join(
+        f"(({xb} >> {i}) & 1) * {1 << (2 * i)}"
+        f" + (({yb} >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+ORACLES["zorder_layout"] = f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS xlo, max(epoch_us(ts)) AS xhi,
+             min(user_id) AS ylo, max(user_id) AS yhi
+      FROM events
+    ), q AS (
+      SELECT xlo, ylo,
+             (xhi - xlo) // 65536 + 1 AS xq,
+             (yhi - ylo) // 65536 + 1 AS yq
+      FROM b
+    ), k AS (
+      SELECT event_id,
+             (epoch_us(ts) - xlo) // xq AS xb,
+             (user_id - ylo) // yq AS yb
+      FROM events CROSS JOIN q
+    )
+    SELECT event_id, CAST({_zinterleave_sql("xb", "yb")} AS BIGINT) AS zkey
+    FROM k
+"""
+QUERIES["zorder_layout"] = zorder_layout_q
+
+
+def bloom_join_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter runtime pruning of a fact-dim equi-join
+    (operators/joins.bloom_join_prune): urgent-order line items. The
+    oracle is the PLAIN join — false positives die in the exact join,
+    so the gate proves the prune is sound, and the plan shows the
+    fact-side scan filtered by an 8 KB bit-array literal before any
+    exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.joins import (
+        bloom_join_prune,
+    )
+
+    fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return bloom_join_prune(
+        fact, dim, "l_orderkey", "o_orderkey", m_bits=65536, k_hashes=3
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate")
+
+
+ORACLES["bloom_join_prune"] = """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderdate
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+"""
+QUERIES["bloom_join_prune"] = bloom_join_prune_q
+
+
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH candidate graph
+    (operators/graph.triangle_counts): degree-ordered orientation caps
+    wedge fan-out at O(sqrt(m)) per node; three uniform equi-joins,
+    no theta join. Triangle-rich nodes are members of genuine dup
+    CLIQUES (doc_pagerank scores centrality; this scores cohesion)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    pairs = minhash_lsh_pairs(_documents(spark, sf_dir))
+    return triangle_counts(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+ORACLES["triangle_count"] = f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT doc_a AS v FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS a,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS b
+      FROM pairs p
+      JOIN deg da ON da.v = p.doc_a
+      JOIN deg db ON db.v = p.doc_b
+    ),
+    tri AS (
+      SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      FROM o e1
+      JOIN o e2 ON e2.a = e1.b
+      JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node AS doc_id, count(*) AS n_triangles FROM (
+      SELECT ta AS node FROM tri
+      UNION ALL SELECT tb FROM tri
+      UNION ALL SELECT tc FROM tri
+    ) GROUP BY node
+"""
+QUERIES["triangle_count"] = triangle_count_q
+
+
+def grouping_sets_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (event_type, hour-of-day) with an explicit
+    grouping id — the one-pass OLAP rollup surface (Spark expands the
+    cube with a single Expand node over one exchange; four separate
+    GROUP BYs would scan the fact four times). Money sums in exact
+    decimal (the _dsum discipline); rolled-up group keys coalesced to
+    sentinels so the gate's sorted compare is engine-stable."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hr"), F.col("value")
+    )
+    out = base.cube("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("sum_value"),
+        (
+            F.grouping("event_type").cast("bigint") * 2
+            + F.grouping("hr").cast("bigint")
+        ).alias("gid"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("hr"), F.lit(-1)).cast("int").alias("hr"),
+        "gid",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLES["grouping_sets_agg"] = """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           CAST(coalesce(hr, -1) AS INT) AS hr,
+           CAST(GROUPING(event_type) * 2 + GROUPING(hr) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hr, value FROM events)
+    GROUP BY CUBE (event_type, hr)
+"""
+QUERIES["grouping_sets_agg"] = grouping_sets_agg_q
+
+
+def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time windows: 1-hour windows every 30 minutes
+    per event type — the native F.window slide form (each event lands
+    in size/slide = 2 windows via one Expand node, NOT a range join;
+    the same operator Structured Streaming uses, so this plan is the
+    batch twin of the streaming entries). Oracle replays the epoch-
+    aligned grid as a 2-offset UNION in exact integer microseconds."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+    return out.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLES["sliding_window_agg"] = """
+    WITH g AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 1800000000) * 1800000000 AS s0
+      FROM events
+    ), ex AS (
+      SELECT event_type, value, s0 AS s FROM g
+      UNION ALL
+      SELECT event_type, value, s0 - 1800000000 FROM g
+    )
+    SELECT make_timestamp(s) AS win_start,
+           make_timestamp(s + 3600000000) AS win_end,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ex GROUP BY s, event_type
+"""
+QUERIES["sliding_window_agg"] = sliding_window_agg_q
+
+
+def pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier of documents under (maximize
+    whitespace-token count, minimize characters) — the density skyline
+    a data-curation pass keeps (operators/stats.pareto_frontier): one
+    sort exchange + two windows, no dominance self-join. Oracle states
+    the NOT EXISTS dominance definition directly — quadratic, but it's
+    the SLOW side of the gate that pays."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        pareto_frontier,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "lang", F.size(_tokens("text")).alias("n_tokens"), "n_chars"
+    )
+    return pareto_frontier(d, maximize="n_tokens", minimize="n_chars", group="lang")
+
+
+ORACLES["pareto_frontier"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS INT) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_chars FROM d i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d j
+      WHERE j.lang = i.lang
+        AND j.n_tokens >= i.n_tokens AND j.n_chars <= i.n_chars
+        AND (j.n_tokens > i.n_tokens OR j.n_chars < i.n_chars)
+    )
+"""
+QUERIES["pareto_frontier"] = pareto_frontier_q
