@@ -151,6 +151,10 @@ HEADLINE = [
     "grouping_sets_agg",
     "sliding_window_agg",
     "pareto_frontier",
+    "bm25_search",
+    "edit1_dedup",
+    "markov_transitions",
+    "rollup_merge",
 ]
 
 

@@ -877,3 +877,64 @@ def chunk_dedup(
             " ",
         ).alias("clean_text"),
     ).select(id_col, "clean_text", "n_kept", "n_chunks")
+
+
+def edit1_pairs(
+    docs: DataFrame,
+    key: F.Column,
+    id_col: str = "doc_id",
+    key_len: int = 12,
+) -> DataFrame:
+    """Fuzzy-duplicate candidate pairs at edit distance <= 1 on a
+    fixed-length key prefix -> ``(doc_a, doc_b, dist)`` with
+    doc_a < doc_b: the SymSpell deletion-neighborhood join.
+
+    The quadratic levenshtein self-join is dead at corpus scale; the
+    1-deletion neighborhood makes it an EQUI-join: two strings are
+    within edit distance 1 (substitute / insert / delete) iff their
+    deletion neighborhoods (every 1-char-dropped variant plus the
+    string itself) intersect — substitution xSy~xTy meet at xy,
+    insertion meets at the shorter string itself.  Each key emits
+    <= key_len + 1 variants (pure substring concat, codegen — no UDF),
+    candidates come from one uniform equi-join on the variant, and an
+    exact ``levenshtein(a, b) <= 1`` check kills the false positives
+    (two DIFFERENT deletions colliding), so the hash-vs-oracle gate
+    proves exact distance-1 semantics, not neighborhood heuristics.
+
+    Scale: the variant table is (key_len+1)x the key column only —
+    ids and 13-char strings, never document bodies; hot variants (a
+    common prefix shared by many docs) are ordinary join skew, handled
+    by AQE like any other equi-join.  Distance thresholds > 1 compose
+    by k-deletion neighborhoods at (len choose k) cost — documented,
+    not implemented.
+    """
+    k = docs.select(
+        F.col(id_col).alias("__id"),
+        F.substring(key, 1, key_len).alias("__k"),
+    )
+    variants = [F.col("__k")] + [
+        F.concat(
+            F.substring(F.col("__k"), 1, i),
+            F.substring(F.col("__k"), i + 2, key_len),
+        )
+        for i in range(key_len)
+    ]
+    v = k.select(
+        "__id", "__k", F.explode(F.array_distinct(F.array(*variants))).alias("__v")
+    )
+    cand = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.__v") == F.col("b.__v"))
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__k").alias("__ka"),
+            F.col("b.__k").alias("__kb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("__ka"), F.col("__kb"))
+    return cand.where(dist <= 1).select(
+        "doc_a", "doc_b", dist.cast("int").alias("dist")
+    )

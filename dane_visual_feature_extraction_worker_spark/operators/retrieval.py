@@ -1,0 +1,138 @@
+"""Keyword retrieval: inverted-index BM25 scoring and top-k search.
+
+The ANN family (operators/similarity.py) answers "find vectors near
+this embedding"; this module answers the complementary lexical
+question — "find documents matching these terms" — with the standard
+BM25 ranking function over a term-exploded inverted index.  The
+reference worker has no retrieval surface at all (it extracts features
+per file, reference worker.py:60-74); at 100 TB corpus scale, keyword
+lookup over an inverted index is how training-data curation finds
+contaminated / targeted documents without a full scan per query.
+
+Exactness discipline (the psi_drift pattern, stats.py): BM25's only
+transcendental is the IDF log, and the Lucene-style IDF
+``ln((N - df + 0.5) / (df + 0.5) + 1)`` simplifies to
+``ln(2N + 2) - ln(2·df + 1)`` — each log of a BARE INTEGER,
+floor-scaled to integer micro-nats (int64).  The tf normalization
+with k1 = 1.2, b = 0.75 clears denominators with the integer
+constants 22/10/3/9::
+
+    tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+  = 22·tf·TL / (10·tf·TL + 3·TL + 9·dl·N)        (avgdl = TL/N)
+
+so numerator and denominator are exact decimal(38,0) integers
+(tf ≤ dl ≤ 1e6, TL ≤ 1e15 at 10^12-doc scale keeps every product
+< 1e38).  ONE final double divide + 1e-6 floor per term, summed in
+exact int64 micro-units per document — replayable bit-for-bit by any
+SQL engine.  k1/b are baked into those integer constants by design;
+a float-parameterized BM25 cannot be gated.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_D38 = "decimal(38,0)"
+
+
+def _lnm(c: F.Column) -> F.Column:
+    """floor(ln(int)·1e6) as int64 — integer micro-nats."""
+    return F.floor(F.log(c.cast("double")) * 1e6).cast("bigint")
+
+
+def doc_term_index(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index postings: ``(doc_id, term, tf, dl)`` from a
+    tokenized corpus — one explode + one map-side-combined count, plus
+    a per-doc length carried through the same aggregation (dl counts
+    ALL tokens, not distinct terms)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col).alias("term")
+    )
+    return (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "dl",
+            F.sum("tf").over(Window.partitionBy(id_col)).cast("bigint"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (k1=1.2, b=0.75) against
+    ``query_terms`` → ``(doc_id, bm25)``, bm25 floor-truncated to 1e-6,
+    ties broken by ascending id.
+
+    Plan: the postings build filters to the |query_terms| term set
+    BEFORE aggregating tf (the explode's output is pruned immediately —
+    at 10^12 docs the non-matching token stream never reaches an
+    exchange), per-doc lengths come from ONE corpus-wide token count
+    aggregation (map-side combined), document frequencies from the
+    |terms|-row rollup of the pruned postings (broadcast back), and the
+    two corpus scalars (N, TL) ride a broadcast cross join.  Per-term
+    micro-scores are exact int64; the final top-k is a k-row
+    TakeOrdered, never a global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("term"))
+    # per-doc length over ALL tokens (one map-side-combined agg)
+    dls = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # corpus scalars: N docs, TL total tokens
+    scal = dls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dl").cast("bigint").alias("__tl"),
+    )
+    # postings pruned to the query terms BEFORE any shuffle
+    post = (
+        toks.where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    j = (
+        post.join(dls, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scal))
+    )
+    idf_micro = _lnm(F.lit(2) * F.col("__n") + 2) - _lnm(
+        F.lit(2) * F.col("df") + 1
+    )
+    num = (
+        F.lit(22).cast(_D38) * F.col("tf").cast(_D38) * F.col("__tl").cast(_D38)
+    )
+    den = (
+        F.lit(10).cast(_D38) * F.col("tf").cast(_D38) * F.col("__tl").cast(_D38)
+        + F.lit(3).cast(_D38) * F.col("__tl").cast(_D38)
+        + F.lit(9).cast(_D38) * F.col("dl").cast(_D38) * F.col("__n").cast(_D38)
+    )
+    term_micro = F.floor(
+        (idf_micro.cast(_D38) * num).cast("double")
+        / den.cast("double")
+    ).cast("bigint")
+    scored = (
+        j.select(F.col(id_col), term_micro.alias("__tm"))
+        .groupBy(id_col)
+        .agg(F.sum("__tm").alias("__micro"))
+    )
+    return (
+        scored.orderBy(F.col("__micro").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("__micro").cast("double") / 1e6).alias("bm25"),
+        )
+    )

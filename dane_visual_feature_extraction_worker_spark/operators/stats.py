@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Mapping
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def pearson_corr_exact(
@@ -330,4 +330,42 @@ def pareto_frontier(
             & (F.col(minimize) <= F.col("__m2"))
         )
         .drop("__m1", "__m2")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences -> ``(src_state, dst_state, n_trans, prob)``: the
+    behavioral fingerprint (funnel/sessionize ops ask "did X happen";
+    this asks "what follows X and how often").
+
+    Ordering is (ts, tiebreak) within entity — the stable total order
+    every sequence op here uses.  Plan: ONE entity exchange for the
+    lag window, then a map-side-combined pair count; row probabilities
+    p(dst|src) = n / n_src as one window sum over the |states|^2-row
+    count frame (tiny).  Both counts are int64 < 2^53, so the single
+    double divide is exact-operand and floor-1e-6 is engine-stable.
+    """
+    w = Window.partitionBy(entity).orderBy(ts, tiebreak)
+    pairs = (
+        df.select(
+            F.lag(F.col(state)).over(w).alias("src_state"),
+            F.col(state).alias("dst_state"),
+        )
+        .where(F.col("src_state").isNotNull())
+        .groupBy("src_state", "dst_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    tot = F.sum("n_trans").over(Window.partitionBy("src_state"))
+    prob = F.floor(
+        F.col("n_trans").cast("double") / tot.cast("double") * 1e6
+    ) / 1e6
+    return pairs.select(
+        "src_state", "dst_state", "n_trans", prob.alias("prob")
     )

@@ -6706,3 +6706,163 @@ ORACLES["pareto_frontier"] = r"""
     )
 """
 QUERIES["pareto_frontier"] = pareto_frontier_q
+
+
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval over the documents corpus
+    (operators/retrieval.bm25_topk): Lucene-IDF in integer micro-nats
+    (ln of BARE integers only), tf normalization with cleared integer
+    denominators (22/10/3/9 for k1=1.2, b=0.75), per-term int64 micro
+    scores, k-row TakeOrdered.  The postings explode is pruned to the
+    3 query terms before any exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    return bm25_topk(
+        d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
+    )
+
+
+ORACLES["bm25_search"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dls),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('scan', 'merge', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    t AS (
+      SELECT p.doc_id,
+             CAST(floor(ln(2 * s.n + 2) * 1e6) AS BIGINT)
+               - CAST(floor(ln(2 * f.df + 1) * 1e6) AS BIGINT) AS idf,
+             CAST(22 AS HUGEINT) * p.tf * s.tl AS num,
+             CAST(10 AS HUGEINT) * p.tf * s.tl
+               + CAST(3 AS HUGEINT) * s.tl
+               + CAST(9 AS HUGEINT) * d.dl * s.n AS den
+      FROM post p JOIN dls d USING (doc_id) JOIN dfreq f USING (term)
+      CROSS JOIN scal s
+    ),
+    sc AS (
+      SELECT doc_id,
+             sum(CAST(floor(CAST(CAST(idf AS HUGEINT) * num AS DOUBLE)
+                            / CAST(den AS DOUBLE)) AS BIGINT)) AS micro
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(micro AS DOUBLE) / 1e6 AS bm25
+    FROM sc ORDER BY micro DESC, doc_id LIMIT 10
+"""
+QUERIES["bm25_search"] = bm25_search_q
+
+
+def edit1_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy-dup pairs on the 12-char text prefix
+    (operators/dedup.edit1_pairs): SymSpell deletion-neighborhood
+    equi-join (<= 13 codegen substring variants per key, never a
+    quadratic theta join), exact levenshtein verify.  The oracle IS
+    the quadratic self-join — the slow side the operator replaces."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        edit1_pairs,
+    )
+
+    return edit1_pairs(
+        _documents(spark, sf_dir), F.col("text"), id_col="doc_id", key_len=12
+    )
+
+
+ORACLES["edit1_dedup"] = """
+    WITH k AS (SELECT doc_id, substr(text, 1, 12) AS kk FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.kk, b.kk) AS INT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.kk, b.kk) <= 1
+"""
+QUERIES["edit1_dedup"] = edit1_dedup_q
+
+
+def markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    (operators/stats.transition_matrix): one entity exchange for the
+    lag window, map-side-combined pair counts, row-normalized over the
+    tiny |states|^2 frame. Exact-operand double divide, floor 1e-6."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        transition_matrix,
+    )
+
+    return transition_matrix(
+        _events(spark, sf_dir),
+        entity="user_id",
+        ts="ts",
+        state="event_type",
+        tiebreak="event_id",
+    )
+
+
+ORACLES["markov_transitions"] = """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    ), c AS (
+      SELECT src AS src_state, event_type AS dst_state,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_state, dst_state, n_trans,
+           floor(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY src_state) AS DOUBLE)
+                 * 1e6) / 1e6 AS prob
+    FROM c
+"""
+QUERIES["markov_transitions"] = markov_transitions_q
+
+
+def rollup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/rollup): build the
+    algebraic partial state (count / exact-decimal sum / min / max per
+    event type) separately over the first and second half of the time
+    range, then MERGE the two states — the oracle is the from-scratch
+    single-pass GROUP BY, so the gate proves merge(partials) is
+    bit-identical to recompute, the identity incremental pipelines
+    stand on. The time cut is a lazy broadcast scalar (psi_drift
+    pattern), never a driver round-trip."""
+    from dane_visual_feature_extraction_worker_spark.operators.rollup import (
+        merge_rollups,
+        rollup_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut"))
+    evc = ev.crossJoin(F.broadcast(cut))
+    old = rollup_state(evc.where(us <= F.col("__cut")), "event_type")
+    delta = rollup_state(evc.where(us > F.col("__cut")), "event_type")
+    m = merge_rollups(old, delta)
+    return m.select(
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+ORACLES["rollup_merge"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+"""
+QUERIES["rollup_merge"] = rollup_merge_q
