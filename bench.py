@@ -155,6 +155,10 @@ HEADLINE = [
     "edit1_dedup",
     "markov_transitions",
     "rollup_merge",
+    "lm_perplexity",
+    "span_corruption",
+    "kmv_distinct",
+    "cms_heavy_hitters",
 ]
 
 

@@ -170,3 +170,103 @@ def chunk_documents(
         F.size("__slice").cast("bigint").alias("n_tokens"),
         F.md5(F.array_join("__slice", " ")).alias("chunk_md5"),
     )
+
+
+def span_corrupt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 3,
+    mask_rate: float = 0.15,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span corruption → ``(id, input_text, target_text,
+    n_spans)``: the denoising-objective training transform.  Tokens are
+    grouped into fixed ``span_tokens`` runs; each run is masked iff its
+    portable hash ``md5(salt|id|group)`` (the operators/sampling.py
+    32-bit key) falls under ``mask_rate`` — DETERMINISTIC masking, the
+    property that makes the example set reproducible across engines,
+    reruns, and repartitioning (seeded rand() is none of those).  A
+    masked run collapses to one ``<extra_id_K>`` sentinel in the input;
+    the target is the sentinel-prefixed masked spans in order, closed
+    with the final sentinel, exactly the T5 layout.
+
+    Sentinel numbering K is a per-document running count of masked runs
+    in position order — ONE exchange on the document key; the final
+    reassembly groupBy reuses that partitioning (no second corpus
+    shuffle), and the order-stable concat is sort_array over (pos,
+    piece) structs, never a nondeterministic collect_list.  Documents
+    with zero masked runs emit n_spans = 0 with target just the closing
+    sentinel — kept, so the output row set equals the non-empty input
+    row set.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        SAMPLE_SPACE,
+    )
+
+    thr = int(mask_rate * SAMPLE_SPACE)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    ).withColumn("__g", (F.col("pos") / span_tokens).cast("bigint"))
+    key = sample_key(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("__g")),
+        salt=salt,
+    )
+    t = toks.withColumn("__m", (key < F.lit(thr)).cast("int"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # sentinel id: masked runs seen so far (this group's own flag counts
+    # only at its first token, so every token of a run shares one K)
+    first_of_g = (F.col("pos") % span_tokens == 0) | (F.col("pos") == 0)
+    starts = F.sum(
+        F.when(first_of_g & (F.col("__m") == 1), 1).otherwise(0)
+    ).over(w)
+    t = t.withColumn("__k", (starts - F.col("__m")).cast("int"))
+    sent = F.concat(F.lit("<extra_id_"), F.col("__k"), F.lit(">"))
+    in_piece = F.when(F.col("__m") == 0, F.col("tok")).when(
+        first_of_g, sent
+    )  # masked non-first tokens -> NULL, dropped by the array filter
+    tgt_piece = F.when(
+        F.col("__m") == 1,
+        F.when(first_of_g, F.concat(sent, F.lit(" "), F.col("tok"))).otherwise(
+            F.col("tok")
+        ),
+    )
+    asm = t.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), in_piece.alias("p")))
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+            # null pieces (masked continuation tokens) are skipped via
+            # the null_replacement-free array_join after a filter:
+        ).alias("__in_raw"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            tgt_piece.isNotNull(),
+                            F.struct(F.col("pos"), tgt_piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("__tgt_raw"),
+        F.max(F.col("__k") + F.col("__m")).cast("int").alias("n_spans"),
+    )
+    closing = F.concat(F.lit("<extra_id_"), F.col("n_spans"), F.lit(">"))
+    target = F.when(
+        F.col("__tgt_raw") == "", closing
+    ).otherwise(F.concat(F.col("__tgt_raw"), F.lit(" "), closing))
+    return asm.select(
+        id_col,
+        F.col("__in_raw").alias("input_text"),
+        target.alias("target_text"),
+        "n_spans",
+    )

@@ -6866,3 +6866,279 @@ ORACLES["rollup_merge"] = """
     FROM events GROUP BY event_type
 """
 QUERIES["rollup_merge"] = rollup_merge_q
+
+
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality score per document
+    (operators/lm.bigram_lm_scores): the CCNet/Gopher perplexity
+    filter. Add-one smoothing makes every log a log of a BARE integer
+    -> exact int64 micro-nats; one exact-operand double divide per doc,
+    floored 1e-6. V = context vocabulary (rows of the c1 table)."""
+    from dane_visual_feature_extraction_worker_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    return bigram_lm_scores(d, F.col("__t"), id_col="doc_id")
+
+
+ORACLES["lm_perplexity"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tt
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tt[u.i] AS w1, tt[u.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(tt))) AS u(i)
+    ),
+    b AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM b GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vv FROM c1),
+    sc AS (
+      SELECT b.doc_id,
+             sum(b.tf * (CAST(floor(ln(c1.c1 + v.vv) * 1e6) AS BIGINT)
+                         - CAST(floor(ln(c12.c12 + 1) * 1e6) AS BIGINT)))
+               AS micro,
+             CAST(sum(b.tf) AS BIGINT) AS n_bigrams
+      FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           floor(CAST(micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e6
+             AS avg_nll
+    FROM sc
+"""
+QUERIES["lm_perplexity"] = lm_perplexity_q
+
+
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption training pairs (operators/packing.span_corrupt):
+    deterministic md5 span masking (rate 0.15, span 3 tokens), per-doc
+    sentinel numbering via one running-sum window, order-stable
+    reassembly (sort_array over (pos, piece), never bare collect_list).
+    One corpus exchange: the groupBy reuses the window's doc_id
+    partitioning."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        span_corrupt,
+    )
+
+    return span_corrupt(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        id_col="doc_id",
+        span_tokens=3,
+        mask_rate=0.15,
+        salt="t5",
+    )
+
+
+ORACLES["span_corruption"] = (
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tt
+      FROM documents
+    ),
+    pe AS (
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tt[u.i] AS tok
+      FROM toks, UNNEST(range(1, len(tt) + 1)) AS u(i)
+    ),
+    g AS (
+      SELECT doc_id, pos, tok, CAST(floor(pos / 3) AS BIGINT) AS grp
+      FROM pe
+    ),
+    h AS (
+      SELECT doc_id, pos, tok, grp,
+             md5('t5|' || CAST(doc_id AS VARCHAR) || '#'
+                 || CAST(grp AS VARCHAR)) AS hx
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN ("""
+    + _sample_key_terms_sql()
+    + r""") < 644245094 THEN 1 ELSE 0 END AS mk,
+             CASE WHEN pos % 3 = 0 THEN 1 ELSE 0 END AS firstg
+      FROM h
+    ),
+    k AS (
+      SELECT doc_id, pos, tok, mk, firstg,
+             sum(CASE WHEN firstg = 1 AND mk = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) - mk AS kk
+      FROM m
+    ),
+    pieces AS (
+      SELECT doc_id, pos,
+             CASE WHEN mk = 0 THEN tok
+                  WHEN firstg = 1
+                    THEN '<extra_id_' || CAST(kk AS VARCHAR) || '>'
+                  ELSE NULL END AS in_piece,
+             CASE WHEN mk = 1 AND firstg = 1
+                    THEN '<extra_id_' || CAST(kk AS VARCHAR) || '> ' || tok
+                  WHEN mk = 1 THEN tok
+                  ELSE NULL END AS tgt_piece,
+             kk + mk AS kend
+      FROM k
+    ),
+    asm AS (
+      SELECT doc_id,
+             string_agg(in_piece, ' ' ORDER BY pos)
+               FILTER (WHERE in_piece IS NOT NULL) AS in_raw,
+             string_agg(tgt_piece, ' ' ORDER BY pos)
+               FILTER (WHERE tgt_piece IS NOT NULL) AS tgt_raw,
+             CAST(max(kend) AS INT) AS n_spans
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT doc_id, in_raw AS input_text,
+           CASE WHEN tgt_raw IS NULL
+                  THEN '<extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+                ELSE tgt_raw || ' <extra_id_'
+                     || CAST(n_spans AS VARCHAR) || '>' END AS target_text,
+           n_spans
+    FROM asm
+"""
+)
+QUERIES["span_corruption"] = span_corruption_q
+
+
+def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch per event type
+    (operators/sketches.kmv_distinct, k=64): the md5-keyed twin of HLL
+    whose estimate is a pure integer function of the input, so the
+    SQL oracle replays it exactly — unlike approx_profile's HLL++
+    (engine-internal registers, tolerance-tested instead)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    return kmv_distinct(
+        _events(spark, sf_dir), group="event_type", value="user_id", k=64
+    )
+
+
+ORACLES["kmv_distinct"] = (
+    r"""
+    WITH hx0 AS (
+      SELECT event_type,
+             md5('kmv|' || CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    d AS (
+      SELECT DISTINCT event_type, ("""
+    + _sample_key_terms_sql()
+    + r""") AS h
+      FROM hx0
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(max(h) AS BIGINT) AS hk
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < 64 OR hk <= 0 THEN n_kept
+                ELSE CAST(floor(CAST(270582939648 AS DOUBLE)
+                                / CAST(hk AS DOUBLE)) AS BIGINT)
+           END AS kmv_estimate
+    FROM a
+"""
+)
+QUERIES["kmv_distinct"] = kmv_distinct_q
+
+_CMS_PROBES = ["scan", "merge", "vector", "the", "and", "of", "data", "query"]
+
+
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for a fixed
+    probe set (operators/sketches.cms_estimates, d=4 x w=1024): the
+    mergeable O(d*w)-state frequency oracle; md5 row hashes make every
+    cell — and thus every estimate — SQL-replayable. estimate >= exact
+    by construction (collisions only add)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        cms_estimates,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    toks = _documents(spark, sf_dir).select(
+        F.explode(_tokens("text")).alias("term")
+    )
+    return cms_estimates(toks, _CMS_PROBES, depth=4, width=1024).orderBy("term")
+
+
+ORACLES["cms_heavy_hitters"] = (
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    e AS (
+      SELECT term, u.i AS i FROM toks, UNNEST(range(0, 4)) AS u(i)
+    ),
+    h AS (
+      SELECT term, i,
+             md5('cms|' || CAST(i AS VARCHAR) || '#' || term) AS hx
+      FROM e
+    ),
+    hb AS (
+      SELECT term, i, ("""
+    + _sample_key_terms_sql()
+    + r""") % 1024 AS bucket
+      FROM h
+    ),
+    sketch AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM hb GROUP BY 1, 2
+    ),
+    probes(term) AS (
+      VALUES ('scan'), ('merge'), ('vector'), ('the'), ('and'), ('of'),
+             ('data'), ('query')
+    ),
+    ph AS (
+      SELECT term, u.i AS i,
+             md5('cms|' || CAST(u.i AS VARCHAR) || '#' || term) AS hx
+      FROM probes, UNNEST(range(0, 4)) AS u(i)
+    ),
+    pb AS (
+      SELECT term, i, ("""
+    + _sample_key_terms_sql()
+    + r""") % 1024 AS bucket
+      FROM ph
+    ),
+    est AS (
+      SELECT p.term,
+             min(coalesce(s.cnt, CAST(0 AS BIGINT))) AS cms_estimate
+      FROM pb p LEFT JOIN sketch s USING (i, bucket) GROUP BY 1
+    ),
+    ex AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+      FROM toks
+      WHERE term IN ('scan', 'merge', 'vector', 'the', 'and', 'of',
+                     'data', 'query')
+      GROUP BY 1
+    )
+    SELECT term,
+           coalesce(ex.exact_count, CAST(0 AS BIGINT)) AS exact_count,
+           est.cms_estimate
+    FROM est LEFT JOIN ex USING (term)
+    ORDER BY term
+"""
+)
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters_q
