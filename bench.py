@@ -159,6 +159,9 @@ HEADLINE = [
     "span_corruption",
     "kmv_distinct",
     "cms_heavy_hitters",
+    "stopword_discovery",
+    "dataset_card",
+    "dup_cluster_stats",
 ]
 
 

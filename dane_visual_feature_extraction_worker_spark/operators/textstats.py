@@ -576,3 +576,97 @@ def oov_rate(
             / 1e6
         ).alias("oov_rate"),
     )
+
+
+def stopword_discovery(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_share: float = 0.4,
+) -> DataFrame:
+    """Corpus-driven stopword candidates: terms appearing in at least
+    ``min_share`` of documents → ``(term, df, share)`` — how the
+    lang_id stopword lists get built for a NEW language/domain instead
+    of imported.  share is floor-truncated 1e-6 from two exact int64
+    counts (df <= N <= 1e12 keeps both exact in the one double divide).
+
+    Plan: explode → per-doc DISTINCT terms (map-side combined — the
+    shuffle carries (doc, term) pairs once each, not the token
+    stream), term rollup, N as a lazy broadcast scalar, threshold on
+    the exact integer product df * 10^6 >= min_share_micro * N so the
+    filter itself never touches a float.
+    """
+    pairs = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    n = docs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    dfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    micro = int(min_share * 1_000_000)
+    out = dfreq.crossJoin(F.broadcast(n)).where(
+        F.col("df") * 1_000_000 >= F.lit(micro) * F.col("__n")
+    )
+    share = F.floor(
+        F.col("df").cast("double") / F.col("__n").cast("double") * 1e6
+    ) / 1e6
+    return out.select("term", "df", share.alias("share"))
+
+
+def dataset_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dataset card → ``(source, n_docs, n_tokens, n_langs,
+    n_exact_dups, dup_ratio, mean_chars)``: the one-row-per-source
+    summary a curation run publishes next to the shards (HF dataset
+    cards, Dolma source manifests).
+
+    Two map-side-combined passes joined on the |sources|-row key:
+    the direct rollup (counts, token totals via one size(), exact
+    distinct langs — bounded domain), and the exact-dup count from a
+    (source, md5(text)) rollup — n_exact_dups = rows minus distinct
+    fingerprints, the dedup_exact accounting.  dup_ratio and
+    mean_chars are floor-1e-6 single divides of exact int64 operands.
+    """
+    base = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).cast("bigint").alias("n_tokens"),
+        F.count_distinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
+        F.sum(F.length(text_col)).cast("bigint").alias("__chars"),
+    )
+    fps = (
+        docs.select(F.col(source_col), F.md5(F.col(text_col)).alias("__fp"))
+        .groupBy(source_col, "__fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .groupBy(source_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("__rows"),
+            F.count(F.lit(1)).cast("bigint").alias("__uniq"),
+        )
+        .select(
+            source_col,
+            (F.col("__rows") - F.col("__uniq")).alias("n_exact_dups"),
+        )
+    )
+    j = base.join(fps, source_col)
+    r6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return j.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_exact_dups",
+        r6(
+            F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_ratio"),
+        r6(
+            F.col("__chars").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_chars"),
+    )

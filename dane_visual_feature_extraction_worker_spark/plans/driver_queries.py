@@ -7142,3 +7142,118 @@ ORACLES["cms_heavy_hitters"] = (
 """
 )
 QUERIES["cms_heavy_hitters"] = cms_heavy_hitters_q
+
+
+def stopword_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword candidates (>=40% document frequency,
+    operators/textstats.stopword_discovery): per-doc DISTINCT term
+    pairs shuffle once, N rides a lazy broadcast scalar, the threshold
+    is the exact integer cross-product df*1e6 >= 4e5*N — no float in
+    the filter."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        stopword_discovery,
+    )
+
+    return stopword_discovery(_documents(spark, sf_dir), min_share=0.4)
+
+
+ORACLES["stopword_discovery"] = r"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nn
+          FROM documents),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term
+    )
+    SELECT term, df,
+           floor(CAST(df AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6) / 1e6
+             AS share
+    FROM dfreq CROSS JOIN n
+    WHERE df * 1000000 >= 400000 * nn
+"""
+QUERIES["stopword_discovery"] = stopword_discovery_q
+
+
+def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (operators/textstats.dataset_card):
+    docs/tokens/langs/exact-dup accounting per source in two map-side
+    -combined passes joined on the |sources|-row key; ratios are
+    floor-1e-6 single divides of exact int64 operands."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    return dataset_card(_documents(spark, sf_dir))
+
+
+ORACLES["dataset_card"] = r"""
+    WITH t AS (
+      SELECT doc_id, source, lang, length(text) AS chars,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS ntok,
+             md5(text) AS fp
+      FROM documents
+    ),
+    base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(chars) AS BIGINT) AS chars
+      FROM t GROUP BY source
+    ),
+    fps AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) - CAST(count(DISTINCT fp) AS BIGINT)
+               AS n_exact_dups
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_langs, n_exact_dups,
+           floor(CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1e6) / 1e6 AS dup_ratio,
+           floor(CAST(chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1e6) / 1e6 AS mean_chars
+    FROM base JOIN fps USING (source)
+"""
+QUERIES["dataset_card"] = dataset_card_q
+
+
+def dup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: the curation metric behind
+    "how much of this corpus is one template?" — MinHash-LSH pairs →
+    connected components (the near_dup_clusters pipeline) → cluster
+    sizes → (cluster_size, n_clusters, n_docs).  Oracle extends the
+    recursive-CTE fixpoint with the same two rollups."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    cc = connected_components(minhash_lsh_pairs(docs), docs.select("doc_id"))
+    sz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLES["dup_cluster_stats"] = ORACLES["near_dup_clusters"].rsplit(
+    "SELECT node", 1
+)[0] + r""", cl AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node
+    ), sz AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cl GROUP BY cluster_id
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+"""
+QUERIES["dup_cluster_stats"] = dup_cluster_stats_q

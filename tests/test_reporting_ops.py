@@ -1,0 +1,78 @@
+"""Curation-reporting batch: stopword discovery, per-source dataset
+cards, near-dup cluster-size histogram."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_stopword_discovery_threshold(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        stopword_discovery,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the mat"),
+            (2, "the dog"),
+            (3, "the bird cat"),
+            (4, "fish"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["df"], r["share"])
+        for r in stopword_discovery(df, min_share=0.5).collect()
+    }
+    # 'the' in 3/4 docs (in-doc repeats count once), 'cat' in 2/4
+    assert got == {"the": (3, 0.75), "cat": (2, 0.5)}
+
+
+def test_dataset_card_fields(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web"),
+            (2, "a b c", "en", "web"),   # exact dup of 1
+            (3, "d e", "fr", "web"),
+            (4, "x", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in dataset_card(df).collect()}
+    web = got["web"]
+    assert (web["n_docs"], web["n_tokens"], web["n_langs"]) == (3, 8, 2)
+    assert web["n_exact_dups"] == 1
+    assert web["dup_ratio"] == 0.333333  # floor(1/3 * 1e6)/1e6
+    assert web["mean_chars"] == 4.333333  # floor(13/3 * 1e6)/1e6
+    books = got["books"]
+    assert (books["n_docs"], books["n_exact_dups"]) == (1, 0)
+
+
+def test_dup_cluster_histogram(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # components {1,2,3}, {4,5}, {6}, {7}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    cc = connected_components(pairs, nodes)
+    sz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in sz.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert hist == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
