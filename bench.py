@@ -162,6 +162,8 @@ HEADLINE = [
     "stopword_discovery",
     "dataset_card",
     "dup_cluster_stats",
+    "lpa_communities",
+    "rfm_features",
 ]
 
 

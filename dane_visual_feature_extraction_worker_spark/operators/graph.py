@@ -90,3 +90,77 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation COMMUNITIES over the candidate
+    graph, fixed ``rounds`` → ``(id_col, community)``: the modularity
+    view connected components can't give — CC says "reachable", LPA
+    says "densely attached"; a bridge between two template families
+    keeps one CC but two LPA communities.
+
+    Semantics are fully deterministic so an UNROLLED SQL oracle
+    replays every round: synchronous updates (round r+1 reads only
+    round r), new label = the modal label among neighbors with ties
+    to the SMALLEST label (row_number over (count desc, label asc)),
+    isolated nodes keep their current label; labels start as the
+    node's own id.  Fixed round count (not convergence-detected):
+    oscillation is LPA's known failure mode under synchronous updates,
+    and a deterministic round budget is what a replayable gate — and a
+    100 TB production run with a wall-clock budget — both want.
+
+    Per round: ONE uniform-key join (edges x labels on the source
+    endpoint — the LSH graph's ids are md5-uniform), ONE map-side-
+    combined (node, label) count, ONE window over the count frame
+    (neighbor-label-pairs-sized, not corpus-sized), one left join back
+    to the spine for isolated-node carry.  Edges and the spine pin
+    once; labels localCheckpoint per round (the connected_components /
+    Lloyd lineage discipline).
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("__s"), F.col("doc_b").alias("__t"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("__s"), F.col("doc_a").alias("__t")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("__node"), F.col(id_col).alias("__lab")
+    ).localCheckpoint()
+    try:
+        w = Window.partitionBy("__t").orderBy(
+            F.col("__cnt").desc(), F.col("__lab").asc()
+        )
+        for _ in range(rounds):
+            counts = (
+                edges.join(labels, edges["__s"] == labels["__node"])
+                .groupBy("__t", "__lab")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+            )
+            modal = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("__t").alias("__node"), F.col("__lab").alias("__new"))
+            )
+            labels = (
+                labels.join(modal, "__node", "left")
+                .select(
+                    "__node",
+                    F.coalesce("__new", "__lab").alias("__lab"),
+                )
+                .localCheckpoint()
+            )
+        return labels.select(
+            F.col("__node").alias(id_col), F.col("__lab").alias("community")
+        )
+    finally:
+        edges.unpersist()

@@ -7257,3 +7257,92 @@ ORACLES["dup_cluster_stats"] = ORACLES["near_dup_clusters"].rsplit(
     FROM sz GROUP BY cluster_size
 """
 QUERIES["dup_cluster_stats"] = dup_cluster_stats_q
+
+
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the MinHash-LSH candidate
+    graph (operators/graph.label_propagation, 3 synchronous rounds,
+    modal-neighbor label with min-label ties): the density view next
+    to near_dup_clusters' reachability view.  The oracle unrolls all
+    three rounds over the same pair SQL — an ITERATIVE Spark algorithm
+    vs a replayed SQL fixture, the doc_pagerank discipline."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return label_propagation(
+        minhash_lsh_pairs(docs), docs.select("doc_id"), rounds=3
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+    , c{i} AS (
+      SELECT e.t AS node, l.lab, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l{i - 1} l ON l.node = e.s GROUP BY 1, 2
+    ), n{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lab) AS rn
+        FROM c{i}) WHERE rn = 1
+    ), l{i} AS (
+      SELECT l{i - 1}.node, coalesce(n{i}.lab, l{i - 1}.lab) AS lab
+      FROM l{i - 1} LEFT JOIN n{i} USING (node)
+    )"""
+
+
+ORACLES["lpa_communities"] = (
+    ORACLES["near_dup_clusters"].split("), reach AS")[0]
+    + """), l0 AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+    )"""
+    + "".join(_lpa_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT node AS doc_id, lab AS community FROM l3
+"""
+)
+QUERIES["lpa_communities"] = lpa_communities_q
+
+
+def rfm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature block per user at the corpus-max cutoff: recency
+    (integer microseconds since last event), frequency (count),
+    monetary (exact decimal(38,2) sum, widened to double only at the
+    gate edge) — the classic entity-level feature trio every churn /
+    LTV model starts from.  The cutoff is max(ts), a lazy broadcast
+    scalar (psi_drift pattern — never a driver round-trip); the rollup
+    is ONE map-side-combined aggregate; the corpus shuffles once on
+    user_id."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = e.agg(F.max(us).alias("__cut"))
+    return (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            (F.first("__cut") - F.max(us)).cast("bigint").alias("recency_us"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+
+
+ORACLES["rfm_features"] = """
+    WITH cut AS (SELECT max(epoch_us(ts)) AS c FROM events)
+    SELECT user_id,
+           CAST(cut.c - max(epoch_us(ts)) AS BIGINT) AS recency_us,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS monetary
+    FROM events CROSS JOIN cut
+    GROUP BY user_id, cut.c
+"""
+QUERIES["rfm_features"] = rfm_features_q
