@@ -164,6 +164,7 @@ HEADLINE = [
     "dup_cluster_stats",
     "lpa_communities",
     "rfm_features",
+    "preference_pairs",
 ]
 
 

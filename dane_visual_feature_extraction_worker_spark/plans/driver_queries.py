@@ -7346,3 +7346,67 @@ ORACLES["rfm_features"] = """
     GROUP BY user_id, cut.c
 """
 QUERIES["rfm_features"] = rfm_features_q
+
+
+def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference-pair construction per source: chosen = the
+    best document under the deterministic ranking chain (quality desc,
+    n_tokens desc, doc_id asc), rejected = the worst under the exact
+    REVERSE chain — distinct whenever the group has >= 2 docs, so
+    single-doc sources emit nothing.  The quality_topk_per_lang
+    composition pattern: scoring scan + corpus-sized key join (AQE
+    co-planned), then BOTH extremum windows and the group count ride
+    ONE source-partitioned exchange; the chosen x rejected join is
+    |sources|-row."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        quality_score as _qs,
+    )
+
+    d = _documents(spark, sf_dir)
+    q = _qs(d).join(d.select("doc_id", "source"), "doc_id")
+    wt = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.desc("n_tokens"), F.col("doc_id")
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("n_tokens"), F.desc("doc_id")
+    )
+    r = q.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(wt).alias("__rt"),
+        F.row_number().over(wb).alias("__rb"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("__n"),
+    ).where(F.col("__n") >= 2)
+    top = r.where(F.col("__rt") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("chosen_quality"),
+    )
+    bot = r.where(F.col("__rb") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("rejected_quality"),
+    )
+    return top.join(bot, "source")
+
+
+ORACLES["preference_pairs"] = f"""
+    WITH q AS ({ORACLES["quality_score"]}),
+    j AS (
+      SELECT d.source, q.doc_id, q.quality, q.n_tokens,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY q.quality DESC, q.n_tokens DESC,
+                                         q.doc_id) AS rt,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY q.quality ASC, q.n_tokens ASC,
+                                         q.doc_id DESC) AS rb,
+             count(*) OVER (PARTITION BY d.source) AS n
+      FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT t.source, t.doc_id AS chosen_id, t.quality AS chosen_quality,
+           b.doc_id AS rejected_id, b.quality AS rejected_quality
+    FROM (SELECT * FROM j WHERE rt = 1 AND n >= 2) t
+    JOIN (SELECT * FROM j WHERE rb = 1 AND n >= 2) b USING (source)
+"""
+QUERIES["preference_pairs"] = preference_pairs_q

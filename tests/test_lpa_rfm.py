@@ -97,3 +97,17 @@ def test_rfm_literal(spark):
     assert got[1]["frequency"] == 2
     assert got[1]["monetary"] == 12.75
     assert got[2]["recency_us"] == 0
+
+
+def test_preference_pairs_distinct_and_ranked(spark):
+    """chosen != rejected for every emitted source; singleton sources
+    emit nothing; chosen_quality >= rejected_quality."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["preference_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["chosen_quality"] >= r["rejected_quality"]
