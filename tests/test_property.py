@@ -484,3 +484,125 @@ def test_asof_salted_identical_to_plain_random(spark, left, right, block):
                                   block_seconds=block).collect())
     )
     assert plain == salted
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    span=st.integers(1, 4),
+    rate=st.sampled_from([0.0, 0.15, 0.5, 1.0]),
+)
+def test_span_corrupt_roundtrip_random(spark, docs, span, rate):
+    """For ANY corpus / span length / mask rate: splicing the target
+    spans back into the input reproduces the original token stream."""
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        span_corrupt,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs) if t]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for r in span_corrupt(df, span_tokens=span, mask_rate=rate).collect():
+        spans, cur = {}, None
+        for tok in r["target_text"].split(" "):
+            m = sent.match(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        out = []
+        for tok in r["input_text"].split(" "):
+            m = sent.match(tok)
+            out.extend(spans[int(m.group(1))] if m else [tok])
+        assert out == docs[r["doc_id"]]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 100),
+            st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(0, 100),
+)
+def test_rollup_merge_equals_recompute_random(spark, rows, cut):
+    """merge(partial states over ANY split) is bit-identical to the
+    from-scratch aggregation — the algebraic-aggregate identity."""
+    from dane_visual_feature_extraction_worker_spark.operators.rollup import (
+        merge_rollups,
+        rollup_state,
+    )
+
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    lo, hi = df.where(F.col("t") <= cut), df.where(F.col("t") > cut)
+    merged = {
+        r["k"]: (r["n_rows"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in merge_rollups(rollup_state(lo, "k"), rollup_state(hi, "k"))
+        .collect()
+    }
+    direct = {
+        r["k"]: (r["n_rows"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in rollup_state(df, "k").collect()
+    }
+    assert merged == direct
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_edit1_pairs_complete_vs_bruteforce(spark, keys):
+    """The deletion-neighborhood join finds EXACTLY the distance<=1
+    pairs a brute-force quadratic scan finds — the recall claim the
+    SymSpell construction stands on (substitution/insert/delete all
+    meet in the 1-deletion neighborhood)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        edit1_pairs,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    docs = spark.createDataFrame(
+        list(enumerate(keys)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in edit1_pairs(docs, F.col("text"), key_len=6).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if lev(keys[i], keys[j]) <= 1
+    }
+    assert got == want
