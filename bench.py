@@ -165,6 +165,8 @@ HEADLINE = [
     "lpa_communities",
     "rfm_features",
     "preference_pairs",
+    "last_touch_attribution",
+    "weak_labels",
 ]
 
 

@@ -79,3 +79,60 @@ def future_window_label(
         .alias("label")
     )
     return df.select(*df.columns, label, tte)
+
+
+def weak_label_vote(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    rules: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snorkel-style weak supervision: keyword labeling functions +
+    majority vote → ``(id, label, n_votes, n_rules_hit)``.  Each rule
+    is (term, label); a rule FIRES once per document containing the
+    term (presence, not frequency — one spammy repeat must not outvote
+    three independent signals).  The winning label is the modal vote;
+    a tie ABSTAINS (label NULL) rather than guessing — abstention is
+    the honest output a downstream label model consumes.  Documents
+    hitting no rule emit nothing.
+
+    Plan: per-doc DISTINCT (doc, term) pairs (map-side combined),
+    broadcast join against the |rules|-row table, one (doc, label)
+    count, then the modal/tie decision as TWO window functions over
+    the votes frame (votes-sized, not corpus-sized) sharing one doc
+    partitioning.  Deterministic end to end — no float, no rand.
+    """
+    spark = docs.sparkSession
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    rules_df = spark.createDataFrame(rules, "term string, label string")
+    pairs = docs.select(
+        F.col(id_col), F.explode(tokens_col).alias("term")
+    ).distinct()
+    votes = (
+        pairs.join(F.broadcast(rules_df), "term")
+        .groupBy(id_col, "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__v"))
+    )
+    w = Window.partitionBy(id_col)
+    mx = F.max("__v").over(w)
+    ties = F.sum(F.when(F.col("__v") == mx, 1).otherwise(0)).over(w)
+    out = (
+        votes.withColumn("__mx", mx)
+        .withColumn("__ties", ties)
+        .withColumn("__tot", F.sum("__v").over(w))
+        .where(F.col("__v") == F.col("__mx"))
+    )
+    # one row per doc: on a tie all argmax rows collapse to the abstain
+    # row via the min-label representative + NULL-out
+    w2 = Window.partitionBy(id_col).orderBy("label")
+    return (
+        out.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.when(F.col("__ties") == 1, F.col("label")).alias("label"),
+            F.col("__mx").alias("n_votes"),
+            F.col("__tot").alias("n_rules_hit"),
+        )
+    )

@@ -7410,3 +7410,121 @@ ORACLES["preference_pairs"] = f"""
     JOIN (SELECT * FROM j WHERE rb = 1 AND n >= 2) b USING (source)
 """
 QUERIES["preference_pairs"] = preference_pairs_q
+
+
+def last_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the
+    user's most recent prior click's campaign (props.k), purchases
+    with no prior click roll up under NULL (unattributed — reported,
+    never dropped).  The carry is ONE last-non-null window over the
+    entity exchange the sequence ops already pay; revenue is the exact
+    decimal(18,2) sum widened to double only at the gate edge."""
+    e = _events(spark, sf_dir)
+    camp = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = e.select(
+        "event_type",
+        F.col("value"),
+        F.last(camp, ignorenulls=True).over(w).alias("campaign"),
+    ).where(F.col("event_type") == "purchase")
+    return t.groupBy("campaign").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
+
+
+ORACLES["last_touch_attribution"] = r"""
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN CAST(props->>'$.k' AS BIGINT) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS campaign
+      FROM events
+    )
+    SELECT campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS attributed_revenue
+    FROM t WHERE event_type = 'purchase' GROUP BY campaign
+"""
+QUERIES["last_touch_attribution"] = last_touch_attribution_q
+
+_WEAK_RULES = [
+    ("scan", "systems"),
+    ("merge", "systems"),
+    ("hash", "systems"),
+    ("batch", "systems"),
+    ("customer", "business"),
+    ("data", "business"),
+    ("vector", "ml"),
+    ("agg", "ml"),
+]
+
+
+def weak_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak supervision (operators/labels.weak_label_vote):
+    8 keyword labeling functions over 3 classes, presence-fired,
+    majority vote with tie-ABSTAIN (label NULL kept, never guessed).
+    Broadcast rules; the votes frame, not the corpus, carries the
+    window decision."""
+    from dane_visual_feature_extraction_worker_spark.operators.labels import (
+        weak_label_vote,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    return weak_label_vote(d, F.col("__t"), _WEAK_RULES, id_col="doc_id")
+
+
+ORACLES["weak_labels"] = r"""
+    WITH rules(term, label) AS (
+      VALUES ('scan', 'systems'), ('merge', 'systems'), ('hash', 'systems'),
+             ('batch', 'systems'), ('customer', 'business'),
+             ('data', 'business'), ('vector', 'ml'), ('agg', 'ml')
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, label, CAST(count(*) AS BIGINT) AS v
+      FROM pairs JOIN rules USING (term) GROUP BY 1, 2
+    ),
+    dec0 AS (
+      SELECT doc_id, label, v,
+             max(v) OVER (PARTITION BY doc_id) AS mx,
+             sum(v) OVER (PARTITION BY doc_id) AS tot
+      FROM votes
+    ),
+    dec AS (
+      SELECT doc_id, label, v, mx, tot,
+             sum(CASE WHEN v = mx THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS ties
+      FROM dec0
+    ),
+    win AS (
+      SELECT doc_id, label, mx, ties, tot,
+             row_number() OVER (PARTITION BY doc_id ORDER BY label) AS rn
+      FROM dec WHERE v = mx
+    )
+    SELECT doc_id,
+           CASE WHEN ties = 1 THEN label END AS label,
+           mx AS n_votes, CAST(tot AS BIGINT) AS n_rules_hit
+    FROM win WHERE rn = 1
+"""
+QUERIES["weak_labels"] = weak_labels_q

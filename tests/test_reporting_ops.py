@@ -76,3 +76,72 @@ def test_dup_cluster_histogram(spark):
         .collect()
     }
     assert hist == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_weak_label_vote_majority_and_abstain(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.labels import (
+        weak_label_vote,
+    )
+
+    rules = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "z")]
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),     # x:2 y:1 -> x
+            (2, ["a", "a", "c"]),     # presence: x:1 y:1 -> tie, abstain
+            (3, ["d"]),               # z:1 -> z
+            (4, ["q"]),               # no rule hit -> absent
+        ],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["label"], r["n_votes"], r["n_rules_hit"])
+        for r in weak_label_vote(df, F.col("toks"), rules).collect()
+    }
+    assert got == {1: ("x", 2, 3), 2: (None, 1, 2), 3: ("z", 1, 1)}
+
+
+def test_last_touch_attribution_literal(spark):
+    from datetime import datetime
+
+    import __spark_entry__  # noqa: F401  (pattern parity; op is inline)
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1, "click", '{"k": 7}', 0.0, datetime(2024, 1, 1)),
+        (1, 2, "purchase", '{"k": 0}', 5.0, datetime(2024, 1, 2)),
+        (1, 3, "click", '{"k": 9}', 0.0, datetime(2024, 1, 3)),
+        (1, 4, "purchase", '{"k": 0}', 3.0, datetime(2024, 1, 4)),
+        (2, 5, "purchase", '{"k": 0}', 2.0, datetime(2024, 1, 5)),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, props string,"
+        " value double, ts timestamp",
+    )
+    camp = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["campaign"]: (r["n"], r["rev"])
+        for r in e.select(
+            "event_type",
+            "value",
+            F.last(camp, ignorenulls=True).over(w).alias("campaign"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert got == {7: (1, 5.0), 9: (1, 3.0), None: (1, 2.0)}
