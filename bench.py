@@ -167,6 +167,8 @@ HEADLINE = [
     "preference_pairs",
     "last_touch_attribution",
     "weak_labels",
+    "minhash_calibration",
+    "woe_encoding",
 ]
 
 

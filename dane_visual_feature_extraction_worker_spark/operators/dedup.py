@@ -938,3 +938,84 @@ def edit1_pairs(
     return cand.where(dist <= 1).select(
         "doc_a", "doc_b", dist.cast("int").alias("dist")
     )
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Sketch-quality calibration over the LSH candidate pairs:
+    per pair, the MinHash agreement estimate (agree_seeds / n_hashes —
+    the unbiased Jaccard estimator the banding threshold curve is
+    derived from) NEXT TO the exact shingle Jaccard → ``(doc_a, doc_b,
+    agree_seeds, est_jaccard, exact_jaccard)``.  This is the report
+    that justifies a production (perms, bands) config: if est and
+    exact diverge on YOUR corpus, the threshold curve is lying to you.
+
+    Everything is deterministic integer math: agreement counts seeds
+    with equal string minhashes; exact Jaccard is (inter * 10^6) DIV
+    union — INTEGER division, because a double divide can round across
+    the floor boundary and integer DIV cannot.  Scale: both the
+    agreement join and the intersection join are bounded by the LSH
+    candidate-pair set (never corpus²); the shingle intersection joins
+    pair-side shingle streams on uniform (id) / (id, shingle) keys.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes, band_size, id_col, text_col, k
+    )
+    sh = shingle_table(docs, id_col, text_col, k)
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    ma = mh.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    mb = mh.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    agree = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", agree_expr.cast("int").alias("agree_seeds"))
+    )
+    szs = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__i"))
+    )
+    est_unit = 1_000_000 // n_hashes
+    j = (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(szs.withColumnRenamed(id_col, "doc_a").withColumnRenamed("__n", "__na"), "doc_a")
+        .join(szs.withColumnRenamed(id_col, "doc_b").withColumnRenamed("__n", "__nb"), "doc_b")
+        .withColumn("__i", F.coalesce("__i", F.lit(0).cast("bigint")))
+    )
+    exact_micro = F.expr("(__i * 1000000) DIV (__na + __nb - __i)")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "agree_seeds",
+        (F.col("agree_seeds").cast("bigint") * est_unit / F.lit(1e6)).alias(
+            "est_jaccard"
+        ),
+        (exact_micro.cast("double") / 1e6).alias("exact_jaccard"),
+    )

@@ -7528,3 +7528,120 @@ ORACLES["weak_labels"] = r"""
     FROM win WHERE rn = 1
 """
 QUERIES["weak_labels"] = weak_labels_q
+
+
+def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration (operators/dedup.minhash_calibration):
+    per LSH candidate pair, the 8-seed agreement estimate next to the
+    exact shingle Jaccard — integer DIV for the exact ratio (a double
+    divide can round across the floor boundary; integer DIV cannot)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    return minhash_calibration(_documents(spark, sf_dir))
+
+
+ORACLES["minhash_calibration"] = ORACLES["near_dup_clusters"].split(
+    "), edges AS"
+)[0] + r"""
+    ), agree AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS INT)
+               AS agree_seeds
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.doc_a
+      JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed
+      GROUP BY 1, 2
+    ), szs AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b, g.agree_seeds,
+           CAST(g.agree_seeds AS BIGINT) * 125000 / 1e6 AS est_jaccard,
+           CAST((coalesce(i.i, 0) * 1000000)
+                // (sa.n + sb.n - coalesce(i.i, 0)) AS DOUBLE) / 1e6
+             AS exact_jaccard
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN szs sa ON sa.doc_id = g.doc_a
+    JOIN szs sb ON sb.doc_id = g.doc_b
+"""
+QUERIES["minhash_calibration"] = minhash_calibration_q
+
+
+def woe_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of the decile-bucketed value column
+    against the purchase label: WOE_b = ln(pos_b/POS) - ln(neg_b/NEG),
+    decomposed into FOUR logs of bare integers in micro-nats (the
+    psi_drift discipline — no float ratio is ever taken), +1 bucket
+    smoothing so empty cells stay finite.  Composes the gated
+    quantile_bucketize (broadcast thresholds, corpus never shuffles)
+    with one 10-row rollup; the class totals ride a window over that
+    10-row frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        quantile_bucketize,
+    )
+
+    e = _events(spark, sf_dir)
+    b = quantile_bucketize(
+        e, value="value", n_buckets=10, keys=("event_id", "event_type")
+    )
+    lab = (F.col("event_type") == "purchase").cast("int")
+    cells = b.groupBy("bucket").agg(
+        F.sum(lab).cast("bigint").alias("n_pos"),
+        F.sum(1 - lab).cast("bigint").alias("n_neg"),
+    )
+    wtot = Window.partitionBy()
+    pos_t = F.sum("n_pos").over(wtot)
+    neg_t = F.sum("n_neg").over(wtot)
+    lnm = lambda c: F.floor(F.log(c.cast("double")) * 1e6).cast(  # noqa: E731
+        "bigint"
+    )
+    woe_micro = (
+        lnm(F.col("n_pos") + 1)
+        - lnm(pos_t)
+        - lnm(F.col("n_neg") + 1)
+        + lnm(neg_t)
+    )
+    return cells.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        (woe_micro.cast("double") / 1e6).alias("woe"),
+    )
+
+
+ORACLES["woe_encoding"] = f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), ranked AS (
+      SELECT c, cume_dist() OVER (ORDER BY c) AS cd FROM c
+    ), t AS (
+      SELECT {_ECDF_DECILES}
+    ), bk AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab,
+             CAST({" + ".join(f"CAST(c.c > t.q{k} AS INT)" for k in range(1, 10))}
+                  AS INT) AS bucket
+      FROM c, t
+    ), cells AS (
+      SELECT bucket, CAST(sum(lab) AS BIGINT) AS n_pos,
+             CAST(sum(1 - lab) AS BIGINT) AS n_neg
+      FROM bk GROUP BY bucket
+    )
+    SELECT bucket, n_pos, n_neg,
+           CAST(CAST(floor(ln(n_pos + 1) * 1e6) AS BIGINT)
+                - CAST(floor(ln(sum(n_pos) OVER ()) * 1e6) AS BIGINT)
+                - CAST(floor(ln(n_neg + 1) * 1e6) AS BIGINT)
+                + CAST(floor(ln(sum(n_neg) OVER ()) * 1e6) AS BIGINT)
+                AS DOUBLE) / 1e6 AS woe
+    FROM cells
+"""
+QUERIES["woe_encoding"] = woe_encoding_q

@@ -145,3 +145,43 @@ def test_last_touch_attribution_literal(spark):
         .collect()
     }
     assert got == {7: (1, 5.0), 9: (1, 3.0), None: (1, 2.0)}
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Identical documents: all 8 seeds agree, exact Jaccard 1.0; a
+    completely different doc never enters the candidate set."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["agree_seeds"] == 8
+    assert r["est_jaccard"] == 1.0
+    assert r["exact_jaccard"] == 1.0
+
+
+def test_woe_sign_sanity(spark):
+    """A bucket where purchases are over-represented gets positive
+    WOE; under-represented gets negative — computed via the gated
+    query on the sf0.001 events table."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["woe_encoding"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    tot_pos = sum(r["n_pos"] for r in rows)
+    tot_neg = sum(r["n_neg"] for r in rows)
+    for r in rows:
+        # smoothed WOE must track the raw rate direction except at the
+        # smoothing floor
+        if r["n_pos"] * tot_neg > 2 * r["n_neg"] * tot_pos:
+            assert r["woe"] > 0
