@@ -168,6 +168,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash signatures + LSH banding.
 
@@ -175,8 +176,16 @@ def minhash_lsh_pairs(
     (string min — portable across engines). Band key = md5 of the
     band's ordered minhashes; pairs sharing any band bucket are
     candidates. Output distinct ``(doc_a, doc_b)``.
+
+    ``shingles`` lets a caller that ALSO consumes the shingle table
+    (minhash_calibration) pass a persisted one instead of paying the
+    tokenize+explode scan again.
     """
-    sh = shingle_table(docs, id_col, text_col, k)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(docs, id_col, text_col, k)
+    )
     # all K minhashes in ONE aggregation pass (no seed explosion: K
     # parallel min() aggregates over the same 1x shingle stream — one
     # shuffle of |shingles| rows instead of K x |shingles|)
@@ -964,10 +973,12 @@ def minhash_calibration(
     candidate-pair set (never corpus²); the shingle intersection joins
     pair-side shingle streams on uniform (id) / (id, shingle) keys.
     """
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes, band_size, id_col, text_col, k
+    sh = scoped_persist(
+        shingle_table(docs, id_col, text_col, k), "dedup.calibration_shingles"
     )
-    sh = shingle_table(docs, id_col, text_col, k)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes, band_size, id_col, text_col, k, shingles=sh
+    )
     mh = sh.groupBy(id_col).agg(
         *[
             F.min(
