@@ -169,6 +169,7 @@ HEADLINE = [
     "weak_labels",
     "minhash_calibration",
     "woe_encoding",
+    "ann_recall_report",
 ]
 
 

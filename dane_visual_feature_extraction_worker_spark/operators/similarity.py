@@ -968,3 +968,90 @@ def knn_classify(
             "qid", F.col(label_col).alias("pred_label"), "votes", "top_cos"
         )
     )
+
+
+def lsh_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN-quality calibration (the minhash_calibration sibling for the
+    vector side): per query, recall@k of the sign-LSH bucketed search
+    against exact brute force → ``(qid, n_exact, n_approx, n_hits,
+    recall)``.  This is the report that justifies an ``n_bits`` config
+    on YOUR corpus — LSH trades recall for bucket pruning, and the
+    trade must be measured, not assumed.
+
+    ``queries`` is a (qid, qe) frame, report-sized (Q ≪ corpus).  The
+    exact side reuses the hard_negatives/knn Arrow candidate scan
+    (per-query partition-local top-2k, survivors exact-rescored JVM-
+    side — candidacy order never decides results); the approx side is
+    the same-bucket candidate set, self excluded on BOTH sides, ranked
+    by the same floored-1e-6 exact cosine with id tie-break.  recall =
+    (n_hits · 10⁶) DIV n_exact — integer division, engine-exact.  All
+    per-query windows run over survivor/bucket frames, never the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    qrows = queries.select("qid", "qe").collect()
+    surv = _mq_candidates(emb, qrows, 2 * k, id_col, vec_col, None)
+    cosf = (
+        F.floor(
+            _dot(F.col(vec_col), F.col("qe"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("qe")))
+            * 1e6
+        )
+        / 1e6
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("__c"), F.col(id_col))
+    exact = (
+        emb.select(id_col, vec_col)
+        .join(F.broadcast(surv.distinct()), id_col)
+        .join(F.broadcast(queries), "qid")
+        .select("qid", id_col, cosf.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", id_col)
+    )
+    b = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, n_bits).alias("__b")
+    )
+    qb = queries.select(
+        "qid", "qe", lsh_bucket("qe", n_bits).alias("__qb")
+    )
+    approx = (
+        b.join(F.broadcast(qb), F.col("__b") == F.col("__qb"))
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cosf.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", id_col)
+    )
+    ne = exact.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    na = approx.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    nh = (
+        exact.join(approx, ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    out = (
+        ne.join(na, "qid", "left")
+        .join(nh, "qid", "left")
+        .withColumn("n_approx", F.coalesce("n_approx", F.lit(0).cast("bigint")))
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0).cast("bigint")))
+    )
+    return out.select(
+        "qid",
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        (F.expr("(n_hits * 1000000) DIV n_exact").cast("double") / 1e6).alias(
+            "recall"
+        ),
+    )

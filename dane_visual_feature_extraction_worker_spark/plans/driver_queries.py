@@ -7645,3 +7645,63 @@ ORACLES["woe_encoding"] = f"""
     FROM cells
 """
 QUERIES["woe_encoding"] = woe_encoding_q
+
+
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the sign-LSH ANN vs exact brute force
+    (operators/similarity.lsh_recall_report) over queries vec_id 0-7:
+    the vector-side calibration sibling of minhash_calibration — the
+    measured recall that justifies the n_bits config."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        lsh_recall_report,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return lsh_recall_report(e, queries, k=5, n_bits=_ANN_BITS)
+
+
+_COSF = (
+    "floor((" + _COS_SQL.format(a="e.embedding", b="q.qe") + ") * 1000000.0)"
+)
+
+ORACLES["ann_recall_report"] = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {_COSF} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 5
+    ),
+    ap AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {_COSF} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+          AND {_bucket_sql("e.embedding", _ANN_BITS)}
+              = {_bucket_sql("q.qe", _ANN_BITS)}
+      ) WHERE rn <= 5
+    ),
+    ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx FROM ap GROUP BY 1),
+    nh AS (
+      SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+      GROUP BY 1
+    )
+    SELECT ne.qid, ne.n_exact,
+           coalesce(na.n_approx, CAST(0 AS BIGINT)) AS n_approx,
+           coalesce(nh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CAST((coalesce(nh.n_hits, 0) * 1000000) // ne.n_exact AS DOUBLE)
+             / 1e6 AS recall
+    FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
+"""
+QUERIES["ann_recall_report"] = ann_recall_report_q
