@@ -170,6 +170,7 @@ HEADLINE = [
     "minhash_calibration",
     "woe_encoding",
     "ann_recall_report",
+    "bpe_merges",
 ]
 
 

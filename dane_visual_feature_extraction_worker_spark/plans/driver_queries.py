@@ -7705,3 +7705,99 @@ ORACLES["ann_recall_report"] = f"""
     FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
 """
 QUERIES["ann_recall_report"] = ann_recall_report_q
+
+
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style merge training (operators/bpe): 3 rounds of
+    corpus-top-pair + greedy left-to-right merge over word tokens —
+    the word2phrase / tokenizer-training primitive.  Spark's merge is a
+    narrow codegen aggregate() fold (zero shuffles per re-fold); the
+    oracle replays each round with the RUN-PARITY window formulation
+    (within a maximal run of consecutive candidate positions, exactly
+    the 1st, 3rd, ... merge), so the gate PROVES the fold implements
+    greedy semantics.  One scalar collect per round (the Lloyd / CC
+    precedent)."""
+    from dane_visual_feature_extraction_worker_spark.operators.bpe import (
+        bpe_merge_rounds,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = (
+        _documents(spark, sf_dir)
+        .select("doc_id", _tokens("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    merged, _ = bpe_merge_rounds(d, rounds=3, id_col="doc_id")
+    return merged.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.array_join("toks", " ").alias("merged_text"),
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: pair counts over t{i-1}, deterministic
+    top pair, candidate flags, gaps-and-islands run grouping, odd-rank
+    merge starts, re-tokenized t{i}."""
+    return f"""
+    , pr{i} AS (
+      SELECT ll, rr, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT tok AS ll,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS rr
+        FROM t{i - 1}
+      ) WHERE rr IS NOT NULL GROUP BY 1, 2
+    ), top{i} AS (
+      SELECT ll, rr FROM pr{i} ORDER BY n DESC, ll, rr LIMIT 1
+    ), f{i} AS (
+      SELECT doc_id, pos, tok, ll, rr,
+             CASE WHEN tok = ll
+                   AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = rr
+                  THEN 1 ELSE 0 END AS cand
+      FROM t{i - 1} CROSS JOIN top{i}
+    ), isl{i} AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM f{i} WHERE cand = 1
+    ), mrg{i} AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos)
+                 AS ri
+        FROM isl{i}
+      ) WHERE ri % 2 = 1
+    ), t{i} AS (
+      SELECT f.doc_id,
+             row_number() OVER (PARTITION BY f.doc_id ORDER BY f.pos)
+               AS pos,
+             CASE WHEN m.pos IS NOT NULL THEN f.ll || '_' || f.rr
+                  ELSE f.tok END AS tok
+      FROM f{i} f
+      LEFT JOIN mrg{i} m ON m.doc_id = f.doc_id AND m.pos = f.pos
+      LEFT JOIN mrg{i} p ON p.doc_id = f.doc_id AND p.pos = f.pos - 1
+      WHERE p.pos IS NULL
+    )"""
+
+
+ORACLES["bpe_merges"] = (
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tt
+      FROM documents
+    ),
+    t0 AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, tt[u.i] AS tok
+      FROM toks, UNNEST(range(1, len(tt) + 1)) AS u(i)
+    )"""
+    + "".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS merged_text
+    FROM t3 GROUP BY doc_id
+"""
+)
+QUERIES["bpe_merges"] = bpe_merges_q
