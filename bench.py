@@ -171,6 +171,7 @@ HEADLINE = [
     "woe_encoding",
     "ann_recall_report",
     "bpe_merges",
+    "winnow_fingerprints",
 ]
 
 

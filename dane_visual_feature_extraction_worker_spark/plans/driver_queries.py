@@ -7801,3 +7801,52 @@ ORACLES["bpe_merges"] = (
 """
 )
 QUERIES["bpe_merges"] = bpe_merges_q
+
+
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/dedup.winnow_fingerprints,
+    k=3 grams, window w=4): positional local fingerprinting — any
+    shared run of >= w+k-1 tokens between two docs shares a selected
+    fingerprint, the guarantee whole-document MinHash can't give.
+    Selection = window min of struct(hash, -pos): the rightmost-tie
+    MOSS rule rides the struct ordering, one exchange, all codegen."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=3, w=4)
+
+
+ORACLES["winnow_fingerprints"] = (
+    r"""
+    WITH arr AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ),
+    shp AS (
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+             a[u.i] || ' ' || a[u.i + 1] || ' ' || a[u.i + 2] AS shingle
+      FROM arr, UNNEST(range(1, len(a) - 1)) AS u(i)
+      WHERE len(a) >= 3
+    ),
+    hx0 AS (
+      SELECT doc_id, pos, md5('winnow|' || shingle) AS hx FROM shp
+    ),
+    hv AS (
+      SELECT doc_id, pos, ("""
+    + _sample_key_terms_sql()
+    + r""") AS h FROM hx0
+    ),
+    sel AS (
+      SELECT doc_id,
+             min({'h': h, 'np': -pos})
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+      FROM hv
+    )
+    SELECT DISTINCT doc_id, CAST(-(m.np) AS INT) AS pos,
+           CAST(m.h AS BIGINT) AS fingerprint
+    FROM sel
+"""
+)
+QUERIES["winnow_fingerprints"] = winnow_fingerprints_q

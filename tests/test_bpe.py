@@ -107,3 +107,38 @@ def test_bpe_raises_on_exhausted_corpus(spark):
     )
     with pytest.raises(ValueError, match="exhausted"):
         bpe_merge_rounds(df, rounds=2)
+
+
+def test_winnow_coverage_and_locality(spark):
+    """Winnowing guarantees: (1) every w-window of k-gram positions
+    contains at least one selected fingerprint; (2) two docs sharing a
+    run of >= w+k-1 tokens share at least one fingerprint VALUE."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "uno dos tres cuatro " + shared + " cinco"),
+        (3, "completely different words everywhere here now okay"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fingerprint"]))
+    # coverage: in every window of 4 consecutive k-gram positions there
+    # is a selected position
+    for d, (_, text) in zip([1, 2, 3], [(None, t) for _, t in docs]):
+        n_grams = len(text.split()) - 2
+        sel_pos = sorted(p for p, _ in by_doc[d])
+        for start in range(0, n_grams - 3):
+            assert any(start <= p <= start + 3 for p in sel_pos), (d, start)
+    # locality: docs 1 and 2 share the 8-token run -> shared value
+    f1 = {v for _, v in by_doc[1]}
+    f2 = {v for _, v in by_doc[2]}
+    f3 = {v for _, v in by_doc[3]}
+    assert f1 & f2
+    assert not (f1 & f3)
