@@ -161,6 +161,54 @@ def jaccard_pairs(
     )
 
 
+def minhash_bands(
+    sh: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures + LSH band keys from a shingle table →
+    ``(id, band, band_key)``.  All K minhashes come from ONE
+    aggregation pass (K parallel min() aggregates over the same 1×
+    shingle stream — one shuffle of |shingles| rows, never
+    K × |shingles|); band key = md5 of the band's ordered minhashes."""
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // band_size
+    return mh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        F.col(id_col),
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 8,
@@ -186,40 +234,7 @@ def minhash_lsh_pairs(
         if shingles is not None
         else shingle_table(docs, id_col, text_col, k)
     )
-    # all K minhashes in ONE aggregation pass (no seed explosion: K
-    # parallel min() aggregates over the same 1x shingle stream — one
-    # shuffle of |shingles| rows instead of K x |shingles|)
-    mh = sh.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    n_bands = n_hashes // band_size
-    bands = mh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("bigint").alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * band_size + j}")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    bands = minhash_bands(sh, n_hashes, band_size, id_col)
     # two join branches below; no exchange reuse. Scoped: one live
     # cache per operator across repeated invocations (ADVICE r3)
     bands = scoped_persist(bands, "dedup.minhash_bands")
@@ -1084,3 +1099,124 @@ def winnow_fingerprints(
         (-F.col("__m.np")).cast("int").alias("pos"),
         F.col("__m.h").alias("fingerprint"),
     ).distinct()
+
+
+def near_dup_index_build(
+    docs: DataFrame,
+    path: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """Persist the LSH band index ``(id, band, band_key)`` for a corpus
+    — the write-once side of incremental near-dup (the ivf_index_build
+    precedent for the text side).  A daily ingest then probes ONLY its
+    delta against this table instead of re-pairing 10^12 docs; at
+    production scale write it bucketed on (band, band_key) so the
+    probe join is exchange-free on the index side (write_bucketed)."""
+    sh = shingle_table(docs, id_col, text_col, k)
+    minhash_bands(sh, n_hashes, band_size, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def near_dup_index_build_bucketed(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """Persist the LSH band index hash-bucketed on (band, band_key) —
+    the production layout: every daily probe join then reads the
+    corpus side exchange-free (Catalyst adopts the bucket spec as the
+    scan's output partitioning), so probe shuffle cost is O(delta)
+    rows forever, never O(corpus).  Murmur3 bucket membership is
+    stable across writes, so incremental index appends land in the
+    right bucket files."""
+    from dane_visual_feature_extraction_worker_spark.sources.catalog import (
+        write_bucketed,
+    )
+
+    sh = shingle_table(docs, id_col, text_col, k)
+    write_bucketed(
+        minhash_bands(sh, n_hashes, band_size, id_col),
+        table,
+        n_buckets,
+        ["band", "band_key"],
+    )
+
+
+def near_dup_probe(
+    new_docs: DataFrame,
+    index_path: str | None = None,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    index_table: str | None = None,
+) -> DataFrame:
+    """All near-dup candidate pairs INVOLVING the new batch →
+    ``(doc_a, doc_b, doc_b_is_new)`` with doc_a < doc_b: new×index
+    pairs from one equi-join of the delta's bands against the
+    persisted index (the corpus never recomputes), plus new×new pairs
+    from the delta self-join.  Exactly the pair set a full-corpus LSH
+    run would emit for pairs touching the batch — the gate proves
+    that equivalence.  Band keys are uniform md5 — skew-free, and the
+    index side is column-pruned to its three narrow columns.
+
+    ``index_table`` (instead of ``index_path``) reads an index written
+    by :func:`near_dup_index_build_bucketed`: bucketed on (band,
+    band_key), the corpus side of the probe join needs NO exchange —
+    only the (small) delta's bands shuffle to the bucket count, so the
+    per-batch probe cost is O(delta), independent of corpus size."""
+    spark = new_docs.sparkSession
+    sh = shingle_table(new_docs, id_col, text_col, k)
+    nb = scoped_persist(
+        minhash_bands(sh, n_hashes, band_size, id_col),
+        "dedup.near_dup_probe_bands",
+    )
+    if index_table is not None:
+        idx = spark.table(index_table)
+    else:
+        if index_path is None:
+            raise ValueError("one of index_path / index_table is required")
+        idx = spark.read.parquet(index_path)
+    old_new = (
+        idx.select(F.col(id_col).alias("__old"), "band", "band_key")
+        .join(
+            nb.select(F.col(id_col).alias("__new"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .where(F.col("__old") != F.col("__new"))
+        .select(
+            F.least("__old", "__new").alias("doc_a"),
+            F.greatest("__old", "__new").alias("doc_b"),
+        )
+    )
+    new_new = (
+        nb.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+        .join(
+            nb.select(F.col(id_col).alias("doc_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    new_ids = nb.select(F.col(id_col).alias("doc_b")).distinct()
+    return (
+        old_new.unionByName(new_new)
+        .distinct()
+        .join(F.broadcast(new_ids.withColumn("__bn", F.lit(True))), "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("__bn", F.lit(False)).alias("doc_b_is_new"),
+        )
+    )

@@ -7850,3 +7850,39 @@ ORACLES["winnow_fingerprints"] = (
 """
 )
 QUERIES["winnow_fingerprints"] = winnow_fingerprints_q
+
+
+def near_dup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.near_dup_index_build /
+    near_dup_probe): docs with doc_id % 7 == 3 play the daily-ingest
+    delta, the rest the already-indexed corpus.  First invocation
+    persists the corpus LSH band index to <tmp>/graft_nddx_<tag>;
+    every invocation probes ONLY the delta's bands against it (one
+    equi-join on (band, band_key) + a delta self-join) — the corpus
+    shingle/minhash work is never recomputed.  The oracle proves the
+    probe emits exactly the pair set a full-corpus LSH run would emit
+    for pairs touching the delta."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        near_dup_index_build,
+        near_dup_probe,
+    )
+
+    d = _documents(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"graft_nddx_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        near_dup_index_build(d.where(F.col("doc_id") % 7 != 3), path)
+    return near_dup_probe(d.where(F.col("doc_id") % 7 == 3), path)
+
+
+ORACLES["near_dup_incremental"] = f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+    SELECT doc_a, doc_b, (doc_b % 7 = 3) AS doc_b_is_new
+    FROM pairs
+    WHERE doc_a % 7 = 3 OR doc_b % 7 = 3
+"""
+QUERIES["near_dup_incremental"] = near_dup_incremental_q

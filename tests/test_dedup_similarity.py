@@ -566,3 +566,85 @@ def test_label_centroids_plan_one_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_near_dup_probe_matches_full_corpus_run(spark, tmp_path):
+    """Incremental probe == full-corpus LSH pairs restricted to pairs
+    touching the delta, with the doc_b_is_new flag correct."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        near_dup_index_build,
+        near_dup_probe,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "an unrelated sentence about catalyst plan pruning"),
+        (10, "the quick brown fox jumps over the lazy dog"),  # new, dups 0/1
+        (11, "an unrelated sentence about catalyst plan pruning"),  # new, dups 2
+        (12, "the quick brown fox jumps over the lazy dog today"),  # new near-dup
+        (13, "nothing shares any shingle with me whatsoever friends"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 10)
+    new = docs.where(F.col("doc_id") >= 10)
+    idx = str(tmp_path / "ndidx")
+    near_dup_index_build(old, idx)
+    got = {
+        (r["doc_a"], r["doc_b"], r["doc_b_is_new"])
+        for r in near_dup_probe(new, idx).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    want = {
+        (a, b, b >= 10) for (a, b) in full if a >= 10 or b >= 10
+    }
+    assert got == want
+    assert any(a < 10 and bn for (a, _b, bn) in got)  # old x new present
+    assert all(not (a < 10 and _b < 10) for (a, _b, _bn) in got)
+
+
+def test_near_dup_probe_bucketed_index_no_corpus_exchange(spark, tmp_path):
+    """Bucketed index probe: (1) result identical to the parquet-path
+    probe; (2) the plan scans the index Bucketed with NO exchange on
+    the corpus side — only the delta's bands shuffle (O(delta) probe
+    cost, the production claim in near_dup_index_build_bucketed)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        near_dup_index_build,
+        near_dup_index_build_bucketed,
+        near_dup_probe,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "an unrelated sentence about catalyst plan pruning"),
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "an unrelated sentence about catalyst plan pruning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 10)
+    new = docs.where(F.col("doc_id") >= 10)
+    idx = str(tmp_path / "ndidx")
+    near_dup_index_build(old, idx)
+    near_dup_index_build_bucketed(old, "nd_band_idx", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got_b = near_dup_probe(new, index_table="nd_band_idx")
+        plan = got_b._jdf.queryExecution().executedPlan().toString()
+        # the index scan is bucket-partitioned: no Exchange may sit
+        # between the FileScan of nd_band_idx and its join
+        assert "Bucketed: true" in plan, plan
+        import re
+
+        scan_block = plan[plan.index("nd_band_idx") - 4000 : plan.index("nd_band_idx")]
+        assert not re.search(r"Exchange hashpartitioning\(band", scan_block), plan
+        assert {tuple(r) for r in got_b.collect()} == {
+            tuple(r) for r in near_dup_probe(new, idx).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS nd_band_idx")
