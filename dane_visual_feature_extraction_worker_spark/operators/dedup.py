@@ -1220,3 +1220,51 @@ def near_dup_probe(
             F.coalesce("__bn", F.lit(False)).alias("doc_b_is_new"),
         )
     )
+
+
+def shared_passage_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document shared-passage pairs from winnowing fingerprints
+    → ``(doc_a, doc_b, n_shared)`` with doc_a < doc_b: the MOSS join.
+    Two docs sharing any token run of >= w + k - 1 words share a
+    fingerprint (winnow_fingerprints' positional guarantee), so the
+    fingerprint equi-join finds LOCAL plagiarism/boilerplate that
+    whole-document MinHash structurally cannot; ``n_shared`` (distinct
+    shared fingerprints) ranks pair strength.
+
+    Scale: the join key is a fingerprint shared by few docs — UNLESS a
+    boilerplate passage appears corpus-wide, where one hot fingerprint
+    goes quadratic.  ``max_df`` is the MOSS answer (drop fingerprints
+    in more than max_df docs — ubiquitous passages are noise, exactly
+    jaccard_pairs' max_df discipline); the document-frequency pass is
+    one cheap count over the fingerprint set and prunes the blowup
+    BEFORE the self-join."""
+    fp = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col), F.col("fingerprint"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    a = fp.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -7886,3 +7886,36 @@ ORACLES["near_dup_incremental"] = f"""
     WHERE doc_a % 7 = 3 OR doc_b % 7 = 3
 """
 QUERIES["near_dup_incremental"] = near_dup_incremental_q
+
+
+def shared_passage_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS join (operators/dedup.shared_passage_pairs): winnowing
+    fingerprints equi-joined across documents → (doc_a, doc_b,
+    n_shared) pairs ranked by distinct shared fingerprints.  Finds
+    LOCAL shared passages (any common run of >= w+k-1 = 6 tokens trips
+    a fingerprint) that whole-document MinHash structurally misses;
+    max_df=20 drops corpus-wide boilerplate fingerprints BEFORE the
+    self-join — the quadratic-hot-key guard."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        shared_passage_pairs,
+    )
+
+    return shared_passage_pairs(
+        _documents(spark, sf_dir), k=3, w=4, min_shared=2, max_df=20
+    )
+
+
+ORACLES["shared_passage_pairs"] = f"""
+    WITH wfp AS ({ORACLES["winnow_fingerprints"]}),
+    fp AS (SELECT DISTINCT doc_id, fingerprint FROM wfp),
+    dfc AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 20),
+    kept AS (SELECT fp.doc_id, fp.fingerprint FROM fp
+             JOIN dfc USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+QUERIES["shared_passage_pairs"] = shared_passage_pairs_q

@@ -648,3 +648,39 @@ def test_near_dup_probe_bucketed_index_no_corpus_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS nd_band_idx")
+
+
+def test_shared_passage_pairs_locality_and_max_df(spark):
+    """(1) a >= w+k-1 token passage shared by two otherwise-different
+    docs is detected; (2) disjoint docs never pair; (3) max_df prunes
+    corpus-wide boilerplate fingerprints before the self-join."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        shared_passage_pairs,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot"  # 6 = w+k-1 tokens
+    boiler = "terms of service apply to everyone always"
+    rows = [
+        (0, f"one unique opening sentence here {passage} trailing words x"),
+        (1, f"completely different framing text {passage} other ending y"),
+        (2, "no overlap with anything else at all in this document"),
+    ] + [(10 + i, boiler) for i in range(6)]  # identical ⇒ every
+    # boiler fingerprint has document frequency exactly 6
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_passage_pairs(docs, k=3, w=4, min_shared=1).collect()
+    }
+    assert (0, 1) in got  # the guarantee
+    assert not any(2 in p for p in got)
+    # boilerplate links all six docs 10..15 without max_df...
+    assert any(a >= 10 and b >= 10 for (a, b) in got)
+    # ...and max_df=5 (passage in 6 docs) prunes every boilerplate pair
+    pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_passage_pairs(
+            docs, k=3, w=4, min_shared=1, max_df=5
+        ).collect()
+    }
+    assert (0, 1) in pruned
+    assert not any(a >= 10 and b >= 10 for (a, b) in pruned)
