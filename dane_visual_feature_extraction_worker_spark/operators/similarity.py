@@ -1055,3 +1055,174 @@ def lsh_recall_report(
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------- PQ —
+
+def pq_seed_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook seed: the full vectors of the
+    ``n_centroids`` smallest ids, cid = rank in that order (the
+    ivf_ann seed-centroid convention, so any engine rebuilds the
+    identical codebook). Subspace s's centroid c is row c's dims
+    [s*sub, (s+1)*sub)."""
+    rows = emb.orderBy(id_col).limit(n_centroids).collect()
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"corpus has {len(rows)} vectors; need {n_centroids} seeds"
+        )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _sq_lit(vals: list[float]) -> F.Column:
+    """Exact double-array SQL literal (repr round-trips doubles)."""
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product-quantization codes → ``(id, subspace, code)``: the
+    vector split into ``m`` subspaces, each assigned to its nearest
+    (squared-L2, lowest-cid tie) subspace centroid. 64 float32 dims
+    collapse to ``m`` small ints — the 64x compression that turns a
+    memory-bandwidth-bound ANN scan into a code-table scan at corpus
+    scale.
+
+    NARROW by construction (the ivf_assign discipline): the codebook
+    is driver-collected once and embedded as SQL array literals; each
+    row evaluates m x C squared-L2 folds and takes each subspace's
+    argmin via ``array_min`` over (dist, cid) structs — no join, no
+    shuffle, no Python.  Subvector slices are materialized as real
+    columns first (project-collapse would re-inline the slice per
+    centroid — the _shingles_from_tokens lesson)."""
+    wide = _pq_codes_wide(
+        emb, m, n_centroids, dim, id_col, vec_col, codebook
+    )
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"__c{s}") for s in range(m)])).alias(
+            "subspace", "code"
+        ),
+    ).select(
+        F.col(id_col), F.col("subspace").cast("int").alias("subspace"), "code"
+    )
+
+
+def _pq_codes_wide(
+    emb: DataFrame,
+    m: int,
+    n_centroids: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """``(id, __c0..__c{m-1})`` — the shared narrow projection behind
+    pq_codes (exploded gate shape) and pq_adc_topk (which needs the
+    codes side by side and must NOT pay a pivot exchange to get
+    them)."""
+    if codebook is None:
+        codebook = pq_seed_codebook(emb, n_centroids, id_col, vec_col)
+    sub = dim // m
+    out = emb.select(F.col(id_col), F.col(vec_col))
+    code_cols = []
+    for s in range(m):
+        out = out.withColumn(
+            f"__sv{s}",
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ),
+        )
+    for s in range(m):
+        cmat = F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    repr(float(v)) + "D"
+                    for v in row[s * sub : (s + 1) * sub]
+                )
+                + ")"
+                for row in codebook
+            )
+            + ")"
+        )
+
+        def make_per_centroid(_s):
+            def per_centroid(cv, i):
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col(f"__sv{_s}"), cv, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                return F.struct(d.alias("d"), i.cast("bigint").alias("cid"))
+
+            return per_centroid
+
+        best = F.array_min(F.transform(cmat, make_per_centroid(s)))
+        code_cols.append(best.getField("cid").alias(f"__c{s}"))
+    return out.select(F.col(id_col), *code_cols)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact;
+    every corpus vector costs m table lookups + (m-1) adds.  The
+    distance lookup table LUT[s][c] = ||q_s - c_s||² is folded
+    driver-side with the same sequential double accumulation the
+    codegen fold performs, embedded as m literal arrays; approx dist
+    is the EXPLICIT chain lut0[c0] + lut1[c1] + ... (fixed add order —
+    engine-portable, no group-sum reassociation).  Output
+    ``(id, adc_dist)`` ascending, ties by id, dist floor-truncated to
+    1e-6 (the cosine-compare discipline)."""
+    codebook = pq_seed_codebook(emb, n_centroids, id_col, vec_col)
+    sub = dim // m
+    wide = _pq_codes_wide(
+        emb, m, n_centroids, dim, id_col, vec_col, codebook
+    )
+    luts = []
+    for s in range(m):
+        row = []
+        for c in range(n_centroids):
+            acc = 0.0
+            for i in range(sub):
+                d = float(query[s * sub + i]) - codebook[c][s * sub + i]
+                acc += d * d
+            row.append(acc)
+        luts.append(_sq_lit(row))
+    dist = F.element_at(luts[0], F.col("__c0").cast("int") + 1)
+    for s in range(1, m):
+        dist = dist + F.element_at(
+            luts[s], F.col(f"__c{s}").cast("int") + 1
+        )
+    return (
+        wide.withColumn("__d", dist)
+        .orderBy(F.col("__d"), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.floor(F.col("__d") * 1e6) / 1e6).alias("adc_dist"),
+        )
+    )

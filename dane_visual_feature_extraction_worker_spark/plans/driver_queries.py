@@ -7919,3 +7919,93 @@ ORACLES["shared_passage_pairs"] = f"""
     HAVING count(*) >= 2
 """
 QUERIES["shared_passage_pairs"] = shared_passage_pairs_q
+
+
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/similarity.pq_codes): 64
+    float32 dims → 4 subspace codes against the deterministic
+    16-seed-vector codebook (the ivf_ann seed convention).  All
+    codegen: codebook as plan literals, per-subspace squared-L2 folds,
+    argmin via array_min over (dist, cid) structs — no join, no
+    shuffle, no Python."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_codes,
+    )
+
+    return pq_codes(_embeddings(spark, sf_dir))
+
+
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-5 (operators/similarity.pq_adc_topk)
+    vs the vec_id=0 query: driver-side ||q_s − c_s||² lookup tables as
+    literals, approx dist = the EXPLICIT add chain lut0[c0]+…+lut3[c3]
+    (fixed order — no group-sum reassociation), TakeOrderedAndProject.
+    The 64×-compressed scan shape that replaces the memory-bound float
+    scan at corpus scale."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(emb, q, k=5)
+
+
+_PQ_SQDIST = """list_sum([
+          (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+        * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+          for i in range(subspace * 16 + 1, subspace * 16 + 17)])"""
+
+_PQ_CODES_CTES = f"""
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)
+    ),
+    sp AS (SELECT unnest(range(0, 4)) AS subspace),
+    dists AS (
+      SELECT e.vec_id, sp.subspace, cb.cid,
+             {_PQ_SQDIST.format(a="e.embedding", b="cb.cvec")} AS dist
+      FROM embeddings e CROSS JOIN cb CROSS JOIN sp
+    ),
+    codes AS (
+      SELECT vec_id, subspace, cid AS code FROM (
+        SELECT vec_id, subspace, cid,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )"""
+
+ORACLES["pq_codes"] = f"""
+    WITH {_PQ_CODES_CTES}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code AS BIGINT) AS code
+    FROM codes
+"""
+
+ORACLES["pq_topk"] = f"""
+    WITH {_PQ_CODES_CTES},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    lut AS (
+      SELECT sp.subspace, cb.cid,
+             {_PQ_SQDIST.format(a="q.qe", b="cb.cvec")} AS d
+      FROM cb CROSS JOIN q CROSS JOIN sp
+    ),
+    adc AS (
+      SELECT vec_id,
+             max(CASE WHEN subspace = 0 THEN d END)
+           + max(CASE WHEN subspace = 1 THEN d END)
+           + max(CASE WHEN subspace = 2 THEN d END)
+           + max(CASE WHEN subspace = 3 THEN d END) AS dist
+      FROM (SELECT codes.vec_id, codes.subspace, lut.d
+            FROM codes JOIN lut ON lut.subspace = codes.subspace
+                               AND lut.cid = codes.code)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, floor(dist * 1000000.0) / 1000000.0 AS adc_dist
+    FROM adc ORDER BY dist, vec_id LIMIT 5
+"""
+QUERIES["pq_codes"] = pq_codes_q
+QUERIES["pq_topk"] = pq_topk_q

@@ -684,3 +684,54 @@ def test_shared_passage_pairs_locality_and_max_df(spark):
     }
     assert (0, 1) in pruned
     assert not any(a >= 10 and b >= 10 for (a, b) in pruned)
+
+
+def test_pq_codes_and_adc_vs_numpy(spark):
+    """PQ assignment == numpy argmin per subspace; ADC top-k == numpy
+    lookup-table scan; the ADC plan is shuffle-free."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, m, k, sub = 64, 4, 16, 16
+    vecs = rng.normal(size=(80, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = vecs[:k].astype(np.float64)  # seeds = 16 smallest vec_ids
+    v64 = vecs.astype(np.float64)
+    want = {}
+    for s in range(m):
+        d = ((v64[:, None, s * sub : (s + 1) * sub]
+              - cb[None, :, s * sub : (s + 1) * sub]) ** 2).sum(axis=2)
+        for i, c in enumerate(np.argmin(d, axis=1)):
+            want[(i, s)] = int(c)
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes(emb, m=m, n_centroids=k, dim=dim).collect()
+    }
+    assert got == want
+
+    q = v64[0]
+    lut = np.stack(
+        [
+            ((q[s * sub : (s + 1) * sub] - cb[:, s * sub : (s + 1) * sub]) ** 2
+             ).sum(axis=1)
+            for s in range(m)
+        ]
+    )
+    adc = np.array(
+        [sum(lut[s, want[(i, s)]] for s in range(m)) for i in range(80)]
+    )
+    want_top = sorted(range(80), key=lambda i: (adc[i], i))[:5]
+    out = pq_adc_topk(emb, [float(x) for x in q], k=5, m=m,
+                      n_centroids=k, dim=dim)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == want_top
+    for r in rows:
+        assert abs(r["adc_dist"] - adc[r["vec_id"]]) < 2e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
