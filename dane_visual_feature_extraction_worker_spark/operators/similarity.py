@@ -1226,3 +1226,116 @@ def pq_adc_topk(
             (F.floor(F.col("__d") * 1e6) / 1e6).alias("adc_dist"),
         )
     )
+
+
+def pq_recall_report(
+    emb: DataFrame,
+    qids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall@k of the PQ/ADC scan vs exact squared-L2 —
+    the quantization-loss calibration report (ann_recall_report's PQ
+    sibling): ``(qid, n_exact, n_approx, n_hits, recall)``.  A PQ
+    config (m, K) trades distance fidelity for the 64x-compressed
+    scan; this measures the trade on YOUR corpus.
+
+    Plan: Q is report-sized, so each side is Q unioned
+    TakeOrderedAndProject branches — per-row narrow folds with the
+    query embedded as an exact literal, NO exchange and NO corpus-wide
+    window anywhere (a window ranked per qid would shuffle the corpus;
+    TakeOrdered keeps per-branch state at k rows).  The codes frame
+    feeds all Q ADC branches, so it is scoped_persist-ed.  recall =
+    (n_hits * 10^6) DIV n_exact — integer division, engine-exact."""
+    from functools import reduce
+
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    codebook = pq_seed_codebook(emb, n_centroids, id_col, vec_col)
+    sub = dim // m
+    wide = scoped_persist(
+        _pq_codes_wide(emb, m, n_centroids, dim, id_col, vec_col, codebook),
+        "similarity.pq_recall_codes",
+    )
+    qrows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in emb.where(F.col(id_col).isin(list(qids))).collect()
+    }
+    ex_parts, ap_parts = [], []
+    for qid in sorted(qrows):
+        q = qrows[qid]
+        qlit = _sq_lit(q)
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ex_parts.append(
+            emb.select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.col(id_col),
+                d.alias("__d"),
+            )
+            .orderBy("__d", id_col)
+            .limit(k)
+            .select("qid", id_col)
+        )
+        luts = []
+        for s in range(m):
+            row = []
+            for c in range(n_centroids):
+                acc = 0.0
+                for i in range(sub):
+                    dd = q[s * sub + i] - codebook[c][s * sub + i]
+                    acc += dd * dd
+                row.append(acc)
+            luts.append(_sq_lit(row))
+        dist = F.element_at(luts[0], F.col("__c0").cast("int") + 1)
+        for s in range(1, m):
+            dist = dist + F.element_at(
+                luts[s], F.col(f"__c{s}").cast("int") + 1
+            )
+        ap_parts.append(
+            wide.select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.col(id_col),
+                dist.alias("__d"),
+            )
+            .orderBy("__d", id_col)
+            .limit(k)
+            .select("qid", id_col)
+        )
+    ex = reduce(lambda a, b: a.unionByName(b), ex_parts)
+    ap = reduce(lambda a, b: a.unionByName(b), ap_parts)
+    ne = ex.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    na = ap.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    nh = (
+        ex.join(ap, ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        ne.join(na, "qid", "left")
+        .join(nh, "qid", "left")
+        .withColumn("n_approx", F.coalesce("n_approx", F.lit(0).cast("bigint")))
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0).cast("bigint")))
+        .select(
+            "qid",
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            (F.expr("(n_hits * 1000000) DIV n_exact").cast("double") / 1e6)
+            .alias("recall"),
+        )
+    )

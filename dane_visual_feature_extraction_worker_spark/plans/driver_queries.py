@@ -8009,3 +8009,77 @@ ORACLES["pq_topk"] = f"""
 """
 QUERIES["pq_codes"] = pq_codes_q
 QUERIES["pq_topk"] = pq_topk_q
+
+
+def pq_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-loss calibration (operators/similarity.
+    pq_recall_report): per query vec_id 0-3, recall@5 of the ADC code
+    scan vs exact squared-L2.  Both sides are unioned
+    TakeOrderedAndProject branches with the query as an exact literal
+    — no exchange, no corpus-wide window; the codes frame is built
+    once and scoped-persisted across the Q branches."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_recall_report,
+    )
+
+    return pq_recall_report(_embeddings(spark, sf_dir))
+
+
+ORACLES["pq_recall_report"] = f"""
+    WITH {_PQ_CODES_CTES},
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3)),
+    exd AS (
+      SELECT qv.qid, e.vec_id,
+             list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qe[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qe[i] AS DOUBLE))
+               for i in range(1, 65)]) AS d
+      FROM embeddings e CROSS JOIN qv
+    ),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM exd
+      ) WHERE rn <= 5
+    ),
+    lut AS (
+      SELECT qv.qid, sp.subspace, cb.cid,
+             {_PQ_SQDIST.format(a="qv.qe", b="cb.cvec")} AS d
+      FROM cb CROSS JOIN qv CROSS JOIN sp
+    ),
+    adc AS (
+      SELECT qid, vec_id,
+             max(CASE WHEN subspace = 0 THEN d END)
+           + max(CASE WHEN subspace = 1 THEN d END)
+           + max(CASE WHEN subspace = 2 THEN d END)
+           + max(CASE WHEN subspace = 3 THEN d END) AS dist
+      FROM (SELECT l.qid, codes.vec_id, codes.subspace, l.d
+            FROM codes JOIN lut l ON l.subspace = codes.subspace
+                                 AND l.cid = codes.code)
+      GROUP BY qid, vec_id
+    ),
+    ap AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                 AS rn
+        FROM adc
+      ) WHERE rn <= 5
+    ),
+    ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx FROM ap GROUP BY 1),
+    nh AS (
+      SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+      GROUP BY 1
+    )
+    SELECT ne.qid, ne.n_exact,
+           coalesce(na.n_approx, CAST(0 AS BIGINT)) AS n_approx,
+           coalesce(nh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CAST((coalesce(nh.n_hits, 0) * 1000000) // ne.n_exact AS DOUBLE)
+             / 1e6 AS recall
+    FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
+"""
+QUERIES["pq_recall_report"] = pq_recall_report_q

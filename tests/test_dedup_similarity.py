@@ -735,3 +735,49 @@ def test_pq_codes_and_adc_vs_numpy(spark):
         assert abs(r["adc_dist"] - adc[r["vec_id"]]) < 2e-6
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pq_recall_report_vs_numpy(spark):
+    """Recall@k fields match a numpy exact-vs-ADC reference."""
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_recall_report,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, m, k, sub, n = 64, 4, 16, 16, 60
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    v64 = vecs.astype(np.float64)
+    cb = v64[:k]
+    codes = np.stack(
+        [
+            np.argmin(
+                ((v64[:, None, s * sub : (s + 1) * sub]
+                  - cb[None, :, s * sub : (s + 1) * sub]) ** 2).sum(axis=2),
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    got = {
+        r["qid"]: (r["n_exact"], r["n_approx"], r["n_hits"], r["recall"])
+        for r in pq_recall_report(emb, qids=(0, 1), k=5).collect()
+    }
+    for qid in (0, 1):
+        q = v64[qid]
+        exact = ((v64 - q) ** 2).sum(axis=1)
+        ex_top = set(sorted(range(n), key=lambda i: (exact[i], i))[:5])
+        lut = np.stack(
+            [((q[s * sub : (s + 1) * sub] - cb[:, s * sub : (s + 1) * sub])
+              ** 2).sum(axis=1) for s in range(m)]
+        )
+        adc = np.array(
+            [sum(lut[s, codes[i, s]] for s in range(m)) for i in range(n)]
+        )
+        ap_top = set(sorted(range(n), key=lambda i: (adc[i], i))[:5])
+        hits = len(ex_top & ap_top)
+        assert got[qid] == (5, 5, hits, (hits * 1000000 // 5) / 1e6)
