@@ -1188,6 +1188,25 @@ def near_dup_probe(
         if index_path is None:
             raise ValueError("one of index_path / index_table is required")
         idx = spark.read.parquet(index_path)
+    new_ids = nb.select(F.col(id_col).alias("doc_b")).distinct()
+    return (
+        band_probe_pairs(nb, idx, id_col)
+        .join(F.broadcast(new_ids.withColumn("__bn", F.lit(True))), "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("__bn", F.lit(False)).alias("doc_b_is_new"),
+        )
+    )
+
+
+def band_probe_pairs(
+    nb: DataFrame, idx: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs touching the delta band table ``nb``
+    given the corpus band index ``idx``: delta×index equi-join on
+    (band, band_key) + the delta self-join — the shared pair kernel
+    behind near_dup_probe and the streaming ingest loop."""
     old_new = (
         idx.select(F.col(id_col).alias("__old"), "band", "band_key")
         .join(
@@ -1209,17 +1228,7 @@ def near_dup_probe(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    new_ids = nb.select(F.col(id_col).alias("doc_b")).distinct()
-    return (
-        old_new.unionByName(new_new)
-        .distinct()
-        .join(F.broadcast(new_ids.withColumn("__bn", F.lit(True))), "doc_b", "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.coalesce("__bn", F.lit(False)).alias("doc_b_is_new"),
-        )
-    )
+    return old_new.unionByName(new_new).distinct()
 
 
 def shared_passage_pairs(

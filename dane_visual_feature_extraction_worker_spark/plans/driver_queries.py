@@ -8083,3 +8083,42 @@ ORACLES["pq_recall_report"] = f"""
     FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
 """
 QUERIES["pq_recall_report"] = pq_recall_report_q
+
+
+def streaming_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup (streaming/dedup.
+    near_dup_probe_sink): docs with doc_id % 7 == 3 arrive as a file
+    stream in 4-file micro-batches (maxFilesPerTrigger=1); each batch
+    probes the persisted corpus band index AND appends its bands to
+    it, so cross-batch delta pairs are found through the index — the
+    oracle (full-corpus LSH pairs touching the delta) passes ONLY if
+    the cross-batch path works."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        near_dup_index_build,
+    )
+    from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
+        near_dup_probe_sink,
+    )
+
+    d = _documents(spark, sf_dir)
+    tmp = _fresh_stream_tmp("st_nd_")
+    index_dir, delta_dir = f"{tmp}/index", f"{tmp}/delta"
+    near_dup_index_build(d.where(F.col("doc_id") % 7 != 3), index_dir)
+    delta = d.where(F.col("doc_id") % 7 == 3)
+    delta.repartition(4).write.mode("overwrite").parquet(delta_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
+    near_dup_probe_sink(stream, index_dir, sink_dir, ckpt_dir)
+    return spark.read.parquet(sink_dir).select("doc_a", "doc_b").distinct()
+
+
+ORACLES["streaming_near_dup"] = f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+    SELECT doc_a, doc_b FROM pairs
+    WHERE doc_a % 7 = 3 OR doc_b % 7 = 3
+"""
+QUERIES["streaming_near_dup"] = streaming_near_dup_q

@@ -69,3 +69,61 @@ def dedup_sink_append(
         .start()
     )
     _await_bounded(q, timeout_s)
+
+
+def near_dup_probe_sink(
+    doc_stream: DataFrame,
+    index_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_s: float = 600.0,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """Streaming incremental near-dup ingest: per micro-batch, (1) the
+    batch's MinHash bands probe the persisted band index for
+    batch×corpus pairs plus the batch self-join, appending distinct
+    ``(doc_a, doc_b)`` to the sink; (2) the batch's bands APPEND to
+    the index, so later batches pair against this one — after the run,
+    the sink holds exactly the pair set a full-corpus LSH run emits
+    for pairs touching any streamed doc, regardless of how the stream
+    was micro-batched (the gate proves it with maxFilesPerTrigger=1).
+
+    foreachBatch because the probe is a self-join + distinct no
+    append-mode operator expresses.  State lives in the index files,
+    not the state store — the always-on shape for corpus-scale dedup
+    where per-key state would be unbounded.  Micro-batches run
+    serially, so the read-then-append on the index is race-free.
+    Exactly-once caveat: plain parquet appends are at-least-once under
+    batch RETRY (a crash between the two writes replays the batch);
+    production sinks key both writes by batchId (overwrite-partition
+    or MERGE) to make the retry idempotent."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        band_probe_pairs,
+        minhash_bands,
+        shingle_table,
+    )
+
+    def _probe_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sh = shingle_table(batch, id_col, text_col, k)
+        nb = minhash_bands(sh, n_hashes, band_size, id_col).persist()
+        try:
+            idx = spark.read.parquet(index_dir)
+            band_probe_pairs(nb, idx, id_col).write.mode("append").parquet(
+                sink_dir
+            )
+            nb.write.mode("append").parquet(index_dir)
+        finally:
+            nb.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q, timeout_s)

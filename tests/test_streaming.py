@@ -317,3 +317,59 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
         for r in ev.join(dim, "user_id").collect()
     )
     assert got == want and len(got) == 20
+
+
+def test_streaming_near_dup_finds_cross_batch_pairs(spark, tmp_path):
+    """Docs 100 and 200 are near-dups of each other but arrive in
+    DIFFERENT micro-batches: the pair must be found through the
+    index-append path, not the within-batch self-join. Also: corpus x
+    stream pairs land, disjoint docs never pair."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_index_build,
+    )
+    from dane_visual_feature_extraction_worker_spark.streaming.dedup import (
+        near_dup_probe_sink,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, "some totally unrelated corpus text body here")],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "index")
+    near_dup_index_build(corpus, index_dir)
+
+    delta = spark.createDataFrame(
+        [(100, dup), (200, dup), (300, "nothing shared with anyone at all")],
+        "doc_id long, text string",
+    )
+    delta_dir = str(tmp_path / "delta")
+    # one append-write per doc -> exactly one file and one micro-batch
+    # per doc, so (100, 200) CANNOT come from a within-batch self-join
+    for i in (100, 200, 300):
+        delta.where(F.col("doc_id") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(delta_dir)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    near_dup_probe_sink(stream, index_dir, sink, ckpt)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus.unionByName(delta)).collect()
+        if r["doc_a"] >= 100 or r["doc_b"] >= 100
+    }
+    assert got == want
+    assert (100, 200) in got  # the cross-batch pair
+    assert (1, 100) in got and (1, 200) in got  # corpus x stream
+    assert not any(300 in p for p in got)
