@@ -180,6 +180,12 @@ def minhash_bands(
             for i in range(n_hashes)
         ]
     )
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
+            "the leftover minhashes would be silently dropped, weakening "
+            "recall below the advertised (bands, rows) S-curve"
+        )
     n_bands = n_hashes // band_size
     return mh.select(
         F.col(id_col),

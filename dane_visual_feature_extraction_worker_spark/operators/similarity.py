@@ -1132,6 +1132,12 @@ def _pq_codes_wide(
     pq_codes (exploded gate shape) and pq_adc_topk (which needs the
     codes side by side and must NOT pay a pivot exchange to get
     them)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: a ragged last subspace "
+            "would zip against a longer centroid slice and emit NULL "
+            "distances silently"
+        )
     if codebook is None:
         codebook = pq_seed_codebook(emb, n_centroids, id_col, vec_col)
     sub = dim // m
@@ -1197,6 +1203,8 @@ def pq_adc_topk(
     engine-portable, no group-sum reassociation).  Output
     ``(id, adc_dist)`` ascending, ties by id, dist floor-truncated to
     1e-6 (the cosine-compare discipline)."""
+    if len(query) != dim:
+        raise ValueError(f"query has {len(query)} dims; expected {dim}")
     codebook = pq_seed_codebook(emb, n_centroids, id_col, vec_col)
     sub = dim // m
     wide = _pq_codes_wide(

@@ -781,3 +781,30 @@ def test_pq_recall_report_vs_numpy(spark):
         ap_top = set(sorted(range(n), key=lambda i: (adc[i], i))[:5])
         hits = len(ex_top & ap_top)
         assert got[qid] == (5, 5, hits, (hits * 1000000 // 5) / 1e6)
+
+
+def test_pq_and_band_config_validation(spark):
+    """Config holes raise instead of silently degrading: ragged PQ
+    subspaces, wrong query dim, non-divisible LSH banding."""
+    import pytest
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_bands,
+        shingle_table,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(emb, m=5, n_centroids=4, dim=64)
+    with pytest.raises(ValueError, match="query has"):
+        pq_adc_topk(emb, [0.0] * 8, n_centroids=4)
+    sh = shingle_table(_docs(spark))
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_bands(sh, n_hashes=8, band_size=3)
