@@ -371,3 +371,45 @@ def quantile_normalize(
         .join(F.broadcast(ecdf), "__c")
         .select(*keys, "ecdf")
     )
+
+
+def hashed_bow(
+    docs: DataFrame,
+    tokens_col,
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 8,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. ICML'09 feature
+    hashing): every token folds into one of ``n_buckets`` signed
+    buckets — ``φ[b] = Σ_{t: h(t)=b} ξ(t)·tf(t)`` — giving a
+    fixed-width sparse text feature vector with NO vocabulary build
+    (the unbounded-vocab companion to ``hashed_cross``, which hashes
+    one tuple per row; this hashes every token of every document).
+    The sign hash ξ ∈ {±1} makes collisions cancel in expectation —
+    the property that keeps hashed features unbiased.
+
+    Exactness: bucket = first-8-hex-digits of md5(token) mod
+    n_buckets (the hashed_cross idiom — md5 is engine-neutral); sign
+    = +1 iff the 9th hex digit is in 0-7 (one md5 bit, independent of
+    the bucket bits); values are exact int64 signed counts.
+
+    Plan: tokenize → explode → narrow bucket/sign projection → ONE
+    map-side-combined (id, bucket) aggregate — token occurrences
+    combine to ≤ n_buckets rows per document BEFORE the exchange, so
+    the shuffle carries O(docs·buckets), never the token stream.
+    Output: (id, bucket, v) sparse triplets — the layout a trainer's
+    sparse-matrix loader reads directly.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
+    hx = F.md5(F.col("__t"))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % F.lit(n_buckets)
+    )
+    sign = F.when(
+        F.substring(hx, 9, 1).isin(*list("01234567")), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("bigint").alias("v"))
+    )

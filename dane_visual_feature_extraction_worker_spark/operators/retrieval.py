@@ -136,3 +136,59 @@ def bm25_topk(
             (F.col("__micro").cast("double") / 1e6).alias("bm25"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str, str]],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the standard
+    hybrid-retrieval combiner: Cormack/Clarke/Buettcher SIGIR'09) →
+    ``(id, rrf_micro)`` top-``k``:
+    ``rrf(id) = Σ_lists 1/(c + rank_list(id))``, ids missing from a
+    list contribute nothing.
+
+    ``ranked`` is a list of ``(df, score_col, id_col)`` — each df an
+    already-computed TOP-K CANDIDATE LIST (k rows, e.g. ``bm25_topk``
+    / ``topk_cosine`` output), never a corpus. Exactness: each list's
+    rank comes from ``row_number`` over (score-micros DESC, id ASC) —
+    scores produced by this repo's retrieval operators are 1e-6
+    floor-truncated, so ``round(score·1e6)`` recovers the exact integer
+    micro score and the ordering is engine-portable; the reciprocal is
+    the INTEGER quotient ``1e9 DIV (c + rank)`` summed as int64, so the
+    fused score never touches a float.
+
+    Plan: inputs are k-row frames, so every window and the final union
+    + groupBy are driver-trivial single-partition stages; total cost is
+    the upstream retrieval plans themselves. At 100 TB the candidate
+    lists are still k rows — fusion cost is independent of corpus size.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    parts = []
+    for df, score_col, id_col in ranked:
+        w = Window.orderBy(
+            F.round(F.col(score_col) * 1e6).cast("bigint").desc(),
+            F.col(id_col).asc(),
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.row_number().over(w).alias("__r"),
+            ).select(
+                "id",
+                F.expr(f"1000000000 DIV ({c} + __r)")
+                .cast("bigint")
+                .alias("__rrf"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("id")
+        .agg(F.sum("__rrf").cast("bigint").alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col("id"))
+        .limit(k)
+    )

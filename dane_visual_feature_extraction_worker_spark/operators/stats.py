@@ -369,3 +369,155 @@ def transition_matrix(
     return pairs.select(
         "src_state", "dst_state", "n_trans", prob.alias("prob")
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the first and
+    second time-half of a numeric feature — the nonparametric
+    distribution-shift companion to ``psi_drift`` (which needs a
+    categorical binning; KS reads the raw numeric CDFs):
+    ``D = max_x |F1(x) − F2(x)|`` over the pooled value grid.
+
+    Exactness: values quantize to integer cents (decimal(18,2)·100 —
+    the repo-wide money discipline), and the ECDF difference is the
+    exact rational ``|a1·n2 − a2·n1| / (n1·n2)`` with a1/a2 the
+    running per-half counts ≤ each distinct cent — the maximized
+    numerator is exact decimal(38,0) (a·n ≤ 1e24 at 10^12 rows), so
+    the max is taken over INTEGERS; one final double divide + 1e-6
+    floor produces the reported D. Output is ONE row ``(n1, n2, ks)``.
+
+    Plan: the time cut is a lazy broadcast scalar; ONE
+    map-side-combined count per distinct cent (the only corpus
+    exchange); the running CDFs are an unpartitioned window over the
+    DISTINCT-CENT frame — domain-bounded like quantile_normalize
+    (|distinct cents| rows, independent of corpus size), then a
+    scalar max-aggregate.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cut = df.agg(((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut"))
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    counts = (
+        df.crossJoin(F.broadcast(cut))
+        .select(
+            cents.alias("__c"),
+            F.when(us <= F.col("__cut"), 1).otherwise(0).alias("__h1"),
+        )
+        .groupBy("__c")
+        .agg(
+            F.sum("__h1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("__h1")).cast("bigint").alias("c2"),
+        )
+    )
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    totals = counts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    run = counts.crossJoin(F.broadcast(totals)).select(
+        F.sum("c1").over(w).cast(d38).alias("a1"),
+        F.sum("c2").over(w).cast(d38).alias("a2"),
+        F.col("n1"),
+        F.col("n2"),
+    )
+    tot = run.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(
+                F.col("a1") * F.col("n2").cast(d38)
+                - F.col("a2") * F.col("n1").cast(d38)
+            )
+        ).alias("__dnum"),
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        (
+            F.floor(
+                F.col("__dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("ks"),
+    )
+
+
+def chi2_select(
+    df: DataFrame,
+    entity: str = "user_id",
+    category: str = "event_type",
+    label_value: str = "error",
+) -> DataFrame:
+    """Chi-squared feature screening for CATEGORICAL features — the
+    contingency-table companion to ``pearson_corr_exact`` (which needs
+    numeric features): for every category c, the 2×2 chi² between
+    "entity exhibits c" and the binary label "entity exhibits
+    ``label_value``" over the entity population.
+    ``χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))``.
+
+    Exactness: a/b/c/d are exact entity counts; ``(ad − bc)²`` and the
+    four marginal products accumulate in decimal(38,0) (with
+    N ≤ 10^9 entities, (ad−bc)² ≤ 10^36 < 10^38); ONE final double
+    divide + 1e-6 floor. Degenerate margins (a+b, c+d, a+c or b+d = 0
+    — e.g. a category every entity exhibits) emit NULL rather than a
+    fake 0; the label category itself scores χ² = N (perfect
+    self-association) as the formula dictates.
+
+    Plan: per-entity (category-set, label) reduce in ONE exchange on
+    entity (distinct presence + max-label share the same shuffle);
+    the |categories|-sized explode then rolls up map-side to the
+    |categories|-row report joined to one broadcast scalar — the
+    corpus shuffles exactly once, on its natural entity key.
+    """
+    d38 = "decimal(38,0)"
+    per_ent = (
+        df.select(F.col(entity).alias("__e"), F.col(category).alias("__cat"))
+        .groupBy("__e")
+        .agg(
+            F.collect_set("__cat").alias("__cats"),
+            F.max(
+                F.when(F.col("__cat") == label_value, 1).otherwise(0)
+            ).alias("__y"),
+        )
+    )
+    n_tot = per_ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__ny"),
+    )
+    pres = per_ent.select(
+        F.explode("__cats").alias("cat"), F.col("__y")
+    ).groupBy("cat").agg(
+        F.sum("__y").cast("bigint").alias("a"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("b"),
+    )
+    j = pres.crossJoin(F.broadcast(n_tot)).select(
+        "cat",
+        "a",
+        "b",
+        (F.col("__ny") - F.col("a")).alias("c"),
+        (F.col("__n") - F.col("__ny") - F.col("b")).alias("d"),
+        F.col("__n"),
+    )
+    det = F.col("a").cast(d38) * F.col("d").cast(d38) - F.col("b").cast(
+        d38
+    ) * F.col("c").cast(d38)
+    den = (
+        (F.col("a") + F.col("b")).cast(d38)
+        * (F.col("c") + F.col("d")).cast(d38)
+        * (F.col("a") + F.col("c")).cast(d38)
+        * (F.col("b") + F.col("d")).cast(d38)
+    )
+    chi2 = F.when(
+        den > 0,
+        F.floor(
+            (F.col("__n").cast(d38) * det * det).cast("double")
+            / den.cast("double")
+            * 1e6
+        )
+        / 1e6,
+    )
+    return j.select("cat", "a", "b", "c", "d", chi2.alias("chi2"))

@@ -8122,3 +8122,243 @@ ORACLES["streaming_near_dup"] = f"""
     WHERE doc_a % 7 = 3 OR doc_b % 7 = 3
 """
 QUERIES["streaming_near_dup"] = streaming_near_dup_q
+
+
+def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval (operators/retrieval.rrf_fuse):
+    reciprocal-rank fusion of the BM25 top-20 (terms scan/merge/vector)
+    and the cosine top-20 vs the vec_id=0 query vector — doc_id and
+    vec_id share the id domain in this corpus (both 0..N-1, generated
+    together). rrf_micro = Σ 1e9 DIV (60 + rank): pure-integer fusion
+    over two k-row candidate lists; corpus cost is the two upstream
+    retrieval plans, fusion itself is corpus-size-independent."""
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        topk_cosine,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    lex = bm25_topk(
+        d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=20
+    )
+    sem = topk_cosine(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=20
+    )
+    return rrf_fuse([(lex, "bm25", "doc_id"), (sem, "cos", "vec_id")], k=10)
+
+
+ORACLES["hybrid_search"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dls),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('scan', 'merge', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    t AS (
+      SELECT p.doc_id,
+             CAST(floor(ln(2 * s.n + 2) * 1e6) AS BIGINT)
+               - CAST(floor(ln(2 * f.df + 1) * 1e6) AS BIGINT) AS idf,
+             CAST(22 AS HUGEINT) * p.tf * s.tl AS num,
+             CAST(10 AS HUGEINT) * p.tf * s.tl
+               + CAST(3 AS HUGEINT) * s.tl
+               + CAST(9 AS HUGEINT) * d.dl * s.n AS den
+      FROM post p JOIN dls d USING (doc_id) JOIN dfreq f USING (term)
+      CROSS JOIN scal s
+    ),
+    lexsc AS (
+      SELECT doc_id,
+             sum(CAST(floor(CAST(CAST(idf AS HUGEINT) * num AS DOUBLE)
+                            / CAST(den AS DOUBLE)) AS BIGINT)) AS micro
+      FROM t GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS r
+      FROM lexsc ORDER BY micro DESC, doc_id LIMIT 20
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cossc AS (
+      SELECT vec_id,
+             CAST(floor((
+               list_sum(list_transform(list_zip(embedding, qe),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(qe,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+             ) * 1000000.0) AS BIGINT) AS micro
+      FROM embeddings CROSS JOIN q
+    ),
+    sem AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY micro DESC, vec_id) AS r
+      FROM cossc ORDER BY micro DESC, vec_id LIMIT 20
+    ),
+    fused AS (
+      SELECT id, CAST(1000000000 // (60 + r) AS BIGINT) AS rrf FROM lex
+      UNION ALL
+      SELECT id, CAST(1000000000 // (60 + r) AS BIGINT) AS rrf FROM sem
+    )
+    SELECT id, CAST(sum(rrf) AS BIGINT) AS rrf_micro
+    FROM fused GROUP BY id
+    ORDER BY rrf_micro DESC, id LIMIT 10
+"""
+QUERIES["hybrid_search"] = hybrid_search_q
+
+
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance on event value (cents) between the first
+    and second time-half (operators/stats.ks_drift): exact-integer
+    ECDF numerators maximized over the distinct-cent grid, one final
+    floored divide — the numeric-CDF drift twin of psi_drift."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        ks_drift,
+    )
+
+    return ks_drift(_events(spark, sf_dir), ts="ts", value="value")
+
+
+ORACLES["ks_drift"] = """
+    WITH cut AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS v
+      FROM events
+    ), counts AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c2
+      FROM events e, cut GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM counts
+    ), run AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY c
+                                ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,0)) AS a1,
+             CAST(sum(c2) OVER (ORDER BY c
+                                ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,0)) AS a2,
+             n1, n2
+      FROM counts, tot
+    )
+    SELECT n1, n2,
+           floor(CAST(max(abs(a1 * CAST(n2 AS DECIMAL(38,0))
+                              - a2 * CAST(n1 AS DECIMAL(38,0)))) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS ks
+    FROM run GROUP BY n1, n2
+"""
+QUERIES["ks_drift"] = ks_drift_q
+
+
+def chi2_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared categorical feature screening (operators/stats.
+    chi2_select): per event_type, the 2x2 chi2 between "user exhibits
+    the type" and the label "user has an error event", over the user
+    population — exact integer contingency, decimal(38,0) products,
+    one floored divide; zero margins emit NULL."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        chi2_select,
+    )
+
+    return chi2_select(
+        _events(spark, sf_dir),
+        entity="user_id",
+        category="event_type",
+        label_value="error",
+    )
+
+
+ORACLES["chi2_select"] = """
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ny
+      FROM per
+    ), pres AS (
+      SELECT DISTINCT e.user_id, e.event_type FROM events e
+    ), cell AS (
+      SELECT p.event_type AS cat,
+             CAST(sum(r.y) AS BIGINT) AS a,
+             CAST(sum(1 - r.y) AS BIGINT) AS b
+      FROM pres p JOIN per r USING (user_id)
+      GROUP BY p.event_type
+    ), j AS (
+      SELECT cat, a, b,
+             CAST(t.ny - a AS BIGINT) AS c,
+             CAST(t.n - t.ny - b AS BIGINT) AS d,
+             t.n
+      FROM cell, tot t
+    )
+    SELECT cat, a, b, c, d,
+           CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+           THEN floor(
+             CAST(CAST(n AS DECIMAL(38,0))
+                  * (CAST(a AS DECIMAL(38,0)) * d
+                     - CAST(b AS DECIMAL(38,0)) * c)
+                  * (CAST(a AS DECIMAL(38,0)) * d
+                     - CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE)
+             / CAST(CAST(a+b AS DECIMAL(38,0)) * (c+d)
+                    * (a+c) * (b+d) AS DOUBLE)
+             * 1000000.0) / 1000000.0
+           END AS chi2
+    FROM j
+"""
+QUERIES["chi2_select"] = chi2_select_q
+
+
+def hashed_bow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words (operators/encoding.hashed_bow):
+    256 signed md5 buckets per document, exact int64 signed counts —
+    sparse (doc_id, bucket, v) triplets with no vocabulary build."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        hashed_bow,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    return hashed_bow(d, F.col("__t"), id_col="doc_id", n_buckets=256)
+
+
+ORACLES["hashed_bow"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5(t) AS hx FROM toks
+    )
+    SELECT doc_id,
+           ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1) % 256
+             AS bucket,
+           CAST(sum(CASE WHEN strpos('01234567', substr(hx, 9, 1)) > 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS v
+    FROM h GROUP BY 1, 2
+"""
+QUERIES["hashed_bow"] = hashed_bow_q
