@@ -192,3 +192,88 @@ def rrf_fuse(
         .orderBy(F.col("rrf_micro").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def ndcg_at_k(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    query_terms: list[str],
+    ranked: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a ranked retrieval result against graded term-overlap
+    relevance — the ranking-quality eval for this repo's retrieval
+    surface (bm25_topk / rrf_fuse): relevance(doc) = number of DISTINCT
+    query terms the doc contains (0..|terms| graded relevance, fully
+    deterministic — no human labels needed for regression-testing a
+    ranker), ``DCG = Σ_i rel_i / log2(i+1)``, IDCG from the corpus-wide
+    ideal ordering, NDCG = DCG/IDCG.
+
+    Exactness: ranks are row_number over the ranked list's 1e-6-floored
+    micro score (id tie-break, the rrf_fuse discipline); each
+    ``rel/log2(i+1)`` term is the INTEGER quotient
+    ``rel·1e12 DIV floor(log2(i+1)·1e6)`` — log2 of a BARE INTEGER
+    rank, micro-scaled — summed as int64 micro-units; NDCG is one
+    integer ``(dcg·1e6) DIV idcg``. Engine-portable end to end.
+
+    Plan: per-doc relevance is a narrow array_intersect projection
+    fused into the scan; the ideal top-k is a k-row TakeOrdered on
+    (relevance DESC, id) — never a global sort; the ranked list is k
+    rows so the rank window and the relevance join are broadcast-
+    trivial. Output is ONE row (dcg_micro, idcg_micro, ndcg).
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    rel = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_intersect(F.array_distinct(tokens_col), terms)).cast(
+            "bigint"
+        ).alias("rel"),
+    )
+
+    w = Window.orderBy(
+        F.round(F.col(score_col) * 1e6).cast("bigint").desc(),
+        F.col(id_col).asc(),
+    )
+    got = (
+        ranked.select(
+            F.col(id_col).alias("id"), F.row_number().over(w).alias("__r")
+        )
+        .join(F.broadcast(rel), "id", "left")
+        .select(
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"), F.col("__r")
+        )
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(k)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), F.col("id").asc()))
+            .alias("__r"),
+        )
+    )
+
+    def _sum_micro(df: DataFrame) -> DataFrame:
+        term = F.expr(
+            "(rel * 1000000000000) div "
+            "cast(floor(log2(cast(__r + 1 as double)) * 1e6) as bigint)"
+        ).cast("bigint")
+        return df.agg(F.sum(term).cast("bigint").alias("s"))
+
+    dcg = _sum_micro(got).withColumnRenamed("s", "dcg_micro")
+    idcg = _sum_micro(ideal).withColumnRenamed("s", "idcg_micro")
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "dcg_micro",
+            "idcg_micro",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.expr("(dcg_micro * 1000000) div idcg_micro").cast("double")
+                / 1e6,
+            ).alias("ndcg"),
+        )
+    )

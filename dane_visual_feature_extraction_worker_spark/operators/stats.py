@@ -446,6 +446,54 @@ def ks_drift(
     )
 
 
+def _contingency_2x2(
+    df: DataFrame,
+    entity: str,
+    category: str,
+    label_value: str,
+) -> DataFrame:
+    """Shared 2×2 contingency core of chi2_select / mutual_info_select:
+    per category, (a, b, c, d) entity counts against the binary label
+    "entity exhibits ``label_value``", plus the population scalars
+    (__n, __ny).
+
+    Plan: per-entity (category-set, label) reduce in ONE exchange on
+    entity (distinct presence + max-label share the same shuffle);
+    the |categories|-sized explode then rolls up map-side to the
+    |categories|-row report joined to one broadcast scalar — the
+    corpus shuffles exactly once, on its natural entity key.
+    """
+    per_ent = (
+        df.select(F.col(entity).alias("__e"), F.col(category).alias("__cat"))
+        .groupBy("__e")
+        .agg(
+            F.collect_set("__cat").alias("__cats"),
+            F.max(
+                F.when(F.col("__cat") == label_value, 1).otherwise(0)
+            ).alias("__y"),
+        )
+    )
+    n_tot = per_ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__ny"),
+    )
+    pres = per_ent.select(
+        F.explode("__cats").alias("cat"), F.col("__y")
+    ).groupBy("cat").agg(
+        F.sum("__y").cast("bigint").alias("a"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("b"),
+    )
+    return pres.crossJoin(F.broadcast(n_tot)).select(
+        "cat",
+        "a",
+        "b",
+        (F.col("__ny") - F.col("a")).alias("c"),
+        (F.col("__n") - F.col("__ny") - F.col("b")).alias("d"),
+        F.col("__n"),
+        F.col("__ny"),
+    )
+
+
 def chi2_select(
     df: DataFrame,
     entity: str = "user_id",
@@ -467,41 +515,11 @@ def chi2_select(
     fake 0; the label category itself scores χ² = N (perfect
     self-association) as the formula dictates.
 
-    Plan: per-entity (category-set, label) reduce in ONE exchange on
-    entity (distinct presence + max-label share the same shuffle);
-    the |categories|-sized explode then rolls up map-side to the
-    |categories|-row report joined to one broadcast scalar — the
-    corpus shuffles exactly once, on its natural entity key.
+    Plan: the shared ``_contingency_2x2`` core — the corpus shuffles
+    exactly once, on its natural entity key.
     """
     d38 = "decimal(38,0)"
-    per_ent = (
-        df.select(F.col(entity).alias("__e"), F.col(category).alias("__cat"))
-        .groupBy("__e")
-        .agg(
-            F.collect_set("__cat").alias("__cats"),
-            F.max(
-                F.when(F.col("__cat") == label_value, 1).otherwise(0)
-            ).alias("__y"),
-        )
-    )
-    n_tot = per_ent.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__y").cast("bigint").alias("__ny"),
-    )
-    pres = per_ent.select(
-        F.explode("__cats").alias("cat"), F.col("__y")
-    ).groupBy("cat").agg(
-        F.sum("__y").cast("bigint").alias("a"),
-        F.sum(1 - F.col("__y")).cast("bigint").alias("b"),
-    )
-    j = pres.crossJoin(F.broadcast(n_tot)).select(
-        "cat",
-        "a",
-        "b",
-        (F.col("__ny") - F.col("a")).alias("c"),
-        (F.col("__n") - F.col("__ny") - F.col("b")).alias("d"),
-        F.col("__n"),
-    )
+    j = _contingency_2x2(df, entity, category, label_value)
     det = F.col("a").cast(d38) * F.col("d").cast(d38) - F.col("b").cast(
         d38
     ) * F.col("c").cast(d38)
@@ -521,3 +539,132 @@ def chi2_select(
         / 1e6,
     )
     return j.select("cat", "a", "b", "c", "d", chi2.alias("chi2"))
+
+
+def mutual_info_select(
+    df: DataFrame,
+    entity: str = "user_id",
+    category: str = "event_type",
+    label_value: str = "error",
+) -> DataFrame:
+    """Mutual information I(feature; label) in nats for categorical
+    feature screening — chi2_select's information-theoretic twin
+    (chi² measures deviation-from-independence, MI measures the bits
+    the feature actually carries; sklearn pairs them the same way):
+    per category, the 2×2 MI between "entity exhibits c" and the
+    binary label, ``I = Σ_cells (n_xy/N)·ln(N·n_xy / (n_x·n_y))``.
+
+    Exactness (the psi_drift ln-decomposition): every log is of a
+    BARE INTEGER count — ``ln N + ln n_xy − ln n_x − ln n_y`` — each
+    floor-scaled to int64 micro-nats; per-cell terms ``n_xy · L_xy``
+    sum as exact int64 and ONE integer `div` by N produces micro-nat
+    MI (≤ ln2·1e6 for a 2×2). Empty cells contribute 0 (the standard
+    0·ln0 = 0 convention), not NULL — MI is defined there.
+
+    Plan: the shared ``_contingency_2x2`` core — ONE entity exchange,
+    |categories|-row rollup + one broadcast scalar.
+    """
+    j = _contingency_2x2(df, entity, category, label_value)
+
+    def _lnm(c) -> F.Column:
+        return F.floor(F.log(c.cast("double")) * 1e6).cast("bigint")
+
+    n = F.col("__n")
+    # marginals: rows (has cat / not) and cols (label / not)
+    r1, r0 = F.col("a") + F.col("b"), F.col("c") + F.col("d")
+    c1, c0 = F.col("__ny"), n - F.col("__ny")
+
+    def _term(nxy, nx, ny) -> F.Column:
+        l = _lnm(n) + _lnm(nxy) - _lnm(nx) - _lnm(ny)
+        return F.when(nxy > 0, nxy * l).otherwise(F.lit(0))
+
+    s = (
+        _term(F.col("a"), r1, c1)
+        + _term(F.col("b"), r1, c0)
+        + _term(F.col("c"), r0, c1)
+        + _term(F.col("d"), r0, c0)
+    ).cast("bigint")
+    # MI >= 0; per-term log flooring can dip the micro sum a few units
+    # below zero for near-independent features — clamp BEFORE the
+    # integer division (Spark `div` truncates toward zero, DuckDB `//`
+    # floors: they agree only on non-negatives, so the clamp is also
+    # what keeps the oracle replayable).
+    return (
+        j.select(
+            "cat", "a", "b", "c", "d", F.col("__n"),
+            F.greatest(s, F.lit(0).cast("bigint")).alias("__s"),
+        )
+        .select(
+            "cat", "a", "b", "c", "d",
+            (F.expr("__s div __n").cast("double") / 1e6).alias("mi_nats"),
+        )
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    score: F.Column,
+    label: F.Column,
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a binary label — the
+    ranking-quality eval for any scoring feature this repo produces
+    (quality_score, lm_perplexity, a model's logit): AUC is the
+    Mann-Whitney U statistic ``P(score⁺ > score⁻) + ½·P(=)``,
+    computed from the SCORE HISTOGRAM, never a corpus sort.
+
+    ``score`` must be an integer Column (quantize floats to
+    cents/micros at the call site — the repo-wide exactness contract);
+    ``label`` a 0/1 integer Column.
+
+    Exactness: per distinct score s with p(s) positives and q(s)
+    negatives, doubled pair wins are ``2·negbelow(s)·p(s) + q(s)·p(s)``
+    — all exact counts in decimal(38,0) (≤ 10^24 products at 10^12
+    rows); AUC = Σ / (2·P·N) with ONE final double divide + 1e-6
+    floor. Degenerate populations (P = 0 or N = 0) emit NULL.
+
+    Plan: ONE map-side-combined count per distinct score (the only
+    corpus exchange); the running negative-CDF is an unpartitioned
+    window over the DISTINCT-SCORE frame — domain-bounded like
+    ks_drift/quantile_normalize — then a scalar rollup. Output is ONE
+    row (pos, neg, auc).
+    """
+    d38 = "decimal(38,0)"
+    counts = (
+        df.select(score.cast("bigint").alias("__s"), label.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("bigint").alias("p"),
+            F.sum(1 - F.col("__y")).cast("bigint").alias("q"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    run = counts.select(
+        F.col("p"),
+        F.col("q"),
+        F.coalesce(F.sum("q").over(w), F.lit(0)).cast(d38).alias("__nb"),
+    )
+    tot = run.agg(
+        F.sum("p").cast("bigint").alias("pos"),
+        F.sum("q").cast("bigint").alias("neg"),
+        F.sum(
+            F.lit(2).cast(d38) * F.col("__nb") * F.col("p").cast(d38)
+            + F.col("q").cast(d38) * F.col("p").cast(d38)
+        ).alias("__u2"),
+    )
+    return tot.select(
+        "pos",
+        "neg",
+        F.when(
+            (F.col("pos") > 0) & (F.col("neg") > 0),
+            F.floor(
+                F.col("__u2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("pos").cast("double")
+                    * F.col("neg").cast("double")
+                )
+                * 1e6
+            )
+            / 1e6,
+        ).alias("auc"),
+    )

@@ -8362,3 +8362,231 @@ ORACLES["hashed_bow"] = r"""
     FROM h GROUP BY 1, 2
 """
 QUERIES["hashed_bow"] = hashed_bow_q
+
+
+def mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information feature screening (operators/stats.
+    mutual_info_select): per event_type, the 2x2 MI in micro-nats
+    between "user exhibits the type" and the error-user label — the
+    information-theoretic twin of chi2_select, same single-exchange
+    contingency core, psi_drift's bare-integer ln decomposition."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        mutual_info_select,
+    )
+
+    return mutual_info_select(
+        _events(spark, sf_dir),
+        entity="user_id",
+        category="event_type",
+        label_value="error",
+    )
+
+
+ORACLES["mutual_info"] = """
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ny
+      FROM per
+    ), pres AS (
+      SELECT DISTINCT e.user_id, e.event_type FROM events e
+    ), cell AS (
+      SELECT p.event_type AS cat,
+             CAST(sum(r.y) AS BIGINT) AS a,
+             CAST(sum(1 - r.y) AS BIGINT) AS b
+      FROM pres p JOIN per r USING (user_id)
+      GROUP BY p.event_type
+    ), j AS (
+      SELECT cat, a, b,
+             CAST(t.ny - a AS BIGINT) AS c,
+             CAST(t.n - t.ny - b AS BIGINT) AS d,
+             t.n, t.ny
+      FROM cell, tot t
+    ), terms AS (
+      SELECT cat, a, b, c, d, n,
+        (CASE WHEN a > 0 THEN a * (
+           CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         + CAST(floor(ln(CAST(a AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(a + b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(ny AS DOUBLE)) * 1000000.0) AS BIGINT)
+         ) ELSE 0 END
+        +CASE WHEN b > 0 THEN b * (
+           CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         + CAST(floor(ln(CAST(b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(a + b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(n - ny AS DOUBLE)) * 1000000.0) AS BIGINT)
+         ) ELSE 0 END
+        +CASE WHEN c > 0 THEN c * (
+           CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         + CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(c + d AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(ny AS DOUBLE)) * 1000000.0) AS BIGINT)
+         ) ELSE 0 END
+        +CASE WHEN d > 0 THEN d * (
+           CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         + CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(c + d AS DOUBLE)) * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(n - ny AS DOUBLE)) * 1000000.0) AS BIGINT)
+         ) ELSE 0 END) AS s
+      FROM j
+    )
+    SELECT cat, a, b, c, d,
+           CAST(greatest(s, 0) // n AS DOUBLE) / 1000000.0 AS mi_nats
+    FROM terms
+"""
+QUERIES["mutual_info"] = mutual_info_q
+
+
+def auc_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/stats.auc_exact) of the first embedding
+    component (floored micros) as a scorer for the label-0 class — the
+    Mann-Whitney rank-sum computed from the score HISTOGRAM (one
+    exchange + domain-bounded window), never a corpus sort."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        auc_exact,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    score = F.floor(F.col("embedding")[0].cast("double") * 1e6)
+    label = F.when(F.col("label") == 0, 1).otherwise(0)
+    return auc_exact(e, score, label)
+
+
+ORACLES["auc_eval"] = """
+    WITH scored AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS s,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), counts AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum(1 - y) AS BIGINT) AS q
+      FROM scored GROUP BY s
+    ), run AS (
+      SELECT p, q,
+             CAST(coalesce(sum(q) OVER (ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                  AS DECIMAL(38,0)) AS nb
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS pos,
+             CAST(sum(q) AS BIGINT) AS neg,
+             sum(2 * nb * CAST(p AS DECIMAL(38,0))
+                 + CAST(q AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)))
+               AS u2
+      FROM run
+    )
+    SELECT pos, neg,
+           CASE WHEN pos > 0 AND neg > 0 THEN
+             floor(CAST(u2 AS DOUBLE)
+                   / (2.0 * CAST(pos AS DOUBLE) * CAST(neg AS DOUBLE))
+                   * 1000000.0) / 1000000.0
+           END AS auc
+    FROM tot
+"""
+QUERIES["auc_eval"] = auc_eval_q
+
+
+def ndcg_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded term-overlap
+    relevance (operators/retrieval.ndcg_at_k): rel = distinct query
+    terms present per doc; integer micro-unit DCG/IDCG with log2 of
+    bare integer ranks; ideal ranking via corpus k-row TakeOrdered."""
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        bm25_topk,
+        ndcg_at_k,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    ranked = bm25_topk(
+        d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
+    )
+    return ndcg_at_k(
+        d,
+        F.col("__t"),
+        ["scan", "merge", "vector"],
+        ranked,
+        id_col="doc_id",
+        score_col="bm25",
+        k=10,
+    )
+
+
+ORACLES["ndcg_eval"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dls),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('scan', 'merge', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    t AS (
+      SELECT p.doc_id,
+             CAST(floor(ln(2 * s.n + 2) * 1e6) AS BIGINT)
+               - CAST(floor(ln(2 * f.df + 1) * 1e6) AS BIGINT) AS idf,
+             CAST(22 AS HUGEINT) * p.tf * s.tl AS num,
+             CAST(10 AS HUGEINT) * p.tf * s.tl
+               + CAST(3 AS HUGEINT) * s.tl
+               + CAST(9 AS HUGEINT) * d.dl * s.n AS den
+      FROM post p JOIN dls d USING (doc_id) JOIN dfreq f USING (term)
+      CROSS JOIN scal s
+    ),
+    lexsc AS (
+      SELECT doc_id,
+             sum(CAST(floor(CAST(CAST(idf AS HUGEINT) * num AS DOUBLE)
+                            / CAST(den AS DOUBLE)) AS BIGINT)) AS micro
+      FROM t GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS r
+      FROM lexsc ORDER BY micro DESC, doc_id LIMIT 10
+    ),
+    rel AS (
+      SELECT doc_id AS id,
+             CAST(len(list_intersect(
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x <> '')),
+               ['scan', 'merge', 'vector'])) AS BIGINT) AS rel
+      FROM documents
+    ),
+    got AS (
+      SELECT coalesce(rel.rel, 0) AS rel, ranked.r
+      FROM ranked LEFT JOIN rel USING (id)
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS r
+      FROM rel ORDER BY rel DESC, id LIMIT 10
+    ),
+    dcg AS (
+      SELECT CAST(sum((rel * 1000000000000)
+                      // CAST(floor(log2(CAST(r + 1 AS DOUBLE)) * 1000000.0)
+                              AS BIGINT)) AS BIGINT) AS dcg_micro
+      FROM got
+    ),
+    idcg AS (
+      SELECT CAST(sum((rel * 1000000000000)
+                      // CAST(floor(log2(CAST(r + 1 AS DOUBLE)) * 1000000.0)
+                              AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM ideal
+    )
+    SELECT d.dcg_micro, i.idcg_micro,
+           CASE WHEN i.idcg_micro > 0 THEN
+             CAST((d.dcg_micro * 1000000) // i.idcg_micro AS DOUBLE)
+               / 1000000.0
+           END AS ndcg
+    FROM dcg d, idcg i
+"""
+QUERIES["ndcg_eval"] = ndcg_eval_q

@@ -1,0 +1,151 @@
+"""Exact AUC, mutual-information screening, NDCG ranking eval."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def _brute_auc(pairs):
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_exact_matches_brute_force_with_ties(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import auc_exact
+
+    pairs = [
+        (10, 1), (10, 0), (8, 1), (7, 0), (7, 1), (7, 0),
+        (5, 0), (5, 1), (3, 0), (1, 0), (12, 1), (2, 1),
+    ]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    row = auc_exact(df, F.col("s"), F.col("y")).collect()[0]
+    assert (row["pos"], row["neg"]) == (6, 6)
+    assert row["auc"] == math.floor(_brute_auc(pairs) * 1e6) / 1e6
+
+
+def test_auc_exact_perfect_and_degenerate(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(9, 1), (8, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    assert auc_exact(perfect, F.col("s"), F.col("y")).collect()[0]["auc"] == 1.0
+    onesided = spark.createDataFrame([(3, 1), (4, 1)], "s long, y int")
+    assert (
+        auc_exact(onesided, F.col("s"), F.col("y")).collect()[0]["auc"] is None
+    )
+
+
+def test_mutual_info_matches_reference_and_clamps(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        mutual_info_select,
+    )
+
+    rows = []
+    for u in range(12):
+        labeled = u < 6
+        rows.append((u, "view"))
+        if labeled:
+            rows.append((u, "error"))
+        if (labeled and u < 5) or u == 6:
+            rows.append((u, "x"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["cat"]: r for r in mutual_info_select(ev).collect()}
+
+    def lnm(v):
+        return math.floor(math.log(v) * 1e6)
+
+    def ref(a, b, c, d):
+        n = a + b + c + d
+        ny = a + c
+        s = 0
+        for nxy, nx, yy in ((a, a + b, ny), (b, a + b, n - ny),
+                            (c, c + d, ny), (d, c + d, n - ny)):
+            if nxy > 0:
+                s += nxy * (lnm(n) + lnm(nxy) - lnm(nx) - lnm(yy))
+        return max(s, 0) // n / 1e6
+
+    x = out["x"]
+    assert (x["a"], x["b"], x["c"], x["d"]) == (5, 1, 1, 5)
+    assert x["mi_nats"] == ref(5, 1, 1, 5)
+    # sanity vs the true MI (quantization ≤ a few micro-nats)
+    def true_mi(a, b, c, d):
+        n = a + b + c + d
+        tot = 0.0
+        for nxy, nx, yy in ((a, a + b, a + c), (b, a + b, b + d),
+                            (c, c + d, a + c), (d, c + d, b + d)):
+            if nxy:
+                tot += nxy / n * math.log(n * nxy / (nx * yy))
+        return tot
+    assert abs(x["mi_nats"] - true_mi(5, 1, 1, 5)) < 1e-4
+    # 'view' is independent of the label (everyone has it): MI -> 0,
+    # never negative (the clamp)
+    assert out["view"]["mi_nats"] == 0.0
+    # perfect association: MI = H(label) = ln 2 up to micro quantization
+    assert abs(out["error"]["mi_nats"] - math.log(2)) < 1e-4
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        bm25_topk,
+        ndcg_at_k,
+    )
+
+    # docs where bm25's own ranking IS the ideal ranking: more distinct
+    # query terms -> strictly more relevance AND more bm25 mass
+    docs = spark.createDataFrame(
+        [
+            (0, ["scan", "merge", "vector", "pad"]),
+            (1, ["scan", "merge", "pad", "pad"]),
+            (2, ["scan", "pad", "pad", "pad"]),
+            (3, ["pad", "pad", "pad", "pad"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    ranked = bm25_topk(
+        docs, F.col("toks"), ["scan", "merge", "vector"], k=3
+    )
+    row = ndcg_at_k(
+        docs, F.col("toks"), ["scan", "merge", "vector"], ranked, k=3
+    ).collect()[0]
+    assert row["ndcg"] == 1.0
+    assert row["dcg_micro"] == row["idcg_micro"] > 0
+
+
+def test_ndcg_formula_parity_on_imperfect_ranking(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        ndcg_at_k,
+    )
+
+    # hand-built ranked list that inverts the ideal order
+    docs = spark.createDataFrame(
+        [
+            (0, ["scan", "merge", "vector"]),
+            (1, ["scan", "merge"]),
+            (2, ["scan"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    ranked = spark.createDataFrame(
+        [(2, 3.0), (1, 2.0), (0, 1.0)], "doc_id long, bm25 double"
+    )
+    row = ndcg_at_k(
+        docs, F.col("toks"), ["scan", "merge", "vector"], ranked, k=3
+    ).collect()[0]
+
+    def terms(rels):
+        return sum(
+            (r * 10**12) // math.floor(math.log2(i + 2) * 1e6)
+            for i, r in enumerate(rels)
+        )
+
+    dcg, idcg = terms([1, 2, 3]), terms([3, 2, 1])
+    assert row["dcg_micro"] == dcg
+    assert row["idcg_micro"] == idcg
+    assert row["ndcg"] == (dcg * 10**6) // idcg / 1e6
