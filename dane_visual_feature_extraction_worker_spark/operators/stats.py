@@ -413,16 +413,20 @@ def ks_drift(
         )
     )
     w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, 0)
-    d38 = "decimal(38,0)"
-    totals = counts.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
+    # totals ride a FULL frame over the same window sort — a separate
+    # totals aggregate would re-evaluate the whole counts subtree
+    # (Catalyst does not reuse exchanges across derived branches); the
+    # counts frame is domain-bounded, so the single-partition window
+    # pass is cheap by construction.
+    wt = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    run = counts.crossJoin(F.broadcast(totals)).select(
+    d38 = "decimal(38,0)"
+    run = counts.select(
         F.sum("c1").over(w).cast(d38).alias("a1"),
         F.sum("c2").over(w).cast(d38).alias("a2"),
-        F.col("n1"),
-        F.col("n2"),
+        F.sum("c1").over(wt).cast("bigint").alias("n1"),
+        F.sum("c2").over(wt).cast("bigint").alias("n2"),
     )
     tot = run.groupBy("n1", "n2").agg(
         F.max(
@@ -458,11 +462,20 @@ def _contingency_2x2(
     (__n, __ny).
 
     Plan: per-entity (category-set, label) reduce in ONE exchange on
-    entity (distinct presence + max-label share the same shuffle);
-    the |categories|-sized explode then rolls up map-side to the
-    |categories|-row report joined to one broadcast scalar — the
-    corpus shuffles exactly once, on its natural entity key.
+    entity (distinct presence + max-label share the same shuffle); a
+    SENTINEL category appended per entity makes the population totals
+    (N, N⁺) fall out of the SAME |categories|-row rollup — one corpus
+    pass total, where a separate totals aggregate would re-evaluate
+    the whole per-entity subtree (Catalyst does not reuse exchanges
+    across derived branches; the doc_pagerank lesson). Only the tiny
+    rollup is scoped_persist'ed so its two reads (report + broadcast
+    scalar) don't recompute upstream.
     """
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    sentinel = "\x00__all__"
     per_ent = (
         df.select(F.col(entity).alias("__e"), F.col(category).alias("__cat"))
         .groupBy("__e")
@@ -473,16 +486,27 @@ def _contingency_2x2(
             ).alias("__y"),
         )
     )
-    n_tot = per_ent.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__y").cast("bigint").alias("__ny"),
+    rolled = scoped_persist(
+        per_ent.select(
+            F.explode(
+                F.array_union("__cats", F.array(F.lit(sentinel)))
+            ).alias("cat"),
+            F.col("__y"),
+        )
+        .groupBy("cat")
+        .agg(
+            F.sum("__y").cast("bigint").alias("a"),
+            F.sum(1 - F.col("__y")).cast("bigint").alias("b"),
+        ),
+        "stats.contingency_rollup",
     )
-    pres = per_ent.select(
-        F.explode("__cats").alias("cat"), F.col("__y")
-    ).groupBy("cat").agg(
-        F.sum("__y").cast("bigint").alias("a"),
-        F.sum(1 - F.col("__y")).cast("bigint").alias("b"),
+    n_tot = (
+        rolled.where(F.col("cat") == sentinel)
+        .select(
+            (F.col("a") + F.col("b")).alias("__n"), F.col("a").alias("__ny")
+        )
     )
+    pres = rolled.where(F.col("cat") != sentinel)
     return pres.crossJoin(F.broadcast(n_tot)).select(
         "cat",
         "a",
