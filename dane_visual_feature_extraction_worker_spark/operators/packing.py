@@ -270,3 +270,68 @@ def span_corrupt(
         target.alias("target_text"),
         "n_spans",
     )
+
+
+def packing_stats(
+    docs: DataFrame,
+    max_tokens: int = 1024,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-shard packing-efficiency report for ``pack_sequences``'s
+    concat-and-chunk layout (same shard hash, same tokenizer): how many
+    training sequences each shard emits and how full they are —
+    ``fill = total_tokens / (n_seqs · max_tokens)`` — the number that
+    tells you whether max_tokens/n_shards are wasting step budget
+    before a training run is launched.
+
+    Under concat-and-chunk the sequence count is exactly
+    ``ceil(total_tokens / max_tokens)`` per shard, so the report needs
+    only the per-shard token SUM — never the per-doc offsets:
+    n_seqs = (total + max_tokens − 1) DIV max_tokens, fill is the
+    integer micro quotient total·1e6 DIV (n_seqs·max_tokens). Exact
+    int64 end to end (10^12-token shards sit far below the bound).
+
+    Plan: narrow token-count projection fused into the scan, ONE
+    map-side-combined groupBy on the md5 shard key (uniform by
+    construction — skew-free) → |shards| rows. The corpus shuffles
+    only combined per-shard partials.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    shard = F.pmod(sample_key(F.col(id_col), salt), F.lit(n_shards)).cast(
+        "int"
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(_tokens(text_col)).cast("bigint").alias("__n"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    n_seqs = F.expr(f"(n_tokens + {max_tokens - 1}) div {max_tokens}").cast(
+        "bigint"
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_seqs.alias("n_seqs"),
+        # an all-empty shard has n_seqs = 0: NULL fill on BOTH engines
+        # (DuckDB //0 errors where Spark div yields NULL — guard it)
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                f"(n_tokens * 1000000) div "
+                f"(((n_tokens + {max_tokens - 1}) div {max_tokens})"
+                f" * {max_tokens})"
+            ).cast("double")
+            / 1e6,
+        ).alias("fill"),
+    )

@@ -660,3 +660,59 @@ def rolling_slope(
         m.cast("int").alias("frame_len"),
         slope.alias("slope"),
     )
+
+
+def burst_windows(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    window_s: int = 3600,
+    trailing: int = 24,
+    factor: int = 3,
+) -> DataFrame:
+    """Kleinberg-lite burst detection: per entity and tumbling window,
+    flag windows whose event rate exceeds ``factor``× the entity's
+    trailing-``trailing``-window average — the bot/incident detector a
+    transcript pipeline runs before trusting engagement features.
+
+    Exactness: the comparison is the integer cross-multiplication
+    ``cnt · trailing > factor · trailing_sum`` (never a float rate);
+    window ids are integer epoch-second divisions. Cold-start windows
+    (no prior activity in the trailing range) are NOT bursts — a first
+    event after silence is a return, not a burst; the trailing_sum is
+    reported so callers can re-cut.
+
+    Plan: ONE map-side-combined count per (entity, window) — the only
+    corpus exchange — then a RANGE-frame running sum over the
+    |entity×window| histogram partitioned on the same key (no second
+    shuffle: the window reuses the aggregation's partitioning).
+    """
+    win = F.expr(
+        f"cast(unix_micros(cast({ts} as timestamp)) div {window_s * 1_000_000}"
+        " as bigint)"
+    )
+    cnt = (
+        df.select(F.col(entity).alias("__e"), win.alias("win"))
+        .groupBy("__e", "win")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("__e")
+        .orderBy("win")
+        .rangeBetween(-trailing, -1)
+    )
+    tsum = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    out = cnt.select(
+        F.col("__e").alias(entity),
+        "win",
+        "cnt",
+        tsum.alias("trailing_sum"),
+    )
+    return out.withColumn(
+        "is_burst",
+        (F.col("trailing_sum") > 0)
+        & (
+            F.col("cnt") * F.lit(trailing)
+            > F.lit(factor) * F.col("trailing_sum")
+        ),
+    )

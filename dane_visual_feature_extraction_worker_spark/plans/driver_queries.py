@@ -8590,3 +8590,190 @@ ORACLES["ndcg_eval"] = r"""
     FROM dcg d, idcg i
 """
 QUERIES["ndcg_eval"] = ndcg_eval_q
+
+
+def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/packing.packing_stats) for
+    the sequence_pack layout at max_tokens=256, 16 shards: per-shard
+    docs/tokens/sequences and the integer-micro fill ratio — ceil
+    arithmetic from the per-shard token SUM only, never the offsets."""
+    from dane_visual_feature_extraction_worker_spark.operators.packing import (
+        packing_stats,
+    )
+
+    return packing_stats(
+        _documents(spark, sf_dir), max_tokens=256, n_shards=16
+    )
+
+
+ORACLES["packing_stats"] = r"""
+    WITH keyed AS (
+      SELECT doc_id, text,
+             md5('pack' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), sharded AS (
+      SELECT CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+                 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1) % 16
+                  AS INT) AS shard,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM keyed
+    ), per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           CAST((n_tokens + 255) // 256 AS BIGINT) AS n_seqs,
+           CASE WHEN n_tokens > 0 THEN
+             CAST((n_tokens * 1000000)
+                  // (((n_tokens + 255) // 256) * 256) AS DOUBLE)
+               / 1000000.0
+           END AS fill
+    FROM per
+"""
+QUERIES["packing_stats"] = packing_stats_q
+
+
+def burst_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly burst flags (operators/windows.burst_windows):
+    integer cross-multiplied rate-vs-trailing-24h comparison over the
+    (user, window) histogram; the RANGE window reuses the count
+    aggregation's partitioning — one corpus exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        burst_windows,
+    )
+
+    return burst_windows(
+        _events(spark, sf_dir),
+        entity="user_id",
+        ts="ts",
+        window_s=3600,
+        trailing=24,
+        factor=3,
+    )
+
+
+ORACLES["burst_windows"] = """
+    WITH cnt AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), run AS (
+      SELECT user_id, win, cnt,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY user_id ORDER BY win
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS trailing_sum
+      FROM cnt
+    )
+    SELECT user_id, win, cnt, trailing_sum,
+           (trailing_sum > 0 AND cnt * 24 > 3 * trailing_sum) AS is_burst
+    FROM run
+"""
+QUERIES["burst_windows"] = burst_windows_q
+
+
+def jsonl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion — the lingua-franca training-data interchange
+    format: documents serialized to JSON-lines executor-side
+    (native to_json + text sink, no driver materialization), read back
+    with a DECLARED schema (never schema inference — at 100 TB an
+    inference pass is a full extra scan), then digested. Output keys on
+    doc_id so the oracle recomputes (lang, n_chars, md5) straight from
+    the documents table — the gate proves parse-roundtrip fidelity
+    (nulls dropped by to_json and restored as NULL, JSON string
+    escaping of newlines/quotes/unicode)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_jsonl_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        _documents(spark, sf_dir)
+        .select(
+            F.to_json(
+                F.struct("doc_id", "text", "lang", "source", "n_chars")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).json(out_dir)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias(
+            "n_chars_rt"
+        ),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+    )
+
+
+ORACLES["jsonl_ingest"] = """
+    SELECT doc_id, lang,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_rt,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+"""
+QUERIES["jsonl_ingest"] = jsonl_ingest_q
+
+
+def class_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights from the embeddings label
+    histogram — the standard imbalance correction handed to a trainer:
+    w_k = N / (K·n_k) in exact integer micros (N·1e6 DIV (K·n_k)).
+    ONE map-side-combined count per label; K and N ride full-frame
+    windows over the |labels|-row histogram (no second aggregate —
+    the ks_drift totals discipline)."""
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = (
+        _embeddings(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "label",
+            "n",
+            F.sum("n").over(w_all).cast("bigint").alias("__N"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("__K"),
+        )
+    )
+    return hist.select(
+        "label",
+        "n",
+        (
+            F.expr("(__N * 1000000) div (__K * n)").cast("double") / 1e6
+        ).alias("weight"),
+    )
+
+
+ORACLES["class_weights"] = """
+    WITH hist AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ), tot AS (
+      SELECT label, n,
+             CAST(sum(n) OVER () AS BIGINT) AS nn,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM hist
+    )
+    SELECT label, n,
+           CAST((nn * 1000000) // (k * n) AS DOUBLE) / 1000000.0 AS weight
+    FROM tot
+"""
+QUERIES["class_weights"] = class_weights_q
