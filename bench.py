@@ -172,6 +172,26 @@ HEADLINE = [
     "ann_recall_report",
     "bpe_merges",
     "winnow_fingerprints",
+    "shared_passage_pairs",
+    "near_dup_incremental",
+    "pq_codes",
+    "pq_topk",
+    "pq_recall_report",
+    # r5 second-half additions (hybrid retrieval / screening / eval /
+    # formats); the expensive bounded-streaming entries and trivial
+    # scans stay curated out — they're timed in BENCH/BASELINE.md
+    "hybrid_search",
+    "ks_drift",
+    "chi2_select",
+    "mutual_info",
+    "auc_eval",
+    "ndcg_eval",
+    "hashed_bow",
+    "packing_stats",
+    "burst_windows",
+    "jsonl_ingest",
+    "class_weights",
+    "sql_lang_report",
 ]
 
 

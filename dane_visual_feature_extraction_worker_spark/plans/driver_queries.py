@@ -8777,3 +8777,54 @@ ORACLES["class_weights"] = """
     FROM tot
 """
 QUERIES["class_weights"] = class_weights_q
+
+
+def sql_lang_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface as a first-class entry: this key is
+    implemented ENTIRELY via spark.sql over a registered temp view —
+    Catalyst compiles it to the identical plan a DataFrame formulation
+    gets (same pushdown/pruning/codegen), so users can bring pure-SQL
+    workloads to the engine unchanged. Per-language corpus rollup with
+    the modal source via a window rank — exact integer sums only."""
+    _documents(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT lang, source,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents_v GROUP BY lang, source
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, source
+          ) AS rk
+          FROM per
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS sum_chars,
+               max(CASE WHEN rk = 1 THEN source END) AS top_source
+        FROM ranked GROUP BY lang
+        """
+    )
+
+
+ORACLES["sql_lang_report"] = """
+    WITH per AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang, source
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, source
+      ) AS rk
+      FROM per
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           max(CASE WHEN rk = 1 THEN source END) AS top_source
+    FROM ranked GROUP BY lang
+"""
+QUERIES["sql_lang_report"] = sql_lang_report_q
