@@ -192,6 +192,7 @@ HEADLINE = [
     "jsonl_ingest",
     "class_weights",
     "sql_lang_report",
+    "jl_project",
 ]
 
 

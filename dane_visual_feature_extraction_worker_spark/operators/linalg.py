@@ -89,3 +89,49 @@ def pca_components(gram_rows, dim: int, n_rows: int, k: int) -> np.ndarray:
     vals, vecs = np.linalg.eigh(g / max(n_rows, 1))
     order = np.argsort(vals)[::-1][:k]
     return vecs[:, order]
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a deterministic
+    Rademacher matrix (Achlioptas 2001: ±1 entries preserve pairwise
+    distances in expectation like Gaussian JL): 64 → 8 dims as a PURE
+    NARROW projection — at corpus scale this is the 8× bandwidth cut
+    that makes a first-pass ANN/clustering scan memory-bound instead
+    of hopeless, with the exact scan refining survivors.
+
+    Exactness (the pq_codes fixed-order-chain discipline): each output
+    component is the EXPLICIT left-to-right add chain
+    ``±x₀ ± x₁ ± … ± x₆₃`` over float32→double casts — no group-sum
+    reassociation anywhere, so any engine replays the identical IEEE
+    result — then 1e-6 floor-quantized to int64 micros. The sign
+    matrix comes from ``hyperplane_signs`` (md5 parity — pure data,
+    embeds as plan literals in Spark AND any SQL oracle).
+
+    Plan: zero exchanges, zero joins, whole-stage codegen — the
+    projection fuses into the scan like pq_codes' assignment.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    signs = hyperplane_signs(out_dims, in_dims, seed=seed)
+    cols = [F.col(id_col)]
+    for j in range(out_dims):
+        terms = " + ".join(
+            f"({'' if signs[j][d] == 1 else '-'}"
+            f"CAST({vec_col}[{d}] AS DOUBLE))"
+            for d in range(in_dims)
+        )
+        cols.append(
+            F.expr(f"CAST(floor(({terms}) * 1000000.0) AS BIGINT)").alias(
+                f"c{j}"
+            )
+        )
+    return emb.select(*cols)

@@ -8828,3 +8828,38 @@ ORACLES["sql_lang_report"] = """
     FROM ranked GROUP BY lang
 """
 QUERIES["sql_lang_report"] = sql_lang_report_q
+
+
+def jl_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher projection 64→8 dims (operators/linalg.jl_project):
+    explicit fixed-order add chains over the md5-parity sign matrix,
+    1e-6-floored int64 micros, zero exchanges — the bandwidth-cutting
+    first-pass scan for ANN/clustering at corpus scale."""
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import (
+        jl_project,
+    )
+
+    return jl_project(_embeddings(spark, sf_dir), out_dims=8, in_dims=64)
+
+
+def _jl_oracle() -> str:
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    signs = hyperplane_signs(8, 64, seed="jl")
+    sels = []
+    for j in range(8):
+        terms = " + ".join(
+            f"({'' if signs[j][d] == 1 else '-'}"
+            f"CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(64)
+        )
+        sels.append(
+            f"CAST(floor(({terms}) * 1000000.0) AS BIGINT) AS c{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(sels) + " FROM embeddings"
+
+
+ORACLES["jl_project"] = _jl_oracle()
+QUERIES["jl_project"] = jl_project_q

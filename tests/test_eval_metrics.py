@@ -149,3 +149,44 @@ def test_ndcg_formula_parity_on_imperfect_ranking(spark):
     assert row["dcg_micro"] == dcg
     assert row["idcg_micro"] == idcg
     assert row["ndcg"] == (dcg * 10**6) // idcg / 1e6
+
+
+def test_jl_project_numpy_parity_and_distance_preservation(spark):
+    import numpy as np
+
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import jl_project
+    from dane_visual_feature_extraction_worker_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: [r[f"c{j}"] for j in range(8)]
+        for r in jl_project(emb, out_dims=8, in_dims=64).collect()
+    }
+    S = np.array(hyperplane_signs(8, 64, seed="jl"), dtype=np.float64)
+
+    # numpy parity: same fixed-order chain = plain left-to-right sum
+    for i in range(40):
+        ref = []
+        for j in range(8):
+            acc = 0.0
+            for d in range(64):
+                x = float(np.float64(vecs[i, d]))
+                acc = acc + (x if S[j, d] == 1 else -x)
+            ref.append(int(np.floor(acc * 1e6)))
+        assert out[i] == ref, i
+
+    # JL property (sanity, not exactness): projected squared distances
+    # scaled by 1/out_dims approximate original squared distances
+    P = (S @ vecs.T.astype(np.float64)).T / np.sqrt(8)
+    orig = ((vecs[:20, None, :] - vecs[None, :20, :]) ** 2).sum(-1)
+    proj = ((P[:20, None, :] - P[None, :20, :]) ** 2).sum(-1)
+    iu = np.triu_indices(20, 1)
+    ratio = proj[iu] / orig[iu]
+    assert 0.3 < ratio.mean() < 1.7
