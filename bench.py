@@ -193,6 +193,7 @@ HEADLINE = [
     "class_weights",
     "sql_lang_report",
     "jl_project",
+    "dedup_best",
 ]
 
 

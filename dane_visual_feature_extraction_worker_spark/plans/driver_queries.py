@@ -8863,3 +8863,122 @@ def _jl_oracle() -> str:
 
 ORACLES["jl_project"] = _jl_oracle()
 QUERIES["jl_project"] = jl_project_q
+
+
+def dedup_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor SELECTION policy over near-dup clusters: keep the BEST
+    doc per cluster — max quality, then max n_tokens, then min doc_id —
+    not the first-seen (dedup_first) or the id-min (the CC label).
+    Production curation keeps the highest-quality representative of
+    each near-dup family; this key composes near_dup_clusters +
+    quality_score and reduces with ONE map-side-combined
+    max(struct(quality, n_tokens, -doc_id)) per cluster — lexicographic
+    struct max, no window sort over the corpus."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        quality_score as _qs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    clusters = connected_components(
+        minhash_lsh_pairs(docs), docs.select("doc_id")
+    )
+    q = _qs(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 1e6).cast("bigint").alias("__qm"),
+        F.col("n_tokens"),
+    )
+    j = clusters.join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("__qm"),
+                F.col("n_tokens"),
+                (-F.col("doc_id")).alias("__nd"),
+            )
+        ).alias("__b"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("__b.__nd")).cast("bigint").alias("survivor_id"),
+        (F.col("__b.__qm").cast("double") / 1e6).alias("quality"),
+        "n_docs",
+    )
+
+
+ORACLES["dedup_best"] = r"""
+    WITH RECURSIVE arr AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS shingle
+      FROM arr WHERE len(a) >= 3
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+      UNION
+      SELECT e.t, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node
+    ), t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(round((
+               CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN len(toks) > 0
+                     AND n_chars * 1.0 / len(toks) >= 2.0
+                     AND n_chars * 1.0 / len(toks) <= 12.0
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(toks) > 0 AND
+                    len(list_filter(toks, x -> list_contains(
+                      ['the','a','of','to','and','in','is','it','for','on'],
+                      x))) * 1.0 / len(toks) > 0.02
+                    THEN 0.3 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS qm
+      FROM t
+    ), j AS (
+      SELECT c.cluster_id, c.doc_id, q.qm, q.n_tokens
+      FROM clusters c JOIN q USING (doc_id)
+    ), ranked AS (
+      SELECT cluster_id, doc_id, qm,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_docs,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY qm DESC, n_tokens DESC, doc_id ASC
+             ) AS rk
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(qm AS DOUBLE) / 1000000.0 AS quality, n_docs
+    FROM ranked WHERE rk = 1
+"""
+QUERIES["dedup_best"] = dedup_best_q

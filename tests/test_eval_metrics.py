@@ -190,3 +190,21 @@ def test_jl_project_numpy_parity_and_distance_preservation(spark):
     iu = np.triu_indices(20, 1)
     ratio = proj[iu] / orig[iu]
     assert 0.3 < ratio.mean() < 1.7
+
+
+def test_dedup_best_survivor_policy(spark, monkeypatch):
+    import dane_visual_feature_extraction_worker_spark.plans.driver_queries as dq
+
+    # docs 0/1/2 share identical text -> one LSH cluster; quality and
+    # n_tokens tie, so the min-id tie-break picks 0. doc 7 is alone.
+    txt = "the scan merge vector pipeline runs the full corpus nightly"
+    docs = spark.createDataFrame(
+        [(0, txt), (1, txt), (2, txt), (7, "unrelated solitary text body")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dq, "_documents", lambda s, d: docs)
+    out = {r["cluster_id"]: r for r in dq.QUERIES["dedup_best"](
+        spark, "unused"
+    ).collect()}
+    assert out[0]["survivor_id"] == 0 and out[0]["n_docs"] == 3
+    assert out[7]["survivor_id"] == 7 and out[7]["n_docs"] == 1
