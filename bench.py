@@ -194,6 +194,10 @@ HEADLINE = [
     "sql_lang_report",
     "jl_project",
     "dedup_best",
+    "pr_at_k",
+    "bloom_export",
+    "lifetime_features",
+    "ngram_novelty",
 ]
 
 

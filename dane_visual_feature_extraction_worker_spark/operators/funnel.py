@@ -115,3 +115,43 @@ def retention_matrix(
         .agg(F.countDistinct(entity).alias("n_entities"))
         .select("cohort", "offset_days", "n_entities")
     )
+
+
+def lifetime_features(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-entity lifetime feature block: first/last seen, tenure days,
+    distinct active days, event count — the RFM block's temporal
+    sibling (recency measures distance from a cutoff; tenure/activity
+    measure the span and density of the whole history).
+
+    Exactness: timestamps reduce to integer epoch-micros min/max;
+    tenure_days and active-day ids are integer `div`s of positive
+    epochs. Plan: ONE exchange on entity — min/max/count and the
+    distinct-day count share the same aggregation (Spark plans the
+    single distinct column with a partial expand on the same key, no
+    second corpus shuffle).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    day = F.expr(
+        f"cast(unix_micros(cast({ts} as timestamp)) div 86400000000 "
+        "as bigint)"
+    )
+    per = df.groupBy(entity).agg(
+        F.min(us).cast("bigint").alias("first_us"),
+        F.max(us).cast("bigint").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(day).cast("bigint").alias("active_days"),
+    )
+    return per.select(
+        entity,
+        "first_us",
+        "last_us",
+        F.expr("(last_us - first_us) div 86400000000")
+        .cast("bigint")
+        .alias("tenure_days"),
+        "active_days",
+        "n_events",
+    )

@@ -277,3 +277,58 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def precision_recall_at_k(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    query_terms: list[str],
+    ranked: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Precision@k / Recall@k of a retrieval result against binary
+    term-overlap relevance (relevant = doc contains ≥1 query term) —
+    the set-based eval next to ndcg_at_k's graded one.
+
+    Exactness: hits and the relevant-total are exact counts;
+    P@k = hits·1e6 DIV k and R@k = hits·1e6 DIV n_relevant are integer
+    quotients (R NULL when the corpus has no relevant docs).
+
+    Plan: relevance is a narrow array_intersect flag fused into the
+    scan; n_relevant is ONE map-side-combined count; the ranked list
+    is k rows, so the hit join is broadcast-trivial. ONE output row.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    rel_flag = (
+        F.size(F.array_intersect(F.array_distinct(tokens_col), terms)) > 0
+    )
+    rel = docs.select(F.col(id_col).alias("id"), rel_flag.alias("__rel"))
+    n_rel = rel.agg(
+        F.sum(F.col("__rel").cast("bigint")).cast("bigint").alias(
+            "n_relevant"
+        )
+    )
+    hits = (
+        ranked.select(F.col(id_col).alias("id"))
+        .limit(k)
+        .join(rel, "id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+            F.sum(F.coalesce(F.col("__rel").cast("bigint"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    return hits.crossJoin(F.broadcast(n_rel)).select(
+        "n_retrieved",
+        "n_relevant",
+        "hits",
+        (F.expr(f"(hits * 1000000) div {k}").cast("double") / 1e6).alias(
+            "p_at_k"
+        ),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.expr("(hits * 1000000) div n_relevant").cast("double") / 1e6,
+        ).alias("r_at_k"),
+    )

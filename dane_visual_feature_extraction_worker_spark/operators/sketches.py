@@ -178,3 +178,50 @@ def cms_estimates(
         F.coalesce("exact_count", F.lit(0).cast("bigint")).alias("exact_count"),
         "cms_estimate",
     )
+
+
+def bloom_export(
+    df: DataFrame,
+    key: F.Column,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Portable Bloom filter AS DATA: the cross-system membership
+    interchange sketch — ship these 32 rows to another pipeline and it
+    can pre-filter candidate joins against your key set without ever
+    seeing the keys (Spark's own bloom_filter_agg is opaque binary;
+    this layout any engine can build, merge and probe).
+
+    Layout: ``m_bits`` bits in 32-bit words stored in int64 (bit 31 is
+    the highest used — avoids the signed <<63 overflow DuckDB rejects
+    and Spark silently wraps); ``k`` bit positions per key from
+    DISJOINT 8-hex slices of md5(key) (the hashed_cross fold — engine-
+    neutral). Merge of two exports = bit_or by word; probe = all k
+    words AND-match.
+
+    Plan: narrow k-position explode → ONE map-side-combined bit_or per
+    word — the exchange carries ≤ 32·tasks partial words, never keys.
+    Output: (word, bits, n_keys) — n_keys rides the same rollup for
+    saturation/FPR accounting (fpr ≈ (1 − e^{−kn/m})^k).
+    """
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    if not 1 <= k <= 3:
+        raise ValueError(f"k must be 1..3 (md5 has 3 disjoint 8-hex slices + 8 spare), got {k}")
+    hx = F.md5(key.cast("string"))
+    pos = [
+        F.conv(F.substring(hx, 1 + 8 * j, 8), 16, 10).cast("bigint")
+        % F.lit(m_bits)
+        for j in range(k)
+    ]
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    exploded = df.select(
+        F.explode(F.array(*pos)).alias("__p")
+    ).select(
+        F.expr("__p div 32").cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").alias(
+            "__b"
+        ),
+    )
+    words = exploded.groupBy("word").agg(F.bit_or("__b").alias("bits"))
+    return words.crossJoin(F.broadcast(n)).select("word", "bits", "n_keys")

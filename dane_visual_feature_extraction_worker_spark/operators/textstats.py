@@ -670,3 +670,72 @@ def dataset_card(
             F.col("__chars").cast("double") / F.col("n_docs").cast("double")
         ).alias("mean_chars"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    3-token shingles that appear in NO other document — the "how much
+    of this text is new to the corpus" quality signal (boilerplate and
+    template spam score near 0; original prose near 1). The per-doc
+    twin of stopword_discovery's corpus view.
+
+    Exactness: novelty = novel·1e6 DIV n_shingles (integer quotient);
+    docs with < 3 tokens have no shingles and are ABSENT from the
+    report ("no evidence" is not "all boilerplate") — left-join at the
+    call site to flag them explicitly.
+
+    Plan: the standard inverted-index shape — distinct (doc, shingle)
+    reduction (one exchange), shingle document-frequency rollup
+    (second exchange on the shingle key, uniform by construction),
+    then the df=1 flag folds back along the SAME shingle partitioning
+    and rolls up to |docs| rows. The raw token stream never shuffles.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    sh = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("__t") - F.lit(3)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__t"), i + 1),
+                        F.element_at(F.col("__t"), i + 2),
+                        F.element_at(F.col("__t"), i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("novel"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "novel",
+        (
+            F.expr("(novel * 1000000) div n_shingles").cast("double") / 1e6
+        ).alias("novelty"),
+    )

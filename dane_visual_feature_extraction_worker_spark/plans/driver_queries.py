@@ -8982,3 +8982,207 @@ ORACLES["dedup_best"] = r"""
     FROM ranked WHERE rk = 1
 """
 QUERIES["dedup_best"] = dedup_best_q
+
+
+def pr_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 of the BM25 ranking against binary
+    term-overlap relevance (operators/retrieval.precision_recall_at_k):
+    exact counts, integer micro quotients, one output row."""
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        bm25_topk,
+        precision_recall_at_k,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    ranked = bm25_topk(
+        d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
+    )
+    return precision_recall_at_k(
+        d, F.col("__t"), ["scan", "merge", "vector"], ranked, k=10
+    )
+
+
+ORACLES["pr_at_k"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dls),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('scan', 'merge', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    t AS (
+      SELECT p.doc_id,
+             CAST(floor(ln(2 * s.n + 2) * 1e6) AS BIGINT)
+               - CAST(floor(ln(2 * f.df + 1) * 1e6) AS BIGINT) AS idf,
+             CAST(22 AS HUGEINT) * p.tf * s.tl AS num,
+             CAST(10 AS HUGEINT) * p.tf * s.tl
+               + CAST(3 AS HUGEINT) * s.tl
+               + CAST(9 AS HUGEINT) * d.dl * s.n AS den
+      FROM post p JOIN dls d USING (doc_id) JOIN dfreq f USING (term)
+      CROSS JOIN scal s
+    ),
+    lexsc AS (
+      SELECT doc_id,
+             sum(CAST(floor(CAST(CAST(idf AS HUGEINT) * num AS DOUBLE)
+                            / CAST(den AS DOUBLE)) AS BIGINT)) AS micro
+      FROM t GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id FROM lexsc ORDER BY micro DESC, doc_id LIMIT 10
+    ),
+    rel AS (
+      SELECT doc_id,
+             len(list_intersect(
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x <> '')),
+               ['scan', 'merge', 'vector'])) > 0 AS r
+      FROM documents
+    ),
+    nrel AS (
+      SELECT CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant
+      FROM rel
+    ),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(CASE WHEN rel.r THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM ranked LEFT JOIN rel USING (doc_id)
+    )
+    SELECT n_retrieved, n_relevant, hits,
+           CAST((hits * 1000000) // 10 AS DOUBLE) / 1000000.0 AS p_at_k,
+           CASE WHEN n_relevant > 0 THEN
+             CAST((hits * 1000000) // n_relevant AS DOUBLE) / 1000000.0
+           END AS r_at_k
+    FROM h, nrel
+"""
+QUERIES["pr_at_k"] = pr_at_k_q
+
+
+def bloom_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter of the documents' text digests
+    (operators/sketches.bloom_export): 1024 bits in 32 int64 words,
+    3 md5-slice hashes per key, merged with ONE map-side-combined
+    bit_or — the cross-system membership interchange sketch."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        bloom_export,
+    )
+
+    d = _documents(spark, sf_dir).select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__k")
+    )
+    return bloom_export(d, F.col("__k"), m_bits=1024, k=3)
+
+
+ORACLES["bloom_export"] = """
+    WITH keys AS (
+      SELECT md5(md5(coalesce(text, ''))) AS hx FROM documents
+    ), pos AS (
+      SELECT unnest([
+        ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) % 1024,
+        ((strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(hx, 13, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(hx, 14, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 16, 1)) - 1)) % 1024,
+        ((strpos('0123456789abcdef', substr(hx, 17, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substr(hx, 18, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substr(hx, 19, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substr(hx, 20, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(hx, 21, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(hx, 22, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(hx, 23, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 24, 1)) - 1)) % 1024
+      ]) AS p
+      FROM keys
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys FROM documents
+    )
+    SELECT CAST(p // 32 AS INT) AS word,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT)
+             AS bits,
+           n.n_keys
+    FROM pos, n GROUP BY 1, 3
+"""
+QUERIES["bloom_export"] = bloom_export_q
+
+
+def lifetime_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime block (operators/funnel.lifetime_features):
+    first/last epoch-micros, integer tenure days, distinct active
+    days, event count — ONE exchange on the entity key."""
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        lifetime_features,
+    )
+
+    return lifetime_features(_events(spark, sf_dir))
+
+
+ORACLES["lifetime_features"] = """
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+           CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+                AS BIGINT) AS tenure_days,
+           CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+             AS active_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
+QUERIES["lifetime_features"] = lifetime_features_q
+
+
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (operators/textstats.ngram_novelty): the
+    share of a doc's distinct shingles appearing in no other document —
+    integer micro quotient over the standard inverted-index shape."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_documents(spark, sf_dir))
+
+
+ORACLES["ngram_novelty"] = r"""
+    WITH arr AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS shingle
+      FROM arr WHERE len(a) >= 3
+    ), dfreq AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    ), per AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel
+      FROM sh s JOIN dfreq d USING (shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, novel,
+           CAST((novel * 1000000) // n_shingles AS DOUBLE) / 1000000.0
+             AS novelty
+    FROM per
+"""
+QUERIES["ngram_novelty"] = ngram_novelty_q

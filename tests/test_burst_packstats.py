@@ -141,3 +141,111 @@ def test_class_weights_formula(spark, monkeypatch):
     assert out[0]["n"] == 6 and out[0]["weight"] == (12 * 10**6) // 18 / 1e6
     assert out[1]["n"] == 2 and out[1]["weight"] == (12 * 10**6) // 6 / 1e6
     assert out[2]["n"] == 4 and out[2]["weight"] == (12 * 10**6) // 12 / 1e6
+
+
+def test_bloom_export_bits_and_probe(spark):
+    import hashlib
+
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        bloom_export,
+    )
+
+    keys = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    out = {r["word"]: r["bits"] for r in bloom_export(
+        df, F.col("k"), m_bits=256, k=3
+    ).collect()}
+
+    words = {}
+    for kk in keys:
+        hx = hashlib.md5(kk.encode()).hexdigest()
+        for j in range(3):
+            p = int(hx[8 * j: 8 * j + 8], 16) % 256
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    assert out == words
+    # probe: every inserted key finds all its bits set
+    for kk in keys:
+        hx = hashlib.md5(kk.encode()).hexdigest()
+        for j in range(3):
+            p = int(hx[8 * j: 8 * j + 8], 16) % 256
+            assert out[p // 32] & (1 << (p % 32))
+
+
+def test_bloom_export_validations(spark):
+    import pytest
+
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        bloom_export,
+    )
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        bloom_export(df, F.col("k"), m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_export(df, F.col("k"), k=4)
+
+
+def test_lifetime_features_exact(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        lifetime_features,
+    )
+
+    day = 86400
+    rows = [
+        (1, 10), (1, 10 + day), (1, 10 + day + 100), (1, 10 + 3 * day),
+        (2, 500),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = {r["user_id"]: r for r in lifetime_features(ev).collect()}
+    u1 = out[1]
+    assert u1["tenure_days"] == 3
+    assert u1["active_days"] == 3  # days 0, 1, 3
+    assert u1["n_events"] == 4
+    u2 = out[2]
+    assert (u2["tenure_days"], u2["active_days"], u2["n_events"]) == (0, 1, 1)
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # shingles: "a b c", "b c d"
+            (1, "a b c x y"),      # shares "a b c"; unique "b c x", "c x y"
+            (2, "zz"),             # < 3 tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0]["n_shingles"], out[0]["novel"]) == (2, 1)
+    assert out[0]["novelty"] == (1 * 10**6) // 2 / 1e6
+    assert (out[1]["n_shingles"], out[1]["novel"]) == (3, 2)
+
+
+def test_precision_recall_at_k_exact(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        precision_recall_at_k,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ["scan", "x"]), (1, ["merge"]), (2, ["y"]),
+            (3, ["vector", "z"]), (4, ["w"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    # retrieved: 0 (rel), 2 (not), 3 (rel) at k=3
+    ranked = spark.createDataFrame(
+        [(0, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, bm25 double"
+    )
+    row = precision_recall_at_k(
+        docs, F.col("toks"), ["scan", "merge", "vector"], ranked, k=3
+    ).collect()[0]
+    assert (row["n_retrieved"], row["n_relevant"], row["hits"]) == (3, 3, 2)
+    assert row["p_at_k"] == (2 * 10**6) // 3 / 1e6
+    assert row["r_at_k"] == (2 * 10**6) // 3 / 1e6
