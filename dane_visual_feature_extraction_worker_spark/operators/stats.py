@@ -401,7 +401,11 @@ def ks_drift(
     cut = df.agg(((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut"))
     cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
     counts = (
-        df.crossJoin(F.broadcast(cut))
+        # null values carry no distribution evidence AND would group
+        # into a NULL cent whose window position differs across engines
+        # (Spark orders NULLS FIRST, DuckDB NULLS LAST) — exclude them
+        df.where(F.col(value).isNotNull())
+        .crossJoin(F.broadcast(cut))
         .select(
             cents.alias("__c"),
             F.when(us <= F.col("__cut"), 1).otherwise(0).alias("__h1"),
@@ -475,6 +479,12 @@ def _contingency_2x2(
         scoped_persist,
     )
 
+    # NULL-category semantics: collect_set DROPS nulls, so a NULL
+    # category never forms a report row here — a SQL twin must filter
+    # them explicitly (WHERE category IS NOT NULL in its presence CTE)
+    # or it will emit a NULL-cat row this plan never produces. Entities
+    # whose only categories are NULL still count in the population via
+    # the sentinel row.
     sentinel = "\x00__all__"
     per_ent = (
         df.select(F.col(entity).alias("__e"), F.col(category).alias("__cat"))
@@ -654,7 +664,11 @@ def auc_exact(
     """
     d38 = "decimal(38,0)"
     counts = (
+        # null scores/labels carry no ranking evidence AND a NULL score
+        # group's window position differs across engines (Spark NULLS
+        # FIRST, DuckDB NULLS LAST) — exclude them
         df.select(score.cast("bigint").alias("__s"), label.alias("__y"))
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
         .groupBy("__s")
         .agg(
             F.sum("__y").cast("bigint").alias("p"),

@@ -692,7 +692,11 @@ def burst_windows(
         " as bigint)"
     )
     cnt = (
+        # a NULL window id (null ts) would sort differently across
+        # engines in the RANGE frame (Spark NULLS FIRST, DuckDB NULLS
+        # LAST) — untimestamped events can't be windowed; exclude them
         df.select(F.col(entity).alias("__e"), win.alias("win"))
+        .where(F.col("win").isNotNull())
         .groupBy("__e", "win")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

@@ -8293,6 +8293,7 @@ ORACLES["chi2_select"] = """
       FROM per
     ), pres AS (
       SELECT DISTINCT e.user_id, e.event_type FROM events e
+      WHERE e.event_type IS NOT NULL
     ), cell AS (
       SELECT p.event_type AS cat,
              CAST(sum(r.y) AS BIGINT) AS a,
@@ -8392,6 +8393,7 @@ ORACLES["mutual_info"] = """
       FROM per
     ), pres AS (
       SELECT DISTINCT e.user_id, e.event_type FROM events e
+      WHERE e.event_type IS NOT NULL
     ), cell AS (
       SELECT p.event_type AS cat,
              CAST(sum(r.y) AS BIGINT) AS a,

@@ -184,3 +184,44 @@ def test_hashed_bow_collisions_cancel_by_sign(spark):
     out = hashed_bow(docs, F.col("toks"), n_buckets=16).collect()
     got = {(r["doc_id"], r["bucket"]): r["v"] for r in out}
     assert got[(0, b)] == 0
+
+
+def test_null_inputs_excluded_consistently(spark):
+    """NULL scores/values/timestamps/categories are excluded, not
+    grouped — the engine-divergent NULL-ordering class (Spark windows
+    put NULLS FIRST, DuckDB NULLS LAST) can never reach a window."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        auc_exact,
+        chi2_select,
+        ks_drift,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        burst_windows,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1, 0, 1.0, "view"),
+            (1, 1, 60, None, "view"),       # null value
+            (2, 2, None, 2.0, "click"),     # null ts
+            (3, 2, 120, 3.0, None),         # null category
+            (4, 3, 180, 4.0, "error"),
+        ],
+        "event_id long, user_id long, epoch long, value double, "
+        "event_type string",
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("epoch").alias("ts"), "value", "event_type",
+    )
+    row = ks_drift(ev).collect()[0]
+    assert row["n1"] + row["n2"] == 4  # null value dropped
+    a = auc_exact(
+        ev, (F.col("value") * 100).cast("bigint"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0),
+    ).collect()[0]
+    assert a["pos"] + a["neg"] == 4
+    b = burst_windows(ev).collect()
+    assert all(r["win"] is not None for r in b)
+    assert sum(r["cnt"] for r in b) == 4  # null ts dropped
+    cats = {r["cat"] for r in chi2_select(ev).collect()}
+    assert None not in cats and cats == {"view", "click", "error"}
