@@ -208,3 +208,54 @@ def test_dedup_best_survivor_policy(spark, monkeypatch):
     ).collect()}
     assert out[0]["survivor_id"] == 0 and out[0]["n_docs"] == 3
     assert out[7]["survivor_id"] == 7 and out[7]["n_docs"] == 1
+
+
+def test_auc_and_ks_random_parity(spark):
+    """Seeded random datasets: histogram AUC == brute-force pairwise
+    AUC and windowed KS == brute-force ECDF max, including heavy-tie
+    and skewed distributions."""
+    import math
+    import random
+
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        auc_exact,
+        ks_drift,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 60
+        # small score domain -> many ties (the hard case)
+        pairs = [
+            (rng.randrange(6), rng.randrange(2)) for _ in range(n)
+        ]
+        if not any(y for _, y in pairs):
+            pairs[0] = (pairs[0][0], 1)
+        if all(y for _, y in pairs):
+            pairs[0] = (pairs[0][0], 0)
+        df = spark.createDataFrame(pairs, "s long, y int")
+        row = auc_exact(df, F.col("s"), F.col("y")).collect()[0]
+        assert row["auc"] == math.floor(_brute_auc(pairs) * 1e6) / 1e6, trial
+
+        vals1 = [round(rng.uniform(0, 3), 2) for _ in range(30)]
+        vals2 = [round(rng.uniform(0.5, 3.5), 2) for _ in range(25)]
+        rows = [(i, i, v) for i, v in enumerate(vals1)] + [
+            (100 + i, 1001 + i, v) for i, v in enumerate(vals2)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, epoch long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+        )
+        k = ks_drift(ev).collect()[0]
+        c1 = [round(v * 100) for v in vals1]
+        c2 = [round(v * 100) for v in vals2]
+        grid = sorted(set(c1) | set(c2))
+        d = max(
+            abs(
+                sum(1 for x in c1 if x <= g) * len(c2)
+                - sum(1 for x in c2 if x <= g) * len(c1)
+            )
+            for g in grid
+        ) / (len(c1) * len(c2))
+        assert k["ks"] == math.floor(d * 1e6) / 1e6, trial
