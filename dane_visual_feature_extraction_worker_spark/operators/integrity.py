@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: ASCII unit separator — cannot appear in the digested payload
 #: rendering, so concatenation is injective.
@@ -59,5 +59,94 @@ def ordered_digest(
             F.md5(
                 F.concat_ws(_SEP, F.transform("__xs", lambda x: x["__p"]))
             ).alias("digest"),
+        )
+    )
+
+
+def pit_leak_audit(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    anchor_mod: int = 16,
+    anchor_key: str = "event_id",
+) -> DataFrame:
+    """Temporal-leakage audit: recompute each anchor's cumulative
+    point-in-time aggregates by TWO independent plans and certify they
+    agree — the runnable form of the north rule's "no feature reads
+    turns with ts greater than the anchor".
+
+    Path A is the engine's own shape (running count + exact cents sum
+    over ``ROWS UNBOUNDED PRECEDING .. CURRENT ROW``). Path B is the
+    definitional one: join every audited anchor to the entity's rows
+    and aggregate those with (order) <= anchor's (order) — the frame
+    is re-derived from the raw predicate, so a window that silently
+    read the future would disagree with it. The report is per entity:
+    anchors audited, count/sum mismatches (0 on a leak-free engine),
+    and an order-insensitive checksum of path-A values so the gate
+    hashes real data, not just zeros.
+
+    Scale: path B is quadratic per entity by definition, so anchors
+    are deterministically sampled (``anchor_key % anchor_mod == 0``) —
+    the audit costs |rows| x |anchors|/entity via one broadcast-able
+    join per entity partition; at 10^12 turns run it on a sampled
+    entity slice the same way. Rows with NULL order keys are excluded
+    (their frame membership is engine-NULL-ordering-dependent).
+    """
+    if anchor_key != order[-1]:
+        raise ValueError("anchor_key must be the last order column")
+    oc = [F.col(c) for c in order]
+    notnull = df.where(F.col(entity).isNotNull())
+    for c in order:
+        notnull = notnull.where(F.col(c).isNotNull())
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*oc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Path A: the engine's windowed shape
+    a = notnull.select(
+        F.col(entity).alias("__e"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order)],
+        F.count(F.lit(1)).over(w).alias("__cnt_w"),
+        F.sum(cents).over(w).alias("__sum_w"),
+    ).where((F.col(f"__o{len(order) - 1}").isNotNull()))
+    anchors = a.where(F.col(f"__o{len(order) - 1}") % anchor_mod == 0)
+    # Path B: definitional re-derivation via join + predicate
+    rows = notnull.select(
+        F.col(entity).alias("__e2"),
+        *[F.col(c).alias(f"__r{i}") for i, c in enumerate(order)],
+        cents.alias("__cents"),
+    )
+    cond = F.col("__e2") == F.col("__e")
+    # lexicographic (order) <= anchor
+    lex = F.lit(False)
+    for i in range(len(order) - 1, -1, -1):
+        lt = F.col(f"__r{i}") < F.col(f"__o{i}")
+        eq = F.col(f"__r{i}") == F.col(f"__o{i}")
+        lex = lt | (eq & lex) if i < len(order) - 1 else lt
+    eq_all = F.lit(True)
+    for i in range(len(order)):
+        eq_all = eq_all & (F.col(f"__r{i}") == F.col(f"__o{i}"))
+    joined = anchors.join(rows, cond & (lex | eq_all), "inner")
+    b = joined.groupBy(
+        "__e", *[f"__o{i}" for i in range(len(order))], "__cnt_w", "__sum_w"
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt_j"),
+        F.sum("__cents").alias("__sum_j"),
+    )
+    return (
+        b.groupBy(F.col("__e").alias(entity))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(
+                (F.col("__cnt_j") != F.col("__cnt_w")).cast("bigint")
+            ).alias("n_count_leaks"),
+            F.sum(
+                (F.col("__sum_j") != F.col("__sum_w")).cast("bigint")
+            ).alias("n_sum_leaks"),
+            F.sum("__cnt_w").alias("sum_counts"),
+            F.sum("__sum_w").alias("sum_cents"),
         )
     )

@@ -1,0 +1,109 @@
+"""Per-type recency features — "how long since the last X" at each anchor.
+
+The reference worker's feature rows are keyed by timestamp and its
+provenance records carry the source event's own clock
+(data_handling.py:33, worker.py provenance block); a production
+point-in-time pipeline widens that into per-TYPE recency: at every
+anchor turn, the time since the entity's most recent *user* turn, most
+recent *tool* call, most recent *error*, … Staleness gates ("don't
+trust a feature older than X") and response-latency metrics
+(user→assistant turnaround) are both this one shape.
+
+Exactness contract: all gaps are integer epoch MICROSECONDS (int64) —
+no float timestamps anywhere — so a SQL twin replays bit for bit.
+
+Plan shape: ONE exchange + ONE sort per call. Each per-type recency is
+a conditional running MAX over the entity's ordered stream
+(``max(CASE WHEN type=t THEN ts_us END)`` with a
+``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` frame), so K types cost K
+window expressions over the SAME window spec — Spark evaluates them in
+one Window physical operator on one partitioning. No joins, no
+per-type passes. At 10^12 turns this is the same single-exchange class
+as lag/lead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _us(ts: str) -> F.Column:
+    return F.unix_micros(F.col(ts).cast("timestamp"))
+
+
+def last_seen_gaps(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    order: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    types: Sequence[str] = ("click", "view", "purchase"),
+) -> DataFrame:
+    """At each anchor row: micros since the entity's most recent
+    STRICTLY PRECEDING row of each type in ``types`` (NULL before the
+    first sighting — cold start is "never seen", not zero).
+
+    The strictly-preceding frame (``1 PRECEDING``) is the leakage
+    guard: an anchor of type t does not see itself, so
+    ``since_<t>_us`` is always computed from the PAST even for t's own
+    rows. Rows with NULL timestamps are excluded up front (their frame
+    position differs between engines' NULL orderings and a NULL anchor
+    has no meaningful recency).
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    anchor_us = _us(ts)
+    cols = [F.col(c) for c in order] + [F.col(entity)]
+    for t in types:
+        last_t = F.max(
+            F.when(F.col(type_col) == t, _us(ts))
+        ).over(w)
+        safe = "".join(ch if ch.isalnum() else "_" for ch in t)
+        cols.append((anchor_us - last_t).alias(f"since_{safe}_us"))
+    return df.where(F.col(ts).isNotNull()).select(*cols)
+
+
+def response_latency(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    order: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    trigger: str = "view",
+    response: str = "click",
+) -> DataFrame:
+    """Trigger→response turnaround: for each ``response``-type row, the
+    integer micros since the entity's most recent strictly-preceding
+    ``trigger``-type row (NULL when no trigger has occurred yet) — the
+    user→assistant latency feature on transcript schemas.
+
+    Same one-exchange conditional-window plan as
+    :func:`last_seen_gaps`; the response filter is applied AFTER the
+    window (the frame must see all rows) but prunes the output to the
+    response rows only.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_trigger = F.max(
+        F.when(F.col(type_col) == trigger, _us(ts))
+    ).over(w)
+    return (
+        df.where(F.col(ts).isNotNull())
+        .select(
+            *[F.col(c) for c in order],
+            F.col(entity),
+            F.col(type_col),
+            (_us(ts) - last_trigger).alias("latency_us"),
+        )
+        .where(F.col(type_col) == response)
+        .drop(type_col)
+    )

@@ -720,3 +720,74 @@ def burst_windows(
             > F.lit(factor) * F.col("trailing_sum")
         ),
     )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    k: int = 16,
+) -> DataFrame:
+    """Trailing-window lag-1 AUTOCORRELATION of ``value`` per entity —
+    "is this metric momentum or noise" as a PIT-safe feature (the
+    second-moment sibling of rolling_slope's trend).
+
+    Over the entity's last ``k`` rows the (y_{i-1}, y_i) pairs give
+    Pearson r in closed form from five sums. As in rolling_slope the
+    frame is materialized as a bounded collect_list of exact cents
+    (≤ k elements) and ALL five sums are exact int64 ``aggregate``
+    folds over it (x = frame minus last element, y = frame minus
+    first, via ``slice``) — so the only float ops are the final two
+    multiplies, one sqrt and one divide of exactly-reconstructed
+    doubles, identical IEEE ops in any engine, then floor-rounded to
+    micros. Frames with < 3 rows (< 2 pairs) or zero variance on
+    either side yield NULL. ONE exchange + one sort on the entity.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(k - 1), 0)
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    with_frame = df.select(
+        *order, entity, F.collect_list(cents).over(w).alias("__ys")
+    )
+    m = F.size("__ys")
+    # x = ys[0..m-2], y = ys[1..m-1]; n = m-1 pairs
+    sx = F.expr(
+        "aggregate(slice(__ys, 1, size(__ys) - 1), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+    sy = F.expr(
+        "aggregate(slice(__ys, 2, size(__ys) - 1), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+    sxx = F.expr(
+        "aggregate(slice(__ys, 1, size(__ys) - 1), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v * v)"
+    )
+    syy = F.expr(
+        "aggregate(slice(__ys, 2, size(__ys) - 1), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v * v)"
+    )
+    sxy = F.expr(
+        "aggregate(zip_with(slice(__ys, 1, size(__ys) - 1),"
+        " slice(__ys, 2, size(__ys) - 1), (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    n = (m - 1).cast("bigint")
+    num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    r = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.floor(num / F.sqrt(vx * vy) * F.lit(1_000_000.0))
+        / F.lit(1_000_000.0),
+    ).otherwise(F.lit(None).cast("double"))
+    return with_frame.select(
+        *order,
+        entity,
+        m.cast("int").alias("frame_len"),
+        r.alias("autocorr"),
+    )

@@ -9188,3 +9188,162 @@ ORACLES["ngram_novelty"] = r"""
     FROM per
 """
 QUERIES["ngram_novelty"] = ngram_novelty_q
+
+
+def pit_leak_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage audit (operators/integrity.pit_leak_audit): the
+    engine re-derives each sampled anchor's PIT running count/cents-sum
+    from the raw <= predicate via a join and certifies it equals the
+    windowed path (n_*_leaks must be 0). The oracle computes the
+    windowed path only — a hash match proves the definitional join
+    agrees with an independent engine's window semantics."""
+    from dane_visual_feature_extraction_worker_spark.operators.integrity import (
+        pit_leak_audit,
+    )
+
+    return pit_leak_audit(_events(spark, sf_dir))
+
+
+ORACLES["pit_leak_audit"] = """
+    WITH nn AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ), a AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS cnt_w,
+             sum(cents) OVER w AS sum_w
+      FROM nn
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(0 AS BIGINT) AS n_count_leaks,
+           CAST(0 AS BIGINT) AS n_sum_leaks,
+           CAST(sum(cnt_w) AS BIGINT) AS sum_counts,
+           CAST(sum(sum_w) AS BIGINT) AS sum_cents
+    FROM a WHERE event_id % 16 = 0
+    GROUP BY user_id
+"""
+QUERIES["pit_leak_audit"] = pit_leak_audit_q
+
+
+def rolling_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16 lag-1 autocorrelation (operators/windows.
+    rolling_autocorr): five exact int64 sums folded from the bounded
+    frame, one sqrt/divide in double, floor-truncated to micros. The
+    oracle replays the pair sums via lag + 14-PRECEDING window sums —
+    an independent formulation of the same consecutive-pair algebra."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_autocorr,
+    )
+
+    e = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return rolling_autocorr(e, k=16)
+
+
+ORACLES["rolling_autocorr"] = """
+    WITH nn AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), lagd AS (
+      SELECT user_id, ts, event_id, cents,
+             lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM nn
+    ), sums AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER wm AS INTEGER) AS frame_len,
+             CAST(count(prev) OVER wp AS BIGINT) AS n,
+             CAST(sum(prev) OVER wp AS BIGINT) AS sx,
+             CAST(sum(CASE WHEN prev IS NOT NULL THEN cents END) OVER wp
+                  AS BIGINT) AS sy,
+             CAST(sum(prev * prev) OVER wp AS BIGINT) AS sxx,
+             CAST(sum(CASE WHEN prev IS NOT NULL THEN cents * cents END)
+                  OVER wp AS BIGINT) AS syy,
+             CAST(sum(prev * cents) OVER wp AS BIGINT) AS sxy
+      FROM lagd
+      WINDOW wm AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    )
+    SELECT ts, event_id, user_id, frame_len,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                THEN CAST(floor(
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000.0) AS BIGINT) / 1000000.0
+           END AS autocorr
+    FROM sums
+"""
+QUERIES["rolling_autocorr"] = rolling_autocorr_q
+
+
+def recency_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type recency (operators/recency.last_seen_gaps): micros since
+    the entity's most recent STRICTLY PRECEDING row of each event type
+    — K conditional running maxes over ONE window spec (one exchange,
+    one sort), NULL before first sighting."""
+    from dane_visual_feature_extraction_worker_spark.operators.recency import (
+        last_seen_gaps,
+    )
+
+    return last_seen_gaps(
+        _events(spark, sf_dir),
+        types=("click", "view", "purchase", "signup", "error"),
+    )
+
+
+ORACLES["recency_gaps"] = """
+    SELECT ts, event_id, user_id,
+           CAST(epoch_us(ts) - max(CASE WHEN event_type = 'click'
+                THEN epoch_us(ts) END) OVER w AS BIGINT) AS since_click_us,
+           CAST(epoch_us(ts) - max(CASE WHEN event_type = 'view'
+                THEN epoch_us(ts) END) OVER w AS BIGINT) AS since_view_us,
+           CAST(epoch_us(ts) - max(CASE WHEN event_type = 'purchase'
+                THEN epoch_us(ts) END) OVER w AS BIGINT)
+             AS since_purchase_us,
+           CAST(epoch_us(ts) - max(CASE WHEN event_type = 'signup'
+                THEN epoch_us(ts) END) OVER w AS BIGINT) AS since_signup_us,
+           CAST(epoch_us(ts) - max(CASE WHEN event_type = 'error'
+                THEN epoch_us(ts) END) OVER w AS BIGINT) AS since_error_us
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+QUERIES["recency_gaps"] = recency_gaps_q
+
+
+def response_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger->response turnaround (operators/recency.response_latency):
+    for each click, micros since the user's most recent strictly
+    preceding view — the user->assistant latency feature on transcript
+    schemas. Same one-exchange conditional-window plan."""
+    from dane_visual_feature_extraction_worker_spark.operators.recency import (
+        response_latency,
+    )
+
+    return response_latency(
+        _events(spark, sf_dir), trigger="view", response="click"
+    )
+
+
+ORACLES["response_latency"] = """
+    SELECT ts, event_id, user_id, latency_us FROM (
+      SELECT ts, event_id, user_id, event_type,
+             CAST(epoch_us(ts) - max(CASE WHEN event_type = 'view'
+                  THEN epoch_us(ts) END) OVER w AS BIGINT) AS latency_us
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE event_type = 'click'
+"""
+QUERIES["response_latency"] = response_latency_q
