@@ -198,6 +198,13 @@ HEADLINE = [
     "bloom_export",
     "lifetime_features",
     "ngram_novelty",
+    "recency_gaps",
+    "response_latency",
+    "rolling_autocorr",
+    "pit_leak_audit",
+    "hll_distinct",
+    "logbucket_quantiles",
+    "role_alternation",
 ]
 
 

@@ -225,3 +225,184 @@ def bloom_export(
     )
     words = exploded.groupBy("word").agg(F.bit_or("__b").alias("bits"))
     return words.crossJoin(F.broadcast(n)).select("word", "bits", "n_keys")
+
+
+def hll_distinct(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "user_id",
+    salt: str = "hll",
+) -> DataFrame:
+    """Deterministic HyperLogLog (m=256 registers) per group →
+    ``(group, n_exact, n_registers, s_scaled, hll_estimate)``: the
+    md5-keyed twin of Spark's engine-internal HLL++
+    (``approx_profile``), with every register value a pure integer
+    function of the input — any SQL engine replays the whole sketch
+    AND the estimate bit-for-bit.
+
+    Register math: the 32-bit md5 key splits into an 8-bit register
+    index and a 24-bit suffix ``w``; the register records
+    ``rho = 25 - bit_length(w)`` (the classic leading-zeros-plus-one,
+    via ``length(bin(w))`` — exact integers, no log). The harmonic
+    denominator is kept SCALED-INTEGER: ``s_scaled = Σ_j 2^(25 - M_j)``
+    over all 256 registers (empty register → ``2^25``), max
+    ``256·2^25 = 2^33`` — int64-exact, order-independent. The only
+    float ops are the ONE final division ``ALPHA_CONST / s_scaled``
+    and the small-range linear-counting branch, which uses the repo's
+    floor-scaled integer micro-nat ln (the PSI/LM discipline) so both
+    engines floor the same integer before any float appears.
+
+    Plan: ONE map-side-combined aggregate per level —
+    (group, register) → max(rho), then group → sum; the shuffle
+    carries at most ``tasks × |groups| × 256`` register rows
+    regardless of corpus size. The exact-distinct column is the
+    calibration twin (same pattern as ann_recall_report /
+    pq_recall_report) and is the only corpus-distinct pass; drop it
+    at 10^12 rows and the sketch is O(256) state per group.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_key,
+    )
+
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # alpha * m^2 * 2^25 — one double literal shared with the oracle.
+    const = alpha * m * m * float(1 << 25)
+    key = sample_key(F.col(value), salt=salt)
+    w = F.floor(key / F.lit(m)).cast("bigint")
+    rho = F.lit(25) - F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.bin(w))
+    ).cast("int")
+    regs = (
+        df.select(F.col(group), F.pmod(key, F.lit(m)).alias("__reg"), rho.alias("__rho"))
+        .groupBy(group, "__reg")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    s = regs.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        F.sum(
+            # pyspark's F.shiftleft only takes a literal shift; the SQL
+            # form accepts a column expression.
+            F.expr("shiftleft(CAST(1 AS BIGINT), 25 - __m)")
+        ).cast("bigint").alias("__sp"),
+    )
+    s_scaled = (
+        F.col("__sp")
+        + (F.lit(m).cast("bigint") - F.col("n_registers")) * F.lit(1 << 25)
+    )
+    raw = F.lit(const) / s_scaled.cast("double")
+    v_empty = F.lit(m).cast("bigint") - F.col("n_registers")
+    # linear counting: m * ln(m / V) with both lns floor-scaled to
+    # integer micro-nats (ln(256)·1e6 pre-floored as a literal).
+    ln_m_micro = 5545177  # floor(ln(256) * 1e6)
+    lc_micro = F.lit(m).cast("bigint") * (
+        F.lit(ln_m_micro)
+        - F.floor(F.log(v_empty.cast("double")) * 1e6).cast("bigint")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        lc_micro.cast("double") / F.lit(1e6),
+    ).otherwise(raw)
+    sketch = s.select(
+        group,
+        "n_registers",
+        s_scaled.alias("s_scaled"),
+        est.alias("hll_estimate"),
+    )
+    exact = df.groupBy(group).agg(
+        F.countDistinct(value).cast("bigint").alias("n_exact")
+    )
+    return sketch.join(exact, group).select(
+        group, "n_exact", "n_registers", "s_scaled", "hll_estimate"
+    )
+
+
+def logbucket_quantiles(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """DDSketch-style relative-error quantile estimates (γ=2: power-of-
+    two buckets) per group → one row per (group, q) with the covering
+    bucket's exact integer bounds. Bucket index for integer cents ≥ 1
+    is ``bit_length(cents)`` (``length(bin(x))`` — exact, no float
+    log); cents = 0 lands in bucket 0; negatives are clamped to bucket
+    0 with the count reported so the caller sees them. The q-quantile
+    estimate is the smallest bucket whose cumulative count reaches
+    ``ceil(q·n)`` — guaranteed within a factor of 2 of the true value
+    (γ=2 relative error), every output column integer-exact.
+
+    Plan: ONE map-side-combined groupBy(group, bucket) — at most ~64
+    buckets per group cross the exchange regardless of corpus size —
+    then a window over the ≤64-row per-group histogram. This is the
+    quantile profile you run FIRST at 10^12 rows; grouped_quantiles /
+    quantile_bucketize are the exact twins when the value domain is
+    known to be bounded.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    bucket = F.when(cents <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(cents)).cast("int")
+    )
+    hist = (
+        df.where(F.col(value).isNotNull())
+        .select(F.col(group), bucket.alias("__b"))
+        .groupBy(group, "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w = Window.partitionBy(group).orderBy("__b")
+    cum = hist.select(
+        group,
+        "__b",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(
+            Window.partitionBy(group).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # micro-scaled q as PYTHON-side integer literals: double→int CASTs
+    # diverge across engines (Spark truncates, DuckDB rounds), so the
+    # only q the plan ever sees is the pre-rounded integer.
+    q_micro = [(float(q), int(round(q * 1e6))) for q in quantiles]
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qf).alias("q"), F.lit(qm).cast("bigint").alias("qm")
+                )
+                for qf, qm in q_micro
+            ]
+        )
+    ).alias("__q")
+    probes = cum.select(
+        group, "__b", "__cum", "__n", qs
+    ).select(
+        group, "__b", "__cum", "__n",
+        F.col("__q.q").alias("q"), F.col("__q.qm").alias("__qm"),
+    )
+    # rank = ceil(q·n) = (qm·n + 999999) div 1e6 — int64-exact
+    # (qm·n ≤ 1e6·1e12 = 1e18 < 2^63; float division would lose
+    # integer precision past 2^53).
+    rank = F.expr("(__qm * __n + 999999) div 1000000")
+    hit = probes.where(F.col("__cum") >= rank)
+    out = hit.groupBy(group, "q").agg(
+        F.min("__b").alias("bucket"),
+        F.max("__n").alias("n"),
+    )
+    lo = F.when(
+        F.col("bucket") <= 0, F.lit(0).cast("bigint")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+    hi = F.when(
+        F.col("bucket") <= 0, F.lit(0).cast("bigint")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1)
+    return out.select(
+        group,
+        "q",
+        "n",
+        "bucket",
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+    )

@@ -203,3 +203,76 @@ def negative_pairs(
         ring.alias("neg_response"),
         (ring == F.col(response)).alias("is_self"),
     )
+
+
+def role_alternation(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    dialogue_roles: tuple[str, str] = ("user", "assistant"),
+) -> DataFrame:
+    """Per-conversation structural validation — the chat-transcript
+    curation gate. One row per conversation:
+
+    - ``n_turns``, ``n_distinct_roles``
+    - ``first_role`` / ``last_role`` (stable order)
+    - ``n_role_repeats`` — turns whose role equals the immediately
+      preceding turn's role (retry loops / double-submits; 0 for a
+      well-formed dialogue)
+    - ``n_offrole`` — turns outside ``dialogue_roles`` (tool/system/
+      other interjections; a count, not a failure)
+    - ``strict_alternation`` — no repeats AND every turn in
+      ``dialogue_roles`` AND the first turn is ``dialogue_roles[0]``:
+      the "clean SFT-able dialogue" flag trainers filter on.
+
+    Plan: ONE exchange — the lag window partitions by conv, and the
+    groupBy that follows reuses the same hash partitioning (no second
+    shuffle; the window's output partitioning already satisfies the
+    aggregation's distribution requirement). State per group is a few
+    counters: safe at any conversation length.
+
+    Reference provenance: the reference trusts its input ordering
+    implicitly (data_handling.py walks one source's keyframes in list
+    order); at corpus scale malformed conversations are the norm and
+    this operator is the explicit filter in front of sft_pairs /
+    context_window.
+    """
+    ob = [F.col(c) for c in order]
+    w = Window.partitionBy(conv).orderBy(*ob)
+    u, a = dialogue_roles
+    lagged = tr.select(
+        conv,
+        F.col(role).alias("__r"),
+        F.lag(F.col(role)).over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    is_repeat = F.col("__r").eqNullSafe(F.col("__prev")).cast("bigint")
+    offrole = (~F.col("__r").isin(u, a)).cast("bigint")
+    first_role = F.max(
+        F.when(F.col("__rn") == 1, F.col("__r"))
+    ).alias("first_role")
+    last_role = F.max_by(F.col("__r"), F.col("__rn")).alias("last_role")
+    agg = lagged.groupBy(conv).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.countDistinct("__r").cast("bigint").alias("n_distinct_roles"),
+        first_role,
+        last_role,
+        F.sum(is_repeat).cast("bigint").alias("n_role_repeats"),
+        F.sum(offrole).cast("bigint").alias("n_offrole"),
+    )
+    strict = (
+        (F.col("n_role_repeats") == 0)
+        & (F.col("n_offrole") == 0)
+        & (F.col("first_role") == F.lit(u))
+    )
+    return agg.select(
+        conv,
+        "n_turns",
+        "n_distinct_roles",
+        "first_role",
+        "last_role",
+        "n_role_repeats",
+        "n_offrole",
+        strict.alias("strict_alternation"),
+    )

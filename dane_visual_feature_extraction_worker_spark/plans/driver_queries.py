@@ -9347,3 +9347,168 @@ ORACLES["response_latency"] = """
     ) WHERE event_type = 'click'
 """
 QUERIES["response_latency"] = response_latency_q
+
+
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct sketch + exact calibration
+    (operators/sketches.hll_distinct): md5-keyed 256-register HLL whose
+    registers, scaled-integer harmonic sum, AND final estimate replay
+    bit-for-bit in any SQL engine — the oracle rebuilds the whole
+    sketch. The only floats are one final division by an int64 and the
+    micro-nat-floored linear-counting branch (the PSI/LM discipline)."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    return hll_distinct(_events(spark, sf_dir))
+
+
+def _hll_oracle() -> str:
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    const = repr(alpha * m * m * float(1 << 25))
+    key = _sample_key_terms_sql()
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             md5(concat('hll', '|', CAST(user_id AS VARCHAR))) AS hx
+      FROM events
+    ), k AS (
+      SELECT event_type, ({key}) AS key FROM h
+    ), r AS (
+      SELECT event_type, key % 256 AS reg,
+             CAST(floor(key / 256) AS BIGINT) AS w
+      FROM k
+    ), regs AS (
+      SELECT event_type, reg,
+             max(25 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS mj
+      FROM r GROUP BY event_type, reg
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_registers,
+             CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS sp
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type, n_registers,
+             sp + (256 - n_registers) * CAST(1 AS BIGINT) * 33554432
+               AS s_scaled,
+             256 - n_registers AS v_empty
+      FROM s
+    ), fin AS (
+      SELECT event_type, n_registers, s_scaled,
+             CASE WHEN ({const} / CAST(s_scaled AS DOUBLE)) <= 640.0
+                       AND v_empty > 0
+                  THEN CAST(256 * (5545177 - CAST(floor(
+                         ln(CAST(v_empty AS DOUBLE)) * 1e6) AS BIGINT))
+                       AS DOUBLE) / 1e6
+                  ELSE {const} / CAST(s_scaled AS DOUBLE)
+             END AS hll_estimate
+      FROM est
+    ), exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, e.n_exact, f.n_registers, f.s_scaled,
+           f.hll_estimate
+    FROM fin f JOIN exact e USING (event_type)
+"""
+
+
+ORACLES["hll_distinct"] = _hll_oracle()
+QUERIES["hll_distinct"] = hll_distinct_q
+
+
+def logbucket_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style γ=2 quantile sketch per event type
+    (operators/sketches.logbucket_quantiles): power-of-two cents
+    buckets via exact bit_length (length(bin(x)) — no float log), the
+    q-quantile bucket found at integer rank ceil(q·n) computed as
+    (q_micro·n + 999999) div 1e6 — every column integer-exact except
+    the q label itself."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        logbucket_quantiles,
+    )
+
+    return logbucket_quantiles(_events(spark, sf_dir))
+
+
+ORACLES["logbucket_quantiles"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN cents <= 0 THEN 0
+                  ELSE length(bin(cents)) END AS bkt
+      FROM c
+    ), hist AS (
+      SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bkt
+    ), cum AS (
+      SELECT event_type, bkt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cm,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), probes AS (
+      SELECT event_type, bkt, cm, n, q.q AS q, q.qm AS qm
+      FROM cum, (VALUES (0.5, 500000), (0.9, 900000),
+                        (0.99, 990000)) AS q(q, qm)
+    ), hit AS (
+      SELECT event_type, q, min(bkt) AS bucket, max(n) AS n
+      FROM probes
+      WHERE cm >= (qm * n + 999999) // 1000000
+      GROUP BY event_type, q
+    )
+    SELECT event_type, q, CAST(n AS BIGINT) AS n,
+           CAST(bucket AS INT) AS bucket,
+           CAST(CASE WHEN bucket <= 0 THEN 0
+                     ELSE CAST(1 AS BIGINT) << (bucket - 1) END
+                AS BIGINT) AS lo_cents,
+           CAST(CASE WHEN bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << bucket) - 1 END
+                AS BIGINT) AS hi_cents
+    FROM hit
+"""
+QUERIES["logbucket_quantiles"] = logbucket_quantiles_q
+
+
+def role_alternation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structural validation (operators/turns.role_alternation):
+    per-conversation repeat-speaker / off-role / first-speaker checks —
+    the curation gate in front of sft_pairs. One exchange: the lag
+    window and the per-conv aggregation share hash(conv_id)."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        role_alternation,
+    )
+
+    return role_alternation(_tr_proj(spark, sf_dir))
+
+
+ORACLES["role_alternation"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), lagged AS (
+      SELECT conv_id, role AS r,
+             lag(role) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ), agg AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(count(DISTINCT r) AS BIGINT) AS n_distinct_roles,
+             max(CASE WHEN rn = 1 THEN r END) AS first_role,
+             arg_max(r, rn) AS last_role,
+             CAST(sum(CASE WHEN r IS NOT DISTINCT FROM prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+             CAST(sum(CASE WHEN r NOT IN ('user', 'assistant')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_offrole
+      FROM lagged GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_distinct_roles, first_role, last_role,
+           n_role_repeats, n_offrole,
+           (n_role_repeats = 0 AND n_offrole = 0
+            AND first_role = 'user') AS strict_alternation
+    FROM agg
+"""
+QUERIES["role_alternation"] = role_alternation_q

@@ -221,3 +221,93 @@ def test_negative_pairs_ring_properties(spark):
     ).where("a.neg_response <> b.neg_response")
     assert joined.count() > 0
     out.unpersist()
+
+
+def test_hll_distinct_error_bound_and_scaled_sum(spark):
+    """Deterministic HLL: estimate within the published 3*1.04/sqrt(256)
+    (~19.5%) of exact for every group; s_scaled consistent with the
+    register count; small groups hit the linear-counting branch and
+    land much tighter."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    e = _events_df(spark, n=6000, n_users=400)
+    out = {r["event_type"]: r for r in hll_distinct(e, value="user_id").collect()}
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for t, r in out.items():
+        assert r["n_exact"] == exact[t]
+        rel = abs(r["hll_estimate"] - exact[t]) / exact[t]
+        assert rel <= 3 * 1.04 / math.sqrt(256), (t, r["hll_estimate"], exact[t])
+        assert 1 <= r["n_registers"] <= 256
+        # every register term is in [1, 2^25]; empties contribute 2^25
+        assert r["s_scaled"] <= 256 * (1 << 25)
+        assert r["s_scaled"] >= r["n_registers"] + (256 - r["n_registers"]) * (1 << 25)
+
+
+def test_hll_distinct_linear_counting_small_group(spark):
+    """A 3-distinct group must resolve via linear counting, within 1."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(50)], "event_type string, user_id int"
+    )
+    r = hll_distinct(df).collect()[0]
+    assert r["n_exact"] == 3
+    assert abs(r["hll_estimate"] - 3) <= 1.0
+
+
+def test_logbucket_quantiles_gamma2_bound(spark):
+    """Every quantile estimate bucket covers the TRUE discrete quantile
+    (the cumulative-rank definition), i.e. lo <= true_cents <= hi —
+    the gamma=2 relative-error contract."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        logbucket_quantiles,
+    )
+
+    e = _events_df(spark, n=4000)
+    out = logbucket_quantiles(e).collect()
+    cents = {
+        t: sorted(
+            r["c"]
+            for r in e.where(F.col("event_type") == t)
+            .select((F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"))
+            .collect()
+        )
+        for t in {r["event_type"] for r in out}
+    }
+    assert len(out) == 3 * len(cents)
+    for r in out:
+        xs = cents[r["event_type"]]
+        assert r["n"] == len(xs)
+        rank = -(-int(round(r["q"] * 1e6)) * len(xs) // 1_000_000)  # ceil
+        true = xs[rank - 1]
+        if true <= 0:
+            assert r["bucket"] == 0
+        else:
+            assert r["lo_cents"] <= true <= r["hi_cents"], (r, true)
+
+
+def test_logbucket_quantiles_zero_and_negative_clamp(spark):
+    """cents <= 0 all land in bucket 0 with lo = hi = 0."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        logbucket_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 0.0), ("a", 1.0)],
+        "event_type string, value double",
+    )
+    out = {r["q"]: r for r in logbucket_quantiles(df).collect()}
+    assert out[0.5]["bucket"] == 0 and out[0.5]["lo_cents"] == 0
+    # p99 rank = ceil(0.99*4) = 4 -> cents=100 -> bucket 7 (64..127)
+    assert out[0.99]["bucket"] == 7
+    assert out[0.99]["lo_cents"] == 64 and out[0.99]["hi_cents"] == 127

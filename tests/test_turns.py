@@ -130,3 +130,54 @@ def test_context_window_bounded_frame(spark):
     )
     low = plan.lower()
     assert "unboundedfollowing" not in low and "unboundedpreceding" not in low, plan
+
+
+def test_role_alternation_flags(spark):
+    """Crafted conversations: clean dialogue, repeat-speaker, off-role
+    interjection, assistant-first — each flag fires exactly as
+    specified."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        role_alternation,
+    )
+
+    rows = [
+        # clean: user/assistant strict alternation
+        ("clean", 0, "user", "q1"), ("clean", 1, "assistant", "a1"),
+        ("clean", 2, "user", "q2"), ("clean", 3, "assistant", "a2"),
+        # repeat speaker: user twice in a row
+        ("rep", 0, "user", "q"), ("rep", 1, "user", "q again"),
+        ("rep", 2, "assistant", "a"),
+        # off-role tool turn, otherwise alternating
+        ("tooly", 0, "user", "q"), ("tooly", 1, "tool", "result"),
+        ("tooly", 2, "assistant", "a"),
+        # assistant speaks first
+        ("afirst", 0, "assistant", "hello"), ("afirst", 1, "user", "hi"),
+    ]
+    out = {r["conv_id"]: r for r in role_alternation(_tr(spark, rows)).collect()}
+    c = out["clean"]
+    assert (c["n_turns"], c["n_role_repeats"], c["n_offrole"]) == (4, 0, 0)
+    assert c["first_role"] == "user" and c["last_role"] == "assistant"
+    assert c["strict_alternation"] is True
+    assert out["rep"]["n_role_repeats"] == 1
+    assert out["rep"]["strict_alternation"] is False
+    assert out["tooly"]["n_offrole"] == 1
+    assert out["tooly"]["strict_alternation"] is False
+    assert out["tooly"]["n_distinct_roles"] == 3
+    af = out["afirst"]
+    assert af["n_role_repeats"] == 0 and af["n_offrole"] == 0
+    assert af["first_role"] == "assistant"
+    assert af["strict_alternation"] is False
+
+
+def test_role_alternation_single_exchange(spark):
+    """The lag window and the per-conv aggregation share ONE
+    hash(conv_id) exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        role_alternation,
+    )
+
+    rows = [("c%d" % (i % 7), i // 7, "user", "t") for i in range(70)]
+    plan = role_alternation(
+        _tr(spark, rows)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
