@@ -205,6 +205,12 @@ HEADLINE = [
     "hll_distinct",
     "logbucket_quantiles",
     "role_alternation",
+    "km_survival",
+    "calibration_bins",
+    "ab_test_report",
+    "dq_expectations",
+    "cluster_silhouette",
+    "rolling_percent_rank",
 ]
 
 

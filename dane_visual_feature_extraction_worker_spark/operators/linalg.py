@@ -135,3 +135,109 @@ def jl_project(
             )
         )
     return emb.select(*cols)
+
+
+def cluster_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette score per point against LABEL centroids →
+    ``(vec_id, label, a2, b2, silhouette)``: a = distance to the own-
+    label centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a) / max(a, b) — the standard clustering-quality feature
+    (s → 1 well-separated, s < 0 likely mislabeled) at the centroid
+    approximation every large-scale evaluator uses (exact silhouette
+    is O(n²) pairwise — never the 10^12-row plan).
+
+    Exactness: components are floor-quantized to micro int64s; each
+    centroid component is floor(Σq / n) (Σq < 2^53 holds to ~10^9 rows
+    per label at unit-scale embeddings — past that, route the divide
+    through decimal, noted here on purpose); squared distances are then
+    EXACT int64 sums (a2, b2 — the gated integers). The only floats:
+    two sqrt's (IEEE correctly-rounded — deterministic, unlike ln) and
+    the final divide + 1e-6 floor.
+
+    Plan: the centroid table is ONE map-side-combined posexplode
+    aggregate (|labels| x dim groups — the only corpus exchange);
+    centroids come back as a CODEBOOK-sized collect (C·d ints — the
+    kmeans_centroids precedent) and re-enter the plan as a literal
+    array of structs, so the per-point scan is ZERO-shuffle pure
+    codegen: transform over the centroid literal + aggregate over
+    zip_with for each d², array_min for b². No joins, no second
+    exchange, no Python in the hot path.
+    """
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("bigint"),
+    )
+    pts = emb.select(
+        F.col(id_col), F.col(label_col).alias("label"), xq.alias("__xq")
+    ).where(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+
+    cents = (
+        pts.select("label", F.posexplode("__xq").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    rows = cents.orderBy("label", "pos").collect()
+    by_label: dict[int, list[int]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["cq"])
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("clabel"),
+                F.array(*[F.lit(v).cast("bigint") for v in vec]).alias("cvec"),
+            )
+            for lbl, vec in sorted(by_label.items())
+        ]
+    )
+
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            c["clabel"].alias("clabel"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("__xq"), c["cvec"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        ),
+    )
+    scored = pts.select(id_col, "label", d2s.alias("__d"))
+    a2 = F.element_at(
+        F.filter(F.col("__d"), lambda s: s["clabel"] == F.col("label")), 1
+    )["d2"]
+    b2 = F.array_min(
+        F.transform(
+            F.filter(F.col("__d"), lambda s: s["clabel"] != F.col("label")),
+            lambda s: s["d2"],
+        )
+    )
+    out = scored.select(
+        id_col, "label", a2.alias("a2"), b2.alias("b2")
+    )
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    return out.select(
+        id_col,
+        "label",
+        "a2",
+        "b2",
+        F.when(
+            F.greatest(a, b) > 0,
+            F.floor((b - a) / F.greatest(a, b) * 1e6) / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("silhouette"),
+    )

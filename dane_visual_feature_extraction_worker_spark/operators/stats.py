@@ -706,3 +706,154 @@ def auc_exact(
             / 1e6,
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_micro: F.Column,
+    label: F.Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + per-bin Brier decomposition for a
+    [0, 1]-scored binary predictor → one row per score decile:
+    ``(bin, n, mean_score, frac_pos, gap, brier_term)``.
+
+    ``score_micro`` must be an integer Column in [0, 1e6] (the
+    predicted probability in micro units — quantize at the call site,
+    the auc_exact contract); ``label`` a 0/1 integer Column.
+
+    Exactness: every per-bin quantity is a ratio of exact integer
+    sums — mean score from Σ score_micro, frac_pos from Σ y, and the
+    Brier term from Σ (score_micro − y·1e6)², an exact int64 per row
+    (≤ 1e12) summed in decimal(38,0) — so the only floats are the
+    final divides + 1e-6 floors. ``gap`` = frac_pos − mean_score is
+    the signed miscalibration the reliability diagram plots.
+
+    Plan: ONE map-side-combined aggregate on the bin id (≤ n_bins
+    groups — the shuffle carries n_bins rows of integer sums). The
+    corpus never sorts; this is the profile you run alongside
+    auc_exact in the same pass family over 10^12 scored rows.
+    """
+    d38 = "decimal(38,0)"
+    s = score_micro.cast("bigint")
+    y = label.cast("bigint")
+    b = F.least(
+        F.floor(s * F.lit(n_bins) / F.lit(1_000_000)).cast("bigint"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    g = (
+        df.select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__s").cast(d38).alias("__ssum"),
+            F.sum("__y").cast("bigint").alias("__pos"),
+            F.sum(
+                (F.col("__s") - F.col("__y") * F.lit(1_000_000)).cast(d38)
+                * (F.col("__s") - F.col("__y") * F.lit(1_000_000)).cast(d38)
+            ).alias("__esum"),
+        )
+    )
+    mean_score = F.floor(
+        F.col("__ssum").cast("double") / F.col("n").cast("double")
+    ) / F.lit(1e6)
+    frac_pos = (
+        F.floor(
+            F.col("__pos").cast("double") / F.col("n").cast("double") * 1e6
+        )
+        / 1e6
+    )
+    brier = (
+        F.floor(
+            F.col("__esum").cast("double")
+            / (F.col("n").cast("double") * 1e12)
+            * 1e6
+        )
+        / 1e6
+    )
+    return g.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.floor((frac_pos - mean_score) * 1e6).cast("bigint").alias(
+            "gap_micro"
+        ),
+        brier.alias("brier_term"),
+    )
+
+
+def ab_conversion_report(
+    events: DataFrame,
+    entity: str = "user_id",
+    convert_type: str = "purchase",
+    event_type: str = "event_type",
+    salt: str = "ab",
+) -> DataFrame:
+    """Deterministic A/B experiment readout → ONE row:
+    ``(n_a, conv_a, n_b, conv_b, rate_a, rate_b, lift_micro, z_score)``.
+
+    Arm assignment is md5(salt|entity) parity (operators/sampling.
+    sample_key) — the portable hash-split every engine replays
+    identically, never seeded rand(); an entity converts if it has at
+    least one ``convert_type`` event. z is the classic two-proportion
+    test with the pooled rate; its only non-rational op is ONE sqrt of
+    a deterministically-computed double (sqrt is IEEE
+    correctly-rounded, unlike ln/exp), then the repo-wide 1e-6 floor.
+
+    Plan: per-entity conversion flag is the ONE corpus exchange
+    (map-side combined max); the arm rollup is a 2-group aggregate and
+    the final row a conditional scalar agg — at 10^12 events the
+    shuffle carries |entities| bits, the report is O(1).
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_key,
+    )
+
+    per = events.groupBy(entity).agg(
+        F.max(
+            F.when(F.col(event_type) == convert_type, 1).otherwise(0)
+        ).alias("__conv")
+    )
+    arm = (sample_key(F.col(entity), salt) % 2).alias("__arm")
+    one = per.select(arm, "__conv").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return one.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.floor(ra * 1e6) / 1e6).alias("rate_a"),
+        (F.floor(rb * 1e6) / 1e6).alias("rate_b"),
+        F.floor((ra - rb) * 1e6).cast("bigint").alias("lift_micro"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+            F.floor((ra - rb) / se * 1e6) / 1e6,
+        ).alias("z_score"),
+    )

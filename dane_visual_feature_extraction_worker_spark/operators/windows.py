@@ -791,3 +791,61 @@ def rolling_autocorr(
         m.cast("int").alias("frame_len"),
         r.alias("autocorr"),
     )
+
+
+def rolling_percent_rank(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    value: str = "value",
+    k: int = 16,
+) -> DataFrame:
+    """Trailing-k point-in-time percentile rank: where does the CURRENT
+    value sit among the entity's previous ``k`` values? — the
+    normalized-anomaly feature ("is this spend high FOR THIS USER
+    lately") that raw z-scores get wrong under drift. PIT-safe by
+    construction: the frame is STRICTLY preceding (rows -k .. -1), so
+    the current row never ranks against itself or the future — the
+    backfill_pit leakage contract.
+
+    Exactness: values route through cents (exact int64); the rank is
+    the integer ratio floor(n_le * 1e6 / n_prior) — no float compare
+    anywhere. Rows with no history (first per entity) emit NULL rank,
+    matching SQL's NULL frame, not a fake 0.
+
+    Plan: ONE shuffle + ONE sort on the entity (the kernel-window
+    exchange every PIT feature rides); the frame materializes as a
+    BOUNDED collect_list (≤ k ints per row — the rolling_distinct /
+    context_window precedent) reduced by codegen higher-order filter.
+    O(n·k) state, no self-join, no Python.
+    """
+    cents = F.floor(F.col(value).cast("double") * 100).cast("bigint")
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-k, -1)
+    )
+    prior = F.collect_list(cents).over(w)
+    base = df.select(
+        entity,
+        *order,
+        cents.alias("value_cents"),
+        prior.alias("__prior"),
+    )
+    n_prior = F.size("__prior")
+    n_le = F.size(
+        F.filter(F.col("__prior"), lambda x: x <= F.col("value_cents"))
+    )
+    return base.select(
+        entity,
+        *order,
+        "value_cents",
+        F.when(n_prior > 0, n_prior.cast("bigint")).alias("n_prior"),
+        F.when(n_prior > 0, n_le.cast("bigint")).alias("n_le"),
+        F.when(
+            n_prior > 0,
+            F.floor(
+                n_le.cast("bigint") * F.lit(1_000_000) / n_prior.cast("bigint")
+            ).cast("bigint"),
+        ).alias("pct_rank_micro"),
+    )

@@ -9512,3 +9512,374 @@ ORACLES["role_alternation"] = f"""
     FROM agg
 """
 QUERIES["role_alternation"] = role_alternation_q
+
+
+def km_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes (operators/
+    survival.km_survival): right-censored at the corpus cutoff
+    (48 h horizon), micro-nat log-survival running sum — one corpus
+    exchange (the per-user span rollup), then lifetime-table-sized."""
+    from dane_visual_feature_extraction_worker_spark.operators.survival import (
+        km_survival,
+    )
+
+    return km_survival(_events(spark, sf_dir), horizon_hours=48)
+
+
+ORACLES["km_survival"] = """
+    WITH spans AS (
+      SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ), cut AS (SELECT max(l) AS c FROM spans),
+    per AS (
+      SELECT CAST(floor((l - f) / 3600000000.0) AS BIGINT)
+               AS duration_hours,
+             CASE WHEN cut.c - l > 48 * 3600000000 THEN 1 ELSE 0 END
+               AS obs
+      FROM spans CROSS JOIN cut
+    ), steps AS (
+      SELECT duration_hours, CAST(sum(obs) AS BIGINT) AS n_events,
+             CAST(sum(1 - obs) AS BIGINT) AS n_censored
+      FROM per GROUP BY duration_hours
+    ), r AS (
+      SELECT duration_hours, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY duration_hours
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_at_risk
+      FROM steps
+    ), t AS (
+      SELECT duration_hours, n_at_risk, n_events, n_censored,
+             CASE WHEN n_events > 0 AND n_at_risk > n_events
+                  THEN CAST(floor(ln(
+                         CAST(n_at_risk - n_events AS DOUBLE)
+                         / CAST(n_at_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS term,
+             CASE WHEN n_events > 0 AND n_at_risk = n_events
+                  THEN 1 ELSE 0 END AS dd
+      FROM r
+    ), run AS (
+      SELECT duration_hours, n_at_risk, n_events, n_censored,
+             max(dd) OVER w AS dead,
+             sum(CASE WHEN dd = 1 THEN CAST(0 AS BIGINT) ELSE term END)
+               OVER w AS logsum
+      FROM t WINDOW w AS (ORDER BY duration_hours
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT duration_hours, n_at_risk, n_events, n_censored,
+           CASE WHEN dead = 0 THEN CAST(logsum AS BIGINT) END
+             AS log_survival_micronats,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE floor(exp(CAST(logsum AS DOUBLE) / 1e6) * 1e6)
+                     / 1e6 END AS survival
+    FROM run
+"""
+QUERIES["km_survival"] = km_survival_q
+
+
+def calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier terms (operators/stats.
+    calibration_bins) for the linear [0,1]-mapped first embedding
+    component scoring the label-0 class — the calibration companion
+    to auc_eval's ranking check; ONE map-side-combined 10-group agg."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    comp = F.col("embedding")[0].cast("double")
+    s_micro = F.least(
+        F.greatest(
+            F.floor((comp + F.lit(0.4)) / F.lit(0.8) * F.lit(1e6)),
+            F.lit(0),
+        ),
+        F.lit(1_000_000),
+    )
+    label = F.when(F.col("label") == 0, 1).otherwise(0)
+    return calibration_bins(
+        e.where(F.col("embedding").isNotNull() & F.col("label").isNotNull()),
+        s_micro,
+        label,
+        n_bins=10,
+    )
+
+
+ORACLES["calibration_bins"] = """
+    WITH scored AS (
+      SELECT least(greatest(CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 0.4) / 0.8 * 1000000.0)
+               AS BIGINT), 0), 1000000) AS s,
+             CASE WHEN label = 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), b AS (
+      SELECT least(CAST(floor(s * 10 / 1000000.0) AS BIGINT), 9) AS bin,
+             s, y
+      FROM scored
+    ), g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             sum(s) AS ssum, CAST(sum(y) AS BIGINT) AS pos,
+             sum((s - y * 1000000) * (s - y * 1000000)) AS esum
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n,
+           floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+             AS mean_score,
+           floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+             AS frac_pos,
+           CAST(floor((floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                             * 1e6) / 1e6
+                       - floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE))
+                         / 1e6) * 1e6) AS BIGINT) AS gap_micro,
+           floor(CAST(esum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) * 1e6)
+             / 1e6 AS brier_term
+    FROM g
+"""
+QUERIES["calibration_bins"] = calibration_bins_q
+
+
+def ab_test_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout (operators/stats.ab_conversion_report):
+    md5-parity arm split, purchase conversion, pooled-z — one corpus
+    exchange (per-user conversion flag), O(1) report."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        ab_conversion_report,
+    )
+
+    return ab_conversion_report(_events(spark, sf_dir))
+
+
+def _ab_oracle() -> str:
+    key = _sample_key_terms_sql()
+    return f"""
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ), h AS (
+      SELECT conv,
+             md5(concat('ab', '|', CAST(user_id AS VARCHAR))) AS hx
+      FROM per
+    ), k AS (
+      SELECT conv, ({key}) % 2 AS arm FROM h
+    ), one AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM k
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+      floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6) / 1e6
+        AS rate_a,
+      floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6) / 1e6
+        AS rate_b,
+      CAST(floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6)
+           AS BIGINT) AS lift_micro,
+      CASE WHEN n_a > 0 AND n_b > 0 AND
+                sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE))) > 0
+           THEN floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                      / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 / CAST(n_a AS DOUBLE)
+                                + 1.0 / CAST(n_b AS DOUBLE))) * 1e6)
+                / 1e6
+      END AS z_score
+    FROM one
+"""
+
+
+ORACLES["ab_test_report"] = _ab_oracle()
+QUERIES["ab_test_report"] = ab_test_report_q
+
+
+def dq_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit (operators/dq): declarative rule
+    counters over orders + customer in ONE aggregate pass per table,
+    plus the orders→customer FK check (broadcast dimension keys) — the
+    pre-feature contract gate; rule-count-sized output."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        expectations_report,
+        fk_violations,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    r1 = expectations_report(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+        table="orders",
+    )
+    r2 = expectations_report(
+        c,
+        {
+            "acctbal_range": F.col("c_acctbal").between(-1000.0, 100000.0),
+            "mktsegment_present": F.col("c_mktsegment").isNotNull(),
+        },
+        table="customer",
+    )
+    r3 = fk_violations(
+        o, c, "o_custkey", "c_custkey", table="orders",
+        rule="fk_custkey_resolves",
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+ORACLES["dq_expectations"] = """
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        CAST(sum(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                        FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        CAST(sum(CASE WHEN NOT coalesce(
+                   regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+      FROM orders
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN NOT coalesce(
+                   c_acctbal BETWEEN -1000.0 AND 100000.0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        CAST(sum(CASE WHEN NOT coalesce(c_mktsegment IS NOT NULL, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+      FROM customer
+    ), fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN cc.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS f0
+      FROM orders oo LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+        cc ON oo.o_custkey = cc.c_custkey
+    )
+    SELECT 'orders' AS table_name, 'totalprice_positive' AS rule,
+           n AS n_checked, f0 AS n_failed FROM o
+    UNION ALL
+    SELECT 'orders', 'orderdate_present', n, f1 FROM o
+    UNION ALL
+    SELECT 'orders', 'status_known', n, f2 FROM o
+    UNION ALL
+    SELECT 'orders', 'priority_format', n, f3 FROM o
+    UNION ALL
+    SELECT 'customer', 'acctbal_range', n, f0 FROM c
+    UNION ALL
+    SELECT 'customer', 'mktsegment_present', n, f1 FROM c
+    UNION ALL
+    SELECT 'orders', 'fk_custkey_resolves', n, f0 FROM fk
+"""
+QUERIES["dq_expectations"] = dq_expectations_q
+
+
+def cluster_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point simplified silhouette vs label centroids (operators/
+    linalg.cluster_silhouette): exact int64 squared distances on the
+    micro grid, codebook-sized centroid collect, zero-shuffle scoring
+    scan — the clustering-quality feature over the embeddings table."""
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import (
+        cluster_silhouette,
+    )
+
+    return cluster_silhouette(_embeddings(spark, sf_dir))
+
+
+ORACLES["cluster_silhouette"] = """
+    WITH pts AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS xq
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), expl AS (
+      SELECT vec_id, label, unnest(xq) AS q,
+             unnest(generate_series(0, len(xq) - 1)) AS pos
+      FROM pts
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+               AS cq
+      FROM expl GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d2
+      FROM expl e JOIN cent c ON c.pos = e.pos
+      GROUP BY e.vec_id, e.label, c.clabel
+    ), ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN d2 END) AS a2,
+             min(CASE WHEN clabel <> label THEN d2 END) AS b2
+      FROM d GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, a2, b2,
+           CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                              sqrt(CAST(b2 AS DOUBLE))) > 0
+                THEN floor((sqrt(CAST(b2 AS DOUBLE))
+                            - sqrt(CAST(a2 AS DOUBLE)))
+                           / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                      sqrt(CAST(b2 AS DOUBLE)))
+                           * 1e6) / 1e6
+                ELSE 0.0 END AS silhouette
+    FROM ab
+"""
+QUERIES["cluster_silhouette"] = cluster_silhouette_q
+
+
+def rolling_percent_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16 PIT percentile rank of each value among the user's
+    prior values (operators/windows.rolling_percent_rank): strictly-
+    preceding bounded frame (zero leakage), exact integer rank ratio,
+    one kernel-window exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.windows import (
+        rolling_percent_rank,
+    )
+
+    e = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return rolling_percent_rank(e, k=16)
+
+
+ORACLES["rolling_percent_rank"] = """
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), fr AS (
+      SELECT user_id, ts, event_id, vc,
+             list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+               AS l
+      FROM v
+    )
+    SELECT user_id, ts, event_id, vc AS value_cents,
+           CAST(len(l) AS BIGINT) AS n_prior,
+           CAST(len(list_filter(l, x -> x <= vc)) AS BIGINT) AS n_le,
+           CAST(floor(len(list_filter(l, x -> x <= vc)) * 1000000
+                      / CAST(len(l) AS DOUBLE)) AS BIGINT)
+             AS pct_rank_micro
+    FROM fr
+"""
+QUERIES["rolling_percent_rank"] = rolling_percent_rank_q
