@@ -18,7 +18,7 @@ dimension side broadcastable.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def expectations_report(
@@ -90,4 +90,72 @@ def fk_violations(
         F.lit(rule).alias("rule"),
         "n_checked",
         "n_failed",
+    )
+
+
+# Benford first-digit expected shares, micro-floored. Computed once in
+# Python (log10(1 + 1/d)) and inlined as integer literals in BOTH the
+# Spark plan and the DuckDB oracle, so no runtime ln() ulp differences
+# can reach the gate comparator.
+BENFORD_EXPECTED_MICRO: dict[int, int] = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_report(df: DataFrame, amount: str) -> DataFrame:
+    """Benford first-significant-digit audit over a positive money
+    column — the classic fraud/synthetic-data smell test, run as a
+    data-quality gate next to ``expectations_report``.
+
+    First digit is extracted EXACTLY: cents = floor(amount*100) as
+    int64 (same double op on every engine), then the first character
+    of the int64's decimal string — integer-to-string is
+    engine-identical, unlike float formatting or log10-based digit
+    math (log10(1000.0) can land below 3.0 and shift the digit).
+
+    Output (9 rows): ``(digit, n_obs, share, expected_share,
+    dev_micro, chi2_term)`` where chi2_term = (n_d - n·p_d)²/(n·p_d),
+    micro-floored per digit.
+
+    Plan: ONE map-side-combined 9-group aggregate over the corpus;
+    the total ``n`` comes from a window over the 9-row result, never
+    a second scan.
+    """
+    cents = F.floor(F.col(amount) * F.lit(100)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (
+        df.where(F.col(amount) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n = F.sum("n_obs").over(Window.partitionBy())
+    expected = F.create_map(
+        *[
+            x
+            for d, micro in BENFORD_EXPECTED_MICRO.items()
+            for x in (F.lit(d), F.lit(micro))
+        ]
+    )[F.col("digit")].cast("bigint")
+    withm = g.select(
+        "digit", "n_obs", n.alias("__n"), expected.alias("__exp_micro")
+    )
+    share = F.col("n_obs").cast("double") / F.col("__n").cast("double")
+    exp_share = F.col("__exp_micro").cast("double") / F.lit(1e6)
+    exp_n = F.col("__n").cast("double") * exp_share
+    diff = F.col("n_obs").cast("double") - exp_n
+    return withm.select(
+        "digit",
+        "n_obs",
+        (F.floor(share * F.lit(1e6)) / F.lit(1e6)).alias("share"),
+        (F.col("__exp_micro").cast("double") / F.lit(1e6)).alias(
+            "expected_share"
+        ),
+        F.floor((share - exp_share) * F.lit(1e6))
+        .cast("bigint")
+        .alias("dev_micro"),
+        (F.floor(diff * diff / exp_n * F.lit(1e6)) / F.lit(1e6)).alias(
+            "chi2_term"
+        ),
     )

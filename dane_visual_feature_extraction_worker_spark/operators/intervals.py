@@ -153,3 +153,63 @@ def overlap_join(
         r_end,
         ov_len.alias("overlap_us"),
     )
+
+
+def coverage_stats(
+    intervals: DataFrame,
+    entity: str = "user_id",
+    start: str = "start_s",
+    end: str = "end_s",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity merged-interval union coverage (gaps-and-islands).
+
+    Generalizes the reference's shot-boundary table from *lookup*
+    (interval_join above) to *profiling*: given possibly-overlapping
+    ``[start, end)`` integer-second intervals per entity, report how
+    much of the timeline the union actually covers, how many disjoint
+    islands it merges into, and the enclosing span — the coverage
+    audit run before trusting interval-table features
+    (reference interval semantics: data_handling.py:114-129).
+
+    Algorithm is the classic sorted sweep: with intervals ordered by
+    ``(start, tiebreak)``, the union contribution of each interval is
+    ``greatest(0, end - greatest(start, M))`` where ``M`` is the
+    running max of ``end`` over all STRICTLY PRECEDING intervals, and
+    a new island begins exactly where ``start > M``. All arithmetic
+    is int64 seconds — exact on any engine.
+
+    Plan: ONE hash exchange on ``entity`` feeds both the running-max
+    window and the final per-entity rollup (same partitioning key, so
+    Catalyst reuses the exchange); no self-join, no explode — O(n)
+    per entity regardless of overlap depth.
+    """
+    order = [F.col(start)] + ([F.col(tiebreak)] if tiebreak else []) + [
+        F.col(end)
+    ]
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.col(end)).over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col(end) - F.greatest(F.col(start), F.coalesce(prev_max, F.col(start))),
+    )
+    island = F.when(
+        prev_max.isNull() | (F.col(start) > prev_max), 1
+    ).otherwise(0)
+    swept = intervals.select(
+        entity,
+        F.col(start).alias("__s"),
+        F.col(end).alias("__e"),
+        contrib.alias("__cov"),
+        island.alias("__isl"),
+    )
+    return swept.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("__cov").cast("bigint").alias("covered_seconds"),
+        F.sum("__isl").cast("bigint").alias("n_islands"),
+        (F.max("__e") - F.min("__s")).cast("bigint").alias("span_seconds"),
+    )

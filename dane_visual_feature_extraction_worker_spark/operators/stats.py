@@ -857,3 +857,79 @@ def ab_conversion_report(
             F.floor((ra - rb) / se * 1e6) / 1e6,
         ).alias("z_score"),
     )
+
+
+def cramers_v_report(
+    df: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    r×c generalization of the 2×2 ``_contingency_2x2`` family above
+    (chi2_select / mutual_info_select), for screening categorical
+    feature pairs where neither side is a binary label.
+
+    One row out: ``(n, r, c, chi2_micro, cramers_v)`` with
+    ``V = sqrt((chi2/n) / min(r-1, c-1))``.
+
+    Determinism: cell/margin counts are exact BIGINTs; each cell's
+    chi2 term is floored to integer micro-units BEFORE summation, so
+    the total is an exact int64 regardless of aggregation order; the
+    final sqrt is IEEE-correctly-rounded on every engine.
+
+    Empty cells (a pair (a, b) never observed) still belong in chi2;
+    rather than materializing the full r×c cross product we use the
+    identity sum((o-e)^2/e) = sum(o^2/e) - n, whose per-cell term
+    o^2/e is ZERO for every empty cell — the observed-cells sum is
+    already complete.
+
+    Plan: ONE map-side-combined groupBy(a, b) exchange over the
+    corpus; margins and totals come from windows over the RESULT
+    (r×c cells — KB-sized, documented single-partition frames), never
+    a second corpus scan.
+    """
+    cells = df.groupBy(
+        F.col(a).alias("__a"), F.col(b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "__a",
+        "__b",
+        "__o",
+        F.sum("__o").over(wa).alias("__rs"),
+        F.sum("__o").over(wb).alias("__cs"),
+        F.sum("__o").over(wn).alias("__n"),
+    )
+    e = (
+        F.col("__rs").cast("double")
+        * F.col("__cs").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.col("__o").cast("double")
+    term = F.floor(o * o / e * F.lit(1e6)).cast("bigint")
+    # ONE reduction over the windowed cells frame — the corpus groupBy
+    # is evaluated exactly once (no second branch off `cells`)
+    out = m.select(
+        "__a", "__b", "__n", term.alias("__t")
+    ).agg(
+        F.max("__n").alias("__n"),
+        (F.sum("__t") - F.max("__n") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("chi2_micro"),
+        F.countDistinct("__a").cast("bigint").alias("r"),
+        F.countDistinct("__b").cast("bigint").alias("c"),
+    )
+    dof = F.least(F.col("r") - 1, F.col("c") - 1)
+    v = F.sqrt(
+        (F.col("chi2_micro").cast("double") / F.lit(1e6))
+        / (F.col("__n").cast("double") * dof.cast("double"))
+    )
+    return out.select(
+        F.col("__n").alias("n"),
+        "r",
+        "c",
+        "chi2_micro",
+        F.when(dof > 0, F.floor(v * F.lit(1e6)) / F.lit(1e6)).alias(
+            "cramers_v"
+        ),
+    )

@@ -9883,3 +9883,240 @@ ORACLES["rolling_percent_rank"] = """
     FROM fr
 """
 QUERIES["rolling_percent_rank"] = rolling_percent_rank_q
+
+
+def interval_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged-interval union coverage (operators/intervals.
+    coverage_stats): events become [s, s+30+(event_id%90)) second
+    intervals; the gaps-and-islands sweep reports covered seconds,
+    island count and span — the audit you run on an interval table
+    (the reference's shot list, data_handling.py:114-129) before
+    trusting containment features. ONE entity exchange, O(n) sweep,
+    all-int64 math."""
+    from dane_visual_feature_extraction_worker_spark.operators.intervals import (
+        coverage_stats,
+    )
+
+    e = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    s = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(30) + F.col("event_id") % 90).alias("e"),
+    )
+    return coverage_stats(
+        iv, entity="user_id", start="s", end="e", tiebreak="event_id"
+    )
+
+
+ORACLES["interval_coverage"] = """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 30 + event_id % 90 AS e
+      FROM events WHERE ts IS NOT NULL
+    ), sw AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+                AS BIGINT) AS covered_seconds,
+           CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_islands,
+           CAST(max(e) - min(s) AS BIGINT) AS span_seconds
+    FROM sw GROUP BY user_id
+"""
+QUERIES["interval_coverage"] = interval_coverage_q
+
+
+def regional_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): region→nation dims and
+    supplier broadcast, orders date-pruned at the scan, ONE big-big
+    shuffle (lineitem x orders) hash-clustered on the uniform
+    orderkey, then the c_nationkey = s_nationkey residual and an
+    exact-decimal revenue rollup per nation. customer x orders is
+    left to AQE (broadcastable at bench scale; plain hash join at
+    100 TB — both correct, the dims stay broadcast either way)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n_asia = nation.join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(n_asia),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    ol = li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = ol.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).where(F.col("c_nationkey") == F.col("s_nationkey"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+ORACLES["regional_revenue"] = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+"""
+QUERIES["regional_revenue"] = regional_revenue_q
+
+
+def benford_dq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over o_totalprice (operators/dq.
+    benford_report): exact string-of-int64-cents digit extraction,
+    inlined micro-floored expected shares (no runtime ln), ONE
+    9-group map-side-combined aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        benford_report,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_report(o, "o_totalprice")
+
+
+def _benford_oracle() -> str:
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        BENFORD_EXPECTED_MICRO,
+    )
+
+    case = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in BENFORD_EXPECTED_MICRO.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), g AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c
+      GROUP BY digit
+    ), m AS (
+      SELECT digit, n_obs,
+             CAST(sum(n_obs) OVER () AS BIGINT) AS n,
+             CAST(CASE digit {case} END AS BIGINT) AS expm
+      FROM g
+    )
+    SELECT digit, n_obs,
+           floor(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             / 1000000.0 AS share,
+           CAST(expm AS DOUBLE) / 1000000.0 AS expected_share,
+           CAST(floor((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(expm AS DOUBLE) / 1000000.0)
+                      * 1000000.0) AS BIGINT) AS dev_micro,
+           floor((CAST(n_obs AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                    * (CAST(expm AS DOUBLE) / 1000000.0))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(expm AS DOUBLE) / 1000000.0))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(expm AS DOUBLE) / 1000000.0))
+                 * 1000000.0) / 1000000.0 AS chi2_term
+    FROM m
+    """
+
+
+ORACLES["benford_dq"] = _benford_oracle()
+QUERIES["benford_dq"] = benford_dq_q
+
+
+def cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between lang and source over documents
+    (operators/stats.cramers_v_report): r×c categorical association
+    with micro-floored integer chi2 terms (order-independent sum);
+    ONE corpus groupBy exchange, margins from windows over the
+    KB-sized cells frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cramers_v_report,
+    )
+
+    d = _documents(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return cramers_v_report(d, "lang", "source")
+
+
+ORACLES["cramers_v"] = """
+    WITH cells AS (
+      SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source
+    ), m AS (
+      SELECT a, b, o,
+             sum(o) OVER (PARTITION BY a) AS rs,
+             sum(o) OVER (PARTITION BY b) AS cs,
+             sum(o) OVER () AS n
+      FROM cells
+    ), t AS (
+      SELECT a, b, CAST(n AS BIGINT) AS n,
+             CAST(floor(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                        / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS term
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT a) AS BIGINT) AS r,
+           CAST(count(DISTINCT b) AS BIGINT) AS c,
+           CAST(sum(term) - max(n) * 1000000 AS BIGINT) AS chi2_micro,
+           CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) - 1 > 0
+                THEN floor(sqrt((CAST(sum(term) - max(n) * 1000000
+                                      AS DOUBLE) / 1000000.0)
+                                / (CAST(max(n) AS DOUBLE)
+                                   * CAST(least(count(DISTINCT a),
+                                                count(DISTINCT b)) - 1
+                                          AS DOUBLE)))
+                           * 1000000.0) / 1000000.0
+           END AS cramers_v
+    FROM t
+"""
+QUERIES["cramers_v"] = cramers_v_q
