@@ -159,3 +159,40 @@ def benford_report(df: DataFrame, amount: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi: dict[str, F.Column],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: the
+    group-size histogram of the QI partition, flagging equivalence
+    classes smaller than ``k`` (re-identifiable rows) — the privacy
+    gate run before releasing a feature table.
+
+    ``qi`` maps output names to quasi-identifier expressions. Output,
+    one row per distinct class size: ``(group_size, n_groups, n_rows,
+    at_risk)`` with n_rows = group_size · n_groups.
+
+    Plan: ONE map-side-combined groupBy over the QI tuple (the only
+    corpus exchange), then a class-size rollup over the
+    |distinct QI| result — never a self-join, all exact int64.
+    """
+    if not qi:
+        raise ValueError("k_anonymity_report needs at least one QI column")
+    g = df.groupBy(
+        *[col.alias(name) for name, col in qi.items()]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__size"))
+    return (
+        g.groupBy(F.col("__size").alias("group_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups"))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.col("group_size") < F.lit(int(k))).alias("at_risk"),
+        )
+    )

@@ -739,3 +739,120 @@ def ngram_novelty(
             F.expr("(novel * 1000000) div n_shingles").cast("double") / 1e6
         ).alias("novelty"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-k terms — the classic
+    naturalness check on a text corpus (synthetic / boilerplate-heavy
+    corpora bend away from slope ≈ -1).
+
+    One row out: ``(n_terms, slope, intercept_ln)``.
+
+    Determinism: ranks and counts are exact integers; ln values are
+    micro-floored to int64 BEFORE the moment sums, so Σx, Σy, Σxy,
+    Σx² are exact int64 in any aggregation order (products stay
+    < 2^63 for any corpus: x ≤ ln(k)·1e6, y ≤ ln(n_tokens)·1e6); the
+    closing slope/intercept formulas run on the exact sums as
+    doubles, identically on every engine.
+
+    Plan: reuses ``vocab_topk`` (ONE explode + map-side-combined
+    groupBy + TakeOrdered top-k — never a vocabulary sort); the
+    row_number rank and moment sums run over the k-row result
+    (KB-sized, documented single-partition frame).
+    """
+    top = vocab_topk(docs, k=k, text_col=text_col)
+    w = Window.orderBy(F.desc("n"), F.col("term"))
+    ranked = top.select(
+        "n", F.row_number().over(w).alias("rank")
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    y = F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    s = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("nt") * d("sxy") - d("sx") * d("sy")
+    den = d("nt") * d("sxx") - d("sx") * d("sx")
+    slope = num / den
+    intercept = (d("sy") - slope * d("sx")) / d("nt") / F.lit(1e6)
+    return s.select(
+        F.col("nt").alias("n_terms"),
+        (F.floor(slope * F.lit(1e6)) / F.lit(1e6)).alias("slope"),
+        (F.floor(intercept * F.lit(1e6)) / F.lit(1e6)).alias(
+            "intercept_ln"
+        ),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct terms
+    vs cumulative documents at ``n_buckets`` checkpoints along the
+    ``id_col`` axis — the diagnostic for "is the corpus still adding
+    vocabulary or repeating itself" (flat tail → heavy duplication or
+    template text).
+
+    Buckets are fixed-width id ranges (``id DIV w`` with
+    ``w = max(id) DIV n_buckets + 1`` from a lazy broadcast scalar —
+    the psi_drift pattern, no driver round-trip). A term is NEW in
+    the bucket of its minimum id — so cumulative vocab at bucket b is
+    exact regardless of how ids distribute.
+
+    Plan: one docs-spine groupBy (bucket counts) + ONE token explode
+    into a map-side-combined min-bucket-per-term aggregate (the only
+    vocabulary-sized exchange) + a tiny first-bucket rollup; running
+    sums run over the ≤ n_buckets+1-row frame (documented
+    single-partition).
+    """
+    cut = docs.agg(
+        F.expr(f"max({id_col}) DIV {int(n_buckets)} + 1").alias("__w")
+    )
+    d = docs.crossJoin(F.broadcast(cut))
+    # integer DIV, never floor(a/b): a 53-bit double quotient can
+    # round up across a bucket boundary
+    bucket = F.expr(f"{id_col} DIV __w")
+    spine = d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    toks = d.select(
+        bucket.alias("bucket"),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    first = toks.groupBy("term").agg(F.min("bucket").alias("fb"))
+    newt = first.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_terms")
+    )
+    j = spine.join(newt, spine.bucket == newt.fb, "left").select(
+        "bucket",
+        "n_docs",
+        F.coalesce("new_terms", F.lit(0)).cast("bigint").alias(
+            "new_terms"
+        ),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "bucket",
+        "n_docs",
+        "new_terms",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_cum"),
+    )

@@ -10120,3 +10120,198 @@ ORACLES["cramers_v"] = """
     FROM t
 """
 QUERIES["cramers_v"] = cramers_v_q
+
+
+def gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user event concentration
+    (operators/stats.gini_report): pair-difference mass from the
+    count-value histogram in O(|levels|), decimal(38,0) exact terms,
+    ONE entity exchange + a domain-bounded histogram rollup."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        gini_report,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_report(e, entity="user_id")
+
+
+ORACLES["gini_activity"] = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+      GROUP BY user_id
+    ), h AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS f FROM c GROUP BY c
+    ), p AS (
+      SELECT c, f,
+        CAST(coalesce(sum(f) OVER (
+          ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS bn,
+        CAST(coalesce(sum(f * c) OVER (
+          ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS bs
+      FROM h
+    ), one AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n_entities,
+             sum(CAST(f AS HUGEINT) * CAST(c AS HUGEINT)) AS total,
+             sum(CAST(f AS HUGEINT)
+                 * (CAST(c AS HUGEINT) * CAST(bn AS HUGEINT)
+                    - CAST(bs AS HUGEINT)) * 2) AS absdiff
+      FROM p
+    )
+    SELECT n_entities,
+           CAST(total AS BIGINT) AS total_events,
+           CASE WHEN n_entities > 0 AND total > 0
+                THEN floor(CAST(absdiff AS DOUBLE)
+                           / (2.0 * CAST(n_entities AS DOUBLE)
+                              * CAST(total AS DOUBLE))
+                           * 1000000.0) / 1000000.0
+           END AS gini
+    FROM one
+"""
+QUERIES["gini_activity"] = gini_q
+
+
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over documents with QI = (lang, source,
+    n_chars DIV 256) (operators/dq.k_anonymity_report): equivalence-
+    class size histogram flagging classes below k=5; ONE map-side-
+    combined QI groupBy, class-size rollup over the distinct-QI
+    frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        k_anonymity_report,
+    )
+
+    d = _documents(spark, sf_dir)
+    return k_anonymity_report(
+        d,
+        {
+            "lang": F.col("lang"),
+            "source": F.col("source"),
+            "len_bucket": F.expr("n_chars DIV 256"),
+        },
+        k=5,
+    )
+
+
+ORACLES["k_anonymity"] = """
+    WITH g AS (
+      SELECT lang, source, n_chars // 256 AS len_bucket,
+             CAST(count(*) AS BIGINT) AS s
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT s AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(s * count(*) AS BIGINT) AS n_rows,
+           s < 5 AS at_risk
+    FROM g GROUP BY s
+"""
+QUERIES["k_anonymity"] = k_anonymity_q
+
+
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS slope over the top-1000 corpus terms
+    (operators/textstats.zipf_slope): micro-floored int64 ln moments
+    (exact order-independent sums), reusing vocab_topk's one-explode
+    TakeOrdered plan; regression runs over the k-row frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        zipf_slope,
+    )
+
+    return zipf_slope(_documents(spark, sf_dir), k=1000)
+
+
+ORACLES["zipf_slope"] = r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+        string_split_regex(lower(text), '\s+'), t -> t != ''
+      )) AS term
+      FROM documents
+    ), top AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+      GROUP BY term HAVING count(*) >= 1
+      ORDER BY n DESC, term LIMIT 1000
+    ), r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM top
+    ), m AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS y
+      FROM r
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM m
+    )
+    SELECT nt AS n_terms,
+           floor((CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS slope,
+           floor((CAST(sy AS DOUBLE)
+                  - (CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(nt AS DOUBLE) / 1000000.0
+                 * 1000000.0) / 1000000.0 AS intercept_ln
+    FROM s
+"""
+QUERIES["zipf_slope"] = zipf_slope_q
+
+
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over 20 doc_id buckets
+    (operators/textstats.vocab_growth): term is NEW in the bucket of
+    its min doc_id; one spine groupBy + ONE vocabulary-sized
+    min-bucket aggregate; running sums over the 20-row frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_documents(spark, sf_dir), n_buckets=20)
+
+
+ORACLES["vocab_growth"] = r"""
+    WITH cut AS (
+      SELECT max(doc_id) // 20 + 1 AS w FROM documents
+    ), d AS (
+      SELECT doc_id // (SELECT w FROM cut) AS bucket, text
+      FROM documents
+    ), spine AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY bucket
+    ), tok AS (
+      SELECT bucket, unnest(list_filter(
+        string_split_regex(lower(text), '\s+'), t -> t != ''
+      )) AS term
+      FROM d
+    ), fst AS (
+      SELECT term, min(bucket) AS fb FROM tok
+      WHERE term != '' GROUP BY term
+    ), newt AS (
+      SELECT fb, CAST(count(*) AS BIGINT) AS new_terms
+      FROM fst GROUP BY fb
+    ), j AS (
+      SELECT s.bucket, s.n_docs,
+             CAST(coalesce(n.new_terms, 0) AS BIGINT) AS new_terms
+      FROM spine s LEFT JOIN newt n ON s.bucket = n.fb
+    )
+    SELECT bucket, n_docs, new_terms,
+           CAST(sum(n_docs) OVER (
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS docs_cum,
+           CAST(sum(new_terms) OVER (
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS vocab_cum
+    FROM j
+"""
+QUERIES["vocab_growth"] = vocab_growth_q
