@@ -211,6 +211,14 @@ HEADLINE = [
     "dq_expectations",
     "cluster_silhouette",
     "rolling_percent_rank",
+    "interval_coverage",
+    "regional_revenue",
+    "benford_dq",
+    "cramers_v",
+    "gini_activity",
+    "k_anonymity",
+    "zipf_slope",
+    "vocab_growth",
 ]
 
 
