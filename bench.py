@@ -219,6 +219,7 @@ HEADLINE = [
     "k_anonymity",
     "zipf_slope",
     "vocab_growth",
+    "transition_entropy",
 ]
 
 

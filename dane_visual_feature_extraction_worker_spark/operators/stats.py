@@ -371,6 +371,84 @@ def transition_matrix(
     )
 
 
+def transition_entropy(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Conditional entropy of the first-order transition chain,
+    H(next|src) per source state plus the count-weighted entropy
+    rate — the degeneracy detector for agent transcripts: a chain
+    whose rate collapses toward 0 is a looping agent (every state
+    deterministically follows its predecessor), the counterpart the
+    reference's per-file eager loop could never see because it reads
+    one conversation at a time (`feature_extraction.py:73-81`
+    iterates one source's batches; corpus-level sequence statistics
+    require the distributed groupBy this engine runs).
+
+    Exactness: H(next|src) = ln(n_src) − (1/n_src)·Σ_d n_sd·ln(n_sd);
+    every ln is the repo's micro-nat ``floor(ln·1e6)`` int64, products
+    and sums stay exact int64 (n·micro-nats ≤ 1e12·3e7 << 2^63 per
+    source even at 10^12 transitions), and the division is integer
+    DIV on a nonnegative numerator (concavity keeps the true
+    numerator ≥ 0; flooring perturbs it by < n_src micros, absorbed
+    by the DIV floor) — engine-stable, no double until never.
+
+    Plan: ONE entity exchange for the lag window (the only corpus
+    shuffle — identical to ``transition_matrix``), map-side-combined
+    (src,dst) pair counts, then a second groupBy and two windows over
+    the |states|- and |states|²-row frames (KB-sized). Output:
+    ``(src_state, n_src, h_cond_micro, rate_micro)``, |states| rows.
+    """
+    w = Window.partitionBy(entity).orderBy(ts, tiebreak)
+    lnm = lambda c: F.floor(  # noqa: E731 — repo-wide micro-nat ln
+        F.log(c.cast("double")) * 1e6
+    ).cast("bigint")
+    pairs = (
+        df.select(
+            F.lag(F.col(state)).over(w).alias("src_state"),
+            F.col(state).alias("dst_state"),
+        )
+        .where(F.col("src_state").isNotNull())
+        .groupBy("src_state", "dst_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sd"))
+    )
+    per_src = pairs.groupBy("src_state").agg(
+        F.sum("n_sd").cast("bigint").alias("n_src"),
+        F.sum(F.col("n_sd") * lnm(F.col("n_sd")))
+        .cast("bigint")
+        .alias("__sum_nl"),
+    )
+    num = F.col("n_src") * lnm(F.col("n_src")) - F.col("__sum_nl")
+    per_src = per_src.select(
+        "src_state",
+        "n_src",
+        num.alias("__num"),
+    ).select(
+        "src_state",
+        "n_src",
+        F.expr("__num DIV n_src").alias("h_cond_micro"),
+        F.col("__num"),
+    )
+    full = Window.orderBy("src_state").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_src.select(
+        "src_state",
+        "n_src",
+        "h_cond_micro",
+        F.sum("__num").over(full).cast("bigint").alias("__tot_num"),
+        F.sum("n_src").over(full).cast("bigint").alias("__tot_n"),
+    ).select(
+        "src_state",
+        "n_src",
+        "h_cond_micro",
+        F.expr("__tot_num DIV __tot_n").alias("rate_micro"),
+    )
+
+
 def ks_drift(
     df: DataFrame,
     ts: str = "ts",

@@ -10315,3 +10315,53 @@ ORACLES["vocab_growth"] = r"""
     FROM j
 """
 QUERIES["vocab_growth"] = vocab_growth_q
+
+
+def transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy per source state + count-weighted entropy
+    rate of the user event chain (operators/stats.transition_entropy):
+    the agent-loop degeneracy detector. Same ONE entity exchange as
+    markov_transitions; all micro-nat int64 arithmetic, integer DIV
+    (never a double), windows over the |states|-row frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        transition_entropy,
+    )
+
+    return transition_entropy(
+        _events(spark, sf_dir),
+        entity="user_id",
+        ts="ts",
+        state="event_type",
+        tiebreak="event_id",
+    )
+
+
+ORACLES["transition_entropy"] = """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    ), c AS (
+      SELECT src AS src_state, event_type AS dst_state,
+             CAST(count(*) AS BIGINT) AS n_sd
+      FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+      SELECT src_state,
+             CAST(sum(n_sd) AS BIGINT) AS n_src,
+             CAST(sum(n_sd * CAST(floor(ln(CAST(n_sd AS DOUBLE)) * 1e6)
+                                  AS BIGINT)) AS BIGINT) AS sum_nl
+      FROM c GROUP BY 1
+    ), n AS (
+      SELECT src_state, n_src,
+             n_src * CAST(floor(ln(CAST(n_src AS DOUBLE)) * 1e6) AS BIGINT)
+               - sum_nl AS num
+      FROM p
+    )
+    SELECT src_state, n_src,
+           num // n_src AS h_cond_micro,
+           CAST(sum(num) OVER () AS BIGINT)
+             // CAST(sum(n_src) OVER () AS BIGINT) AS rate_micro
+    FROM n
+"""
+QUERIES["transition_entropy"] = transition_entropy_q

@@ -235,3 +235,58 @@ def test_source_overlap_identical_and_disjoint(spark):
     }
     assert out[("s1", "s2")] == 1.0
     assert ("s1", "s3") not in out and ("s3", "s1") not in out
+
+
+def test_transition_entropy_matches_brute_force(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        transition_entropy,
+    )
+
+    df = _events_df(spark, n=900, n_users=7)
+    got = {r["src_state"]: r for r in transition_entropy(df).collect()}
+
+    # brute force: replay the lag chain per user in pandas
+    pd = df.toPandas().sort_values(["user_id", "ts", "event_id"])
+    pairs: dict[tuple, int] = {}
+    for _, g in pd.groupby("user_id"):
+        seq = list(g["event_type"])
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    srcs = sorted({a for a, _ in pairs})
+    tot_num, tot_n = 0, 0
+    exp = {}
+    for s in srcs:
+        counts = [c for (a, _), c in pairs.items() if a == s]
+        n_src = sum(counts)
+        num = n_src * math.floor(math.log(n_src) * 1e6) - sum(
+            c * math.floor(math.log(c) * 1e6) for c in counts
+        )
+        exp[s] = (n_src, num // n_src)
+        tot_num += num
+        tot_n += n_src
+    rate = tot_num // tot_n
+
+    assert set(got) == set(srcs)
+    for s in srcs:
+        assert got[s]["n_src"] == exp[s][0]
+        assert got[s]["h_cond_micro"] == exp[s][1]
+        assert got[s]["rate_micro"] == rate
+        # entropy is nonnegative and bounded by ln(|states|)
+        assert 0 <= got[s]["h_cond_micro"] <= math.log(7) * 1e6 + 1
+
+
+def test_transition_entropy_degenerate_chain_is_zero(spark):
+    """A deterministic A->B->A->... loop has zero conditional entropy."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        transition_entropy,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"),
+        F.lit(0).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("event_type"),
+    )
+    rows = transition_entropy(df).collect()
+    assert all(r["h_cond_micro"] == 0 for r in rows)
+    assert all(r["rate_micro"] == 0 for r in rows)
