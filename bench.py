@@ -220,6 +220,7 @@ HEADLINE = [
     "zipf_slope",
     "vocab_growth",
     "transition_entropy",
+    "lorenz_curve",
 ]
 
 

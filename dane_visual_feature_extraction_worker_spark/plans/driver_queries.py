@@ -10365,3 +10365,46 @@ ORACLES["transition_entropy"] = """
     FROM n
 """
 QUERIES["transition_entropy"] = transition_entropy_q
+
+
+def lorenz_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of per-user event activity in 10
+    ntile buckets (operators/stats.lorenz_curve): the decile view
+    behind gini_activity's single number, and the planning input for
+    the salted-twin routing threshold. One entity exchange; ntile and
+    cumulative shares over the per-entity count frame; integer-micro
+    DIV shares."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        lorenz_curve,
+    )
+
+    return lorenz_curve(_events(spark, sf_dir), entity="user_id")
+
+
+ORACLES["lorenz_curve"] = """
+    WITH pe AS (
+      SELECT user_id AS e, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), rk AS (
+      SELECT n, ntile(10) OVER (ORDER BY n, e) AS bucket FROM pe
+    ), r AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_entities,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM rk GROUP BY 1
+    )
+    SELECT bucket, n_entities, n_events,
+           CAST(sum(n_entities) OVER (
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 1000000 AS BIGINT)
+             // CAST(sum(n_entities) OVER () AS BIGINT)
+             AS entity_cum_micro,
+           CAST(sum(n_events) OVER (
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 1000000 AS BIGINT)
+             // CAST(sum(n_events) OVER () AS BIGINT)
+             AS event_cum_micro
+    FROM r
+"""
+QUERIES["lorenz_curve"] = lorenz_curve_q

@@ -290,3 +290,45 @@ def test_transition_entropy_degenerate_chain_is_zero(spark):
     rows = transition_entropy(df).collect()
     assert all(r["h_cond_micro"] == 0 for r in rows)
     assert all(r["rate_micro"] == 0 for r in rows)
+
+
+def test_lorenz_curve_brute_force_and_monotone(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        lorenz_curve,
+    )
+
+    df = _events_df(spark, n=1200, n_users=23)
+    rows = sorted(
+        lorenz_curve(df, entity="user_id").collect(),
+        key=lambda r: r["bucket"],
+    )
+    # brute force in pandas
+    counts = (
+        df.toPandas().groupby("user_id").size().reset_index(name="n")
+    ).sort_values(["n", "user_id"]).reset_index(drop=True)
+    k, m = 10, len(counts)
+    # ntile: first (m % k) buckets get ceil(m/k), rest floor(m/k)
+    sizes = [(m // k) + (1 if i < m % k else 0) for i in range(k)]
+    total_e, total_n = m, int(counts["n"].sum())
+    pos, cum_e, cum_n = 0, 0, 0
+    for i, r in enumerate(rows):
+        grp = counts.iloc[pos : pos + sizes[i]]
+        pos += sizes[i]
+        cum_e += len(grp)
+        cum_n += int(grp["n"].sum())
+        assert r["n_entities"] == len(grp)
+        assert r["n_events"] == int(grp["n"].sum())
+        assert r["entity_cum_micro"] == cum_e * 1_000_000 // total_e
+        assert r["event_cum_micro"] == cum_n * 1_000_000 // total_n
+    # Lorenz curve properties: event share lags entity share, both
+    # monotone, both end at exactly 1e6
+    ev = [r["event_cum_micro"] for r in rows]
+    en = [r["entity_cum_micro"] for r in rows]
+    assert ev == sorted(ev) and en == sorted(en)
+    assert ev[-1] == en[-1] == 1_000_000
+    assert all(e <= a for e, a in zip(ev, en))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lorenz_curve(df, n_buckets=1)
