@@ -221,6 +221,7 @@ HEADLINE = [
     "vocab_growth",
     "transition_entropy",
     "lorenz_curve",
+    "poisson_bootstrap",
 ]
 
 

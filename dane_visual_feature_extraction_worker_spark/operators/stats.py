@@ -1144,3 +1144,114 @@ def lorenz_curve(
             " AND UNBOUNDED FOLLOWING)"
         ).cast("bigint").alias("event_cum_micro"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to the 2^32 md5-key space,
+#: computed once from exact cumulative sums and inlined as integer
+#: literals on BOTH engines — libm never enters the gate. P(w > 8)
+#: ≈ 1.1e-6 is truncated to w = 8 (identically on both sides).
+POISSON1_THRESHOLDS = (
+    1580030168,  # w = 0
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,  # w = 7; above -> 8
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value: str = "value",
+    id_col: str = "event_id",
+    n_replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap of the corpus mean — THE bootstrap that works
+    at 100 TB (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): classical resampling needs n draws
+    WITH replacement per replicate (a corpus-sized shuffle per
+    replicate); the Poisson approximation gives each row an
+    independent Poisson(1) weight per replicate, so ALL replicates
+    accumulate in ONE streaming pass — zero shuffles, map-side
+    combined, replicate count limited only by agg-state width.
+
+    Determinism: the weight is the md5 ``sample_key`` primitive on
+    ``id#replicate`` pushed through the inlined integer
+    ``POISSON1_THRESHOLDS`` (no rand(), no libm at gate time), so any
+    engine and any partition layout reproduces every replicate
+    bit-for-bit. Values quantize to integer cents; replicate means
+    are exact-integer ``Σw·cents DIV Σw``; the CI bounds are order
+    statistics (2nd smallest / 2nd largest replicate mean — ~94%
+    coverage at B=32) taken over the B-row frame.
+
+    Output: B rows ``(replicate, n_eff, mean_cents, ci_lo_cents,
+    ci_hi_cents)``.  Plan: one narrow projection + ONE aggregate with
+    2B int64/decimal states; the B-row explode and order-statistic
+    windows are driver-frame-sized.
+    """
+    if not 2 <= n_replicates <= 128:
+        raise ValueError(f"n_replicates must be in [2, 128]: {n_replicates}")
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    rows = df.where(F.col(value).isNotNull()).select(
+        cents.alias("__v"), F.col(id_col).cast("string").alias("__id")
+    )
+
+    def _w(b: int) -> F.Column:
+        hx = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.concat_ws("#", F.col("__id"), F.lit(str(b)))
+            )
+        )
+        key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        w: F.Column = F.lit(8)
+        for wv in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+            w = F.when(key < POISSON1_THRESHOLDS[wv], wv).otherwise(w)
+        return w.cast("bigint")
+
+    aggs: list[F.Column] = []
+    for b in range(n_replicates):
+        wb = _w(b)
+        aggs.append(F.sum(wb).cast("bigint").alias(f"__n_{b}"))
+        aggs.append(
+            F.sum(wb * F.col("__v")).cast("bigint").alias(f"__s_{b}")
+        )
+    one = rows.agg(*aggs)
+
+    reps = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("replicate"),
+                        F.coalesce(F.col(f"__n_{b}"), F.lit(0)).alias(
+                            "n_eff"
+                        ),
+                        F.coalesce(F.col(f"__s_{b}"), F.lit(0)).alias("__s"),
+                    )
+                    for b in range(n_replicates)
+                ]
+            )
+        ).alias("__r")
+    ).select(
+        "__r.replicate",
+        "__r.n_eff",
+        F.when(
+            F.col("__r.n_eff") > 0, F.expr("__r.__s DIV __r.n_eff")
+        ).alias("mean_cents"),
+    )
+    full = Window.orderBy("replicate").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    means_sorted = F.sort_array(
+        F.collect_list("mean_cents").over(full)
+    )
+    return reps.select(
+        "replicate",
+        "n_eff",
+        "mean_cents",
+        F.element_at(means_sorted, 2).alias("ci_lo_cents"),
+        F.element_at(means_sorted, -2).alias("ci_hi_cents"),
+    )

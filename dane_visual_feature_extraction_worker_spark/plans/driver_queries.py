@@ -10408,3 +10408,66 @@ ORACLES["lorenz_curve"] = """
     FROM r
 """
 QUERIES["lorenz_curve"] = lorenz_curve_q
+
+
+def poisson_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI of the mean event value, 32 replicates
+    (operators/stats.poisson_bootstrap — Chamandy et al. 2012, the
+    one-pass distributed bootstrap): md5-deterministic Poisson(1)
+    weights through inlined integer inverse-CDF thresholds, 64 agg
+    states in ONE map-side-combined pass, zero shuffles; replicate
+    means exact-integer cents DIV; CI = 2nd/31st order statistics
+    over the 32-row frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        poisson_bootstrap,
+    )
+
+    return poisson_bootstrap(
+        _events(spark, sf_dir), value="value", id_col="event_id",
+        n_replicates=32, salt="boot",
+    )
+
+
+def _poisson_boot_oracle() -> str:
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        POISSON1_THRESHOLDS,
+    )
+
+    k = _sample_key_terms_sql()
+    case = "CASE " + " ".join(
+        f"WHEN ({k}) < {t} THEN {w}"
+        for w, t in enumerate(POISSON1_THRESHOLDS)
+    ) + " ELSE 8 END"
+    return f"""
+    WITH rep AS (SELECT CAST(b AS INT) AS replicate FROM range(0, 32) t(b)),
+    rows_w AS (
+      SELECT r.replicate,
+             CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             {case} AS w
+      FROM (
+        SELECT value, event_id,
+               md5('boot' || '|' || CAST(event_id AS VARCHAR) || '#'
+                   || CAST(rr.replicate AS VARCHAR)) AS hx,
+               rr.replicate
+        FROM events, rep rr
+        WHERE value IS NOT NULL
+      ) e JOIN rep r ON r.replicate = e.replicate
+    ), agg AS (
+      SELECT replicate,
+             CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * v) AS BIGINT) AS s
+      FROM rows_w GROUP BY 1
+    ), m AS (
+      SELECT replicate, n_eff,
+             CASE WHEN n_eff > 0 THEN s // n_eff END AS mean_cents
+      FROM agg
+    )
+    SELECT replicate, n_eff, mean_cents,
+           list_sort(list(mean_cents) OVER ())[2] AS ci_lo_cents,
+           list_sort(list(mean_cents) OVER ())[-2] AS ci_hi_cents
+    FROM m
+"""
+
+
+ORACLES["poisson_bootstrap"] = _poisson_boot_oracle()
+QUERIES["poisson_bootstrap"] = poisson_bootstrap_q

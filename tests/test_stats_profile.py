@@ -332,3 +332,56 @@ def test_lorenz_curve_brute_force_and_monotone(spark):
 
     with _pytest.raises(ValueError):
         lorenz_curve(df, n_buckets=1)
+
+
+def test_poisson_bootstrap_brute_force(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap,
+    )
+
+    df = _events_df(spark, n=400, n_users=5)
+    B = 8
+    rows = sorted(
+        poisson_bootstrap(
+            df, value="value", id_col="event_id", n_replicates=B,
+            salt="t",
+        ).collect(),
+        key=lambda r: r["replicate"],
+    )
+
+    import hashlib
+
+    def key(eid, b):
+        hx = hashlib.md5(f"t|{eid}#{b}".encode()).hexdigest()
+        return int(hx[:8], 16)
+
+    def weight(k):
+        for w, t in enumerate(POISSON1_THRESHOLDS):
+            if k < t:
+                return w
+        return 8
+
+    pd = df.toPandas()
+    means = {}
+    for b in range(B):
+        n = s = 0
+        for _, r in pd.iterrows():
+            w = weight(key(int(r["event_id"]), b))
+            cents = int(round(float(r["value"]) * 100))
+            n += w
+            s += w * cents
+        means[b] = (n, s // n)
+    srt = sorted(m for _, m in means.values())
+    for r in rows:
+        assert (r["n_eff"], r["mean_cents"]) == means[r["replicate"]]
+        assert r["ci_lo_cents"] == srt[1]
+        assert r["ci_hi_cents"] == srt[-2]
+    # sanity: the true mean lies inside the bootstrap CI
+    true_cents = int(pd["value"].mul(100).round().sum()) // len(pd)
+    assert rows[0]["ci_lo_cents"] <= true_cents <= rows[0]["ci_hi_cents"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        poisson_bootstrap(df, n_replicates=1)
