@@ -222,6 +222,7 @@ HEADLINE = [
     "transition_entropy",
     "lorenz_curve",
     "poisson_bootstrap",
+    "mann_whitney",
 ]
 
 

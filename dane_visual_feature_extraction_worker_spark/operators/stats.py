@@ -1255,3 +1255,105 @@ def poisson_bootstrap(
         F.element_at(means_sorted, 2).alias("ci_lo_cents"),
         F.element_at(means_sorted, -2).alias("ci_hi_cents"),
     )
+
+
+def mann_whitney_drift(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the first and second
+    time-half of a numeric feature — the rank-based two-sample drift
+    test: where ``ks_drift`` reads the worst CDF gap (sensitive to any
+    shape change) and ``psi_drift`` needs a binning, U detects a
+    LOCATION shift and is immune to outliers, because only ranks
+    enter. The triple is the standard drift dashboard.
+
+    Exactness: values quantize to integer cents; ties take the
+    textbook average rank, kept integral by working with DOUBLED rank
+    sums — per distinct cent with half-counts (a, b), the occupied
+    ranks are (cum+1 .. cum+a+b), so 2·Σ(avg rank) contribution is
+    ``a · (2·cum + a + b + 1)``, an exact decimal(38,0) term
+    (cum ≤ 10^12 rows × a ≤ 10^12 → ≤ 10^24 << 10^38). ``u1_x2 =
+    r1_x2 − n1·(n1+1)`` stays exact integer. The z-score (untied
+    normal approximation — the tie correction to σ is second-order
+    and documented away) is the ONLY float: exact integer operands,
+    fixed IEEE op order, floor-1e-6 micro — engine-stable.
+
+    Plan: identical shape to ``ks_drift`` — lazy broadcast midpoint
+    cut, ONE map-side-combined count per distinct cent (the only
+    corpus exchange), the rank accumulation as a window over the
+    DISTINCT-CENT frame, one-row output ``(n1, n2, r1_x2, u1_x2,
+    z_micro)``.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cut = df.agg(((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut"))
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    counts = (
+        df.where(F.col(value).isNotNull())
+        .crossJoin(F.broadcast(cut))
+        .select(
+            cents.alias("__c"),
+            F.when(us <= F.col("__cut"), 1).otherwise(0).alias("__h1"),
+        )
+        .groupBy("__c")
+        .agg(
+            F.sum("__h1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("__h1")).cast("bigint").alias("c2"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)
+    ).cast(d38)
+    term = F.col("c1").cast(d38) * (
+        F.lit(2).cast(d38) * cum_before
+        + (F.col("c1") + F.col("c2") + 1).cast(d38)
+    )
+    run = counts.select(
+        term.alias("__t"),
+        F.sum("c1").over(wt).cast("bigint").alias("n1"),
+        F.sum("c2").over(wt).cast("bigint").alias("n2"),
+    )
+    tot = run.groupBy("n1", "n2").agg(F.sum("__t").alias("__r1x2"))
+    n1d, n2d = F.col("n1").cast(d38), F.col("n2").cast(d38)
+    u1x2 = F.col("__r1x2") - n1d * (n1d + 1)
+    out = tot.select(
+        "n1",
+        "n2",
+        # the rank sums stay exact decimal(38,0) INTERNALLY; the output
+        # boundary is one correctly-rounded cast to double per value
+        # (identical on any IEEE engine — and pandas bridges decimal
+        # columns inconsistently across engines, doubles identically)
+        F.col("__r1x2").cast(d38).cast("double").alias("r1_x2"),
+        u1x2.cast(d38).cast("double").alias("u1_x2"),
+    )
+    z = (
+        (F.col("u1_x2") - F.col("n1").cast(d38) * F.col("n2").cast(d38))
+        .cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                (
+                    F.col("n1").cast(d38)
+                    * F.col("n2").cast(d38)
+                    * (F.col("n1") + F.col("n2") + 1).cast(d38)
+                ).cast("double")
+                / F.lit(12.0)
+            )
+        )
+    )
+    return out.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        "u1_x2",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.floor(z * 1e6).cast("bigint"),
+        ).alias("z_micro"),
+    )

@@ -10471,3 +10471,65 @@ def _poisson_boot_oracle() -> str:
 
 ORACLES["poisson_bootstrap"] = _poisson_boot_oracle()
 QUERIES["poisson_bootstrap"] = poisson_bootstrap_q
+
+
+def mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U drift test between time-halves of event value
+    (operators/stats.mann_whitney_drift): the rank-based companion to
+    ks_drift/psi_drift — doubled rank sums keep tie-averaged ranks
+    exact integer; one distinct-cent exchange, window rank
+    accumulation over the cent frame, single float = the z-score
+    (exact operands, fixed op order, micro floor)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        mann_whitney_drift,
+    )
+
+    return mann_whitney_drift(_events(spark, sf_dir), ts="ts", value="value")
+
+
+ORACLES["mann_whitney"] = """
+    WITH cut AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS v
+      FROM events
+    ), counts AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c2
+      FROM events e, cut
+      WHERE value IS NOT NULL
+      GROUP BY 1
+    ), run AS (
+      SELECT c1, c2,
+             CAST(coalesce(sum(c1 + c2) OVER (
+               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS DECIMAL(38,0)) AS cum,
+             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+             CAST(sum(c2) OVER () AS BIGINT) AS n2
+      FROM counts
+    ), tot AS (
+      SELECT n1, n2,
+             CAST(sum(CAST(c1 AS DECIMAL(38,0))
+                      * (2 * cum + CAST(c1 + c2 + 1 AS DECIMAL(38,0))))
+                  AS DECIMAL(38,0)) AS r1_x2
+      FROM run GROUP BY n1, n2
+    )
+    SELECT n1, n2, CAST(r1_x2 AS DOUBLE) AS r1_x2,
+           CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0))
+                   * CAST(n1 + 1 AS DECIMAL(38,0)) AS DOUBLE) AS u1_x2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(floor(
+               CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0))
+                          * CAST(n1 + 1 AS DECIMAL(38,0))
+                    - CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+                    AS DOUBLE)
+               / (2.0 * sqrt(CAST(CAST(n1 AS DECIMAL(38,0))
+                                  * CAST(n2 AS DECIMAL(38,0))
+                                  * CAST(n1 + n2 + 1 AS DECIMAL(38,0))
+                                  AS DOUBLE) / 12.0))
+               * 1000000.0) AS BIGINT)
+           END AS z_micro
+    FROM tot
+"""
+QUERIES["mann_whitney"] = mann_whitney_q

@@ -385,3 +385,44 @@ def test_poisson_bootstrap_brute_force(spark):
 
     with _pytest.raises(ValueError):
         poisson_bootstrap(df, n_replicates=1)
+
+
+def test_mann_whitney_matches_brute_force_ranks(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        mann_whitney_drift,
+    )
+
+    df = _events_df(spark, n=500, n_users=9)
+    [r] = mann_whitney_drift(df, ts="ts", value="value").collect()
+
+    pd = df.toPandas()
+    us = pd["ts"].astype("int64") // 1000  # ns -> us
+    cut = (int(us.min()) + int(us.max())) // 2
+    cents = (pd["value"] * 100).round().astype("int64")
+    g1 = sorted(cents[us <= cut])
+    g2 = sorted(cents[us > cut])
+    pooled = sorted(cents)
+    # textbook average ranks with ties, doubled to stay integral
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank2[v] = 2 * cum + t + 1  # doubled average rank
+        cum += t
+    r1x2 = sum(rank2[v] for v in g1)
+    n1, n2 = len(g1), len(g2)
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["r1_x2"] == float(r1x2)
+    assert r["u1_x2"] == float(u1x2)
+    import math
+
+    z = (u1x2 - n1 * n2) / (2.0 * math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0))
+    assert r["z_micro"] == math.floor(z * 1e6)
+    # identity check: U1 + U2 = n1*n2 (doubled: u1x2 + u2x2 = 2*n1*n2)
+    r2x2 = sum(rank2[v] for v in g2)
+    u2x2 = r2x2 - n2 * (n2 + 1)
+    assert u1x2 + u2x2 == 2 * n1 * n2
