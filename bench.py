@@ -223,6 +223,7 @@ HEADLINE = [
     "lorenz_curve",
     "poisson_bootstrap",
     "mann_whitney",
+    "ngram_diversity",
 ]
 
 

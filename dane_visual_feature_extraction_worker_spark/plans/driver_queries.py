@@ -10533,3 +10533,55 @@ ORACLES["mann_whitney"] = """
     FROM tot
 """
 QUERIES["mann_whitney"] = mann_whitney_q
+
+
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source over documents
+    (operators/textstats.ngram_diversity — Li et al. 2016): the
+    mode-collapse detector for generated sources. N-grams built
+    inside the token array (JVM transform/slice, no corpus window),
+    one uniform (source, n, gram) exchange, KB-sized rollup,
+    integer-micro DIV ratios."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_diversity,
+    )
+
+    return ngram_diversity(
+        _documents(spark, sf_dir), ns=(1, 2, 3), group_col="source"
+    )
+
+
+ORACLES["ngram_diversity"] = r"""
+    WITH d AS (
+      SELECT source AS grp,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS a
+      FROM documents
+    ), tagged AS (
+      SELECT grp, 1 AS n, unnest(a) AS gram FROM d
+      UNION ALL
+      SELECT grp, 2 AS n,
+             unnest(CASE WHEN len(a) >= 2 THEN
+               list_transform(range(1, len(a)),
+                              i -> array_to_string(a[i:i+1], ' '))
+             ELSE [] END) AS gram
+      FROM d
+      UNION ALL
+      SELECT grp, 3 AS n,
+             unnest(CASE WHEN len(a) >= 3 THEN
+               list_transform(range(1, len(a) - 1),
+                              i -> array_to_string(a[i:i+2], ' '))
+             ELSE [] END) AS gram
+      FROM d
+    ), per_gram AS (
+      SELECT grp, n, gram, CAST(count(*) AS BIGINT) AS c
+      FROM tagged GROUP BY 1, 2, 3
+    )
+    SELECT grp, n,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           CAST(count(*) AS BIGINT) * 1000000
+             // CAST(sum(c) AS BIGINT) AS distinct_micro
+    FROM per_gram GROUP BY 1, 2
+"""
+QUERIES["ngram_diversity"] = ngram_diversity_q

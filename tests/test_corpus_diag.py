@@ -170,3 +170,50 @@ def test_vocab_growth_empty_bucket_emits_zero(spark):
     assert got[0]["new_terms"] == 2
     assert got[1]["new_terms"] == 0
     assert got[1]["vocab_cum"] == 2
+
+
+def test_ngram_diversity_brute_force(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ngram_diversity,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y z x y"),
+            ("a", "x x x"),
+            ("b", "hello"),
+            ("b", ""),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["grp"], r["n"]): r
+        for r in ngram_diversity(docs, ns=(1, 2, 3)).collect()
+    }
+
+    def grams(text, n):
+        t = [w for w in text.lower().split() if w]
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    corpora = {"a": ["x y z x y", "x x x"], "b": ["hello", ""]}
+    for src, texts in corpora.items():
+        for n in (1, 2, 3):
+            all_g = [g for t in texts for g in grams(t, n)]
+            if not all_g:
+                assert (src, n) not in got
+                continue
+            r = got[(src, n)]
+            assert r["total_ngrams"] == len(all_g)
+            assert r["distinct_ngrams"] == len(set(all_g))
+            assert (
+                r["distinct_micro"]
+                == len(set(all_g)) * 1_000_000 // len(all_g)
+            )
+    # mode collapse is visible: source a repeats, b does not
+    assert got[("a", 1)]["distinct_micro"] < got[("b", 1)]["distinct_micro"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_diversity(docs, ns=())
