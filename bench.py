@@ -224,6 +224,7 @@ HEADLINE = [
     "poisson_bootstrap",
     "mann_whitney",
     "ngram_diversity",
+    "spearman",
 ]
 
 

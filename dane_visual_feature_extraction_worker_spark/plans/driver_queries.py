@@ -10585,3 +10585,76 @@ ORACLES["ngram_diversity"] = r"""
     FROM per_gram GROUP BY 1, 2
 """
 QUERIES["ngram_diversity"] = ngram_diversity_q
+
+
+def spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    token count (operators/stats.spearman_corr) — the length-bias
+    audit shape: rank maps from count histograms (domain-bounded, NOT
+    a corpus-wide window sort), broadcast back, one exact-decimal
+    moment aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("bigint").alias("n_tok"),
+    )
+    return spearman_corr(docs, x="n_chars", y="n_tok")
+
+
+ORACLES["spearman"] = r"""
+    WITH rows_xy AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t != '')) AS BIGINT) AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ), hx AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM rows_xy GROUP BY 1
+    ), rmx AS (
+      SELECT v,
+             2 * CAST(coalesce(sum(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2
+      FROM hx
+    ), hy AS (
+      SELECT y AS v, CAST(count(*) AS BIGINT) AS t FROM rows_xy GROUP BY 1
+    ), rmy AS (
+      SELECT v,
+             2 * CAST(coalesce(sum(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2
+      FROM hy
+    ), ranked AS (
+      SELECT CAST(rx.r2 AS DECIMAL(38,0)) AS a,
+             CAST(ry.r2 AS DECIMAL(38,0)) AS b
+      FROM rows_xy r
+      JOIN rmx rx ON r.x = rx.v
+      JOIN rmy ry ON r.y = ry.v
+    ), m AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(a) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(b) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(a * b) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(a * a) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(b * b) AS DECIMAL(38,0)) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   * 1000000.0) / 1000000.0
+           END AS rho
+    FROM m
+"""
+QUERIES["spearman"] = spearman_q

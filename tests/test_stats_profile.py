@@ -426,3 +426,48 @@ def test_mann_whitney_matches_brute_force_ranks(spark):
     r2x2 = sum(rank2[v] for v in g2)
     u2x2 = r2x2 - n2 * (n2 + 1)
     assert u1x2 + u2x2 == 2 * n1 * n2
+
+
+def test_spearman_matches_brute_force_and_monotone(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    df = _events_df(spark, n=300, n_users=6).select(
+        (F.col("value") * 100).cast("bigint").alias("x"),
+        ((F.col("event_id") * 7) % 50).cast("bigint").alias("y"),
+    )
+    [r] = spearman_corr(df, x="x", y="y").collect()
+
+    pd = df.toPandas()
+
+    def rank2(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            out[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [out[v] for v in vals]
+
+    a = rank2(list(pd["x"]))
+    b = rank2(list(pd["y"]))
+    n = len(a)
+    sx, sy = sum(a), sum(b)
+    sxy = sum(p * q for p, q in zip(a, b))
+    sxx, syy = sum(p * p for p in a), sum(q * q for q in b)
+    import math
+
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert r["n"] == n
+    assert r["rho"] == math.floor(rho * 1e6) / 1e6
+
+    # perfectly monotone pair -> rho == 1 exactly (ranks identical)
+    mono = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") * 3 + 7).alias("y")
+    )
+    [m] = spearman_corr(mono, x="x", y="y").collect()
+    assert m["rho"] == 1.0
