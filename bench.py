@@ -225,6 +225,7 @@ HEADLINE = [
     "mann_whitney",
     "ngram_diversity",
     "spearman",
+    "cohen_kappa",
 ]
 
 

@@ -1436,3 +1436,54 @@ def spearman_corr(
         F.floor(cov / F.sqrt(vx * vy) * 1e6) / 1e6,
     )
     return m.select(n.cast("bigint").alias("n"), rho.alias("rho"))
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: F.Column,
+    rater_b: F.Column,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters — chance-corrected
+    agreement, the metric that separates "two labelers fire together
+    because the class is common" from genuine agreement. The weak-
+    supervision use: two labeling functions whose kappa ≈ 0 are
+    independent evidence (keep both); kappa ≈ 1 means one is
+    redundant (drop it from the vote).
+
+    ``rater_a`` / ``rater_b`` are boolean Columns. Exactness: the 2×2
+    contingency (a, b, c, d) comes from ONE map-side-combined CASE-sum
+    aggregate; kappa = (N·agree − pe_num) / (N² − pe_num) with
+    ``pe_num = (a+b)(a+c) + (c+d)(b+d)`` — both sides exact
+    decimal(38,0) (≤ 10^24 at 10^12 rows), ONE double divide +
+    floor-1e-6 micro. Degenerate marginals (pe_num = N², both raters
+    constant) yield NULL, never a 0/0.
+
+    Plan: zero shuffles — a single scalar aggregate over the corpus;
+    the output is one row ``(n, n_agree, kappa)``.
+    """
+    a_ = rater_a.cast("boolean")
+    b_ = rater_b.cast("boolean")
+    cell = lambda pa, pb: F.sum(  # noqa: E731
+        (
+            (a_ == F.lit(pa)) & (b_ == F.lit(pb))
+        ).cast("bigint")
+    ).cast("decimal(38,0)")
+    m = df.agg(
+        cell(True, True).alias("__a"),
+        cell(True, False).alias("__b"),
+        cell(False, True).alias("__c"),
+        cell(False, False).alias("__d"),
+    )
+    A, B, C, D = (F.col(f"__{x}") for x in "abcd")
+    n = A + B + C + D
+    pe_num = (A + B) * (A + C) + (C + D) * (B + D)
+    num = n * (A + D) - pe_num
+    den = n * n - pe_num
+    return m.select(
+        n.cast("bigint").alias("n"),
+        (A + D).cast("bigint").alias("n_agree"),
+        F.when(
+            den.cast("double") > 0,
+            F.floor(num.cast("double") / den.cast("double") * 1e6) / 1e6,
+        ).alias("kappa"),
+    )

@@ -10658,3 +10658,60 @@ ORACLES["spearman"] = r"""
     FROM m
 """
 QUERIES["spearman"] = spearman_q
+
+
+def cohen_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two keyword labeling functions over
+    documents (operators/stats.cohen_kappa): rater A fires on 'scan',
+    rater B on 'hash' — the redundancy audit for the weak_labels
+    rule set. Zero shuffles: one CASE-sum contingency aggregate,
+    exact decimal(38,0) identity, single double divide + micro
+    floor."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cohen_kappa,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select(_tokens("text").alias("__t"))
+    return cohen_kappa(
+        d,
+        rater_a=F.array_contains(F.col("__t"), "scan"),
+        rater_b=F.array_contains(F.col("__t"), "hash"),
+    )
+
+
+ORACLES["cohen_kappa"] = r"""
+    WITH t AS (
+      SELECT list_contains(list_filter(string_split_regex(lower(text),
+                                                          '\s+'),
+                           x -> x != ''), 'scan') AS ra,
+             list_contains(list_filter(string_split_regex(lower(text),
+                                                          '\s+'),
+                           x -> x != ''), 'hash') AS rb
+      FROM documents
+    ), m AS (
+      SELECT CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS a,
+             CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS b,
+             CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS c,
+             CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS d
+      FROM t
+    )
+    SELECT CAST(a + b + c + d AS BIGINT) AS n,
+           CAST(a + d AS BIGINT) AS n_agree,
+           CASE WHEN CAST((a+b+c+d) * (a+b+c+d)
+                          - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE) > 0 THEN
+             floor(CAST((a+b+c+d) * (a + d)
+                        - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE)
+                   / CAST((a+b+c+d) * (a+b+c+d)
+                          - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE)
+                   * 1000000.0) / 1000000.0
+           END AS kappa
+    FROM m
+"""
+QUERIES["cohen_kappa"] = cohen_kappa_q

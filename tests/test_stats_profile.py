@@ -471,3 +471,41 @@ def test_spearman_matches_brute_force_and_monotone(spark):
     )
     [m] = spearman_corr(mono, x="x", y="y").collect()
     assert m["rho"] == 1.0
+
+
+def test_cohen_kappa_textbook_cases(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cohen_kappa,
+    )
+
+    # textbook 2x2: a=20, b=5, c=10, d=15 -> kappa = (N*35 - pe)/(N^2 - pe)
+    rows = (
+        [(True, True)] * 20
+        + [(True, False)] * 5
+        + [(False, True)] * 10
+        + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "ra boolean, rb boolean")
+    [r] = cohen_kappa(df, F.col("ra"), F.col("rb")).collect()
+    N, agree = 50, 35
+    pe = (25 * 30) + (25 * 20)  # (a+b)(a+c) + (c+d)(b+d)
+    import math
+
+    expect = math.floor((N * agree - pe) / (N * N - pe) * 1e6) / 1e6
+    assert (r["n"], r["n_agree"]) == (N, agree)
+    assert r["kappa"] == expect
+
+    # perfect agreement -> kappa == 1; constant raters -> NULL
+    perf = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 4, "ra boolean, rb boolean"
+    )
+    assert cohen_kappa(perf, F.col("ra"), F.col("rb")).collect()[0][
+        "kappa"
+    ] == 1.0
+    const = spark.createDataFrame(
+        [(True, True)] * 5, "ra boolean, rb boolean"
+    )
+    assert (
+        cohen_kappa(const, F.col("ra"), F.col("rb")).collect()[0]["kappa"]
+        is None
+    )
