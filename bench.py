@@ -226,6 +226,7 @@ HEADLINE = [
     "ngram_diversity",
     "spearman",
     "cohen_kappa",
+    "cuped_ab",
 ]
 
 

@@ -1487,3 +1487,117 @@ def cohen_kappa(
             F.floor(num.cast("double") / den.cast("double") * 1e6) / 1e6,
         ).alias("kappa"),
     )
+
+
+def cuped_report(
+    events: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    salt: str = "ab",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker,
+    WSDM 2013): the pre-experiment metric of each entity is used as a
+    control variate — ``y' = y − θ·(x − x̄)`` with ``θ = cov(x,y) /
+    var(x)`` — shrinking the metric variance by ρ² without biasing
+    the treatment contrast. THE standard trick for shipping
+    experiments faster on heavy-tailed engagement metrics.
+
+    Here the corpus time-midpoint splits pre (x = entity's value sum
+    before the cut) from post (y = after); the arm is md5(salt|entity)
+    parity, the same portable split as ``ab_conversion_report``. θ is
+    computed POOLED (both arms — the unbiasedness requirement: a
+    per-arm θ would reintroduce selection).
+
+    Exactness: per-entity cent sums and all second moments accumulate
+    exact decimal(38,0); θ, the means and the adjusted means are a
+    fixed IEEE op order over those exact scalars, floor-1e-6 micro.
+    Output 2 rows: ``(arm, n, mean_cents_micro, mean_adj_micro,
+    rho2_micro)`` — rho2 is the variance-reduction fraction.
+
+    Plan: ONE entity exchange (pre/post CASE sums, map-side combined),
+    then a single scalar aggregate over the |entities| frame carrying
+    nine exact moments; report is O(1).
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_key,
+    )
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cut = events.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut")
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * 100).cast("bigint")
+    per = (
+        events.where(F.col(value).isNotNull())
+        .crossJoin(F.broadcast(cut))
+        .groupBy(entity)
+        .agg(
+            F.sum(F.when(us <= F.col("__cut"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("__x"),
+            F.sum(F.when(us > F.col("__cut"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("__y"),
+        )
+        .select(
+            (sample_key(F.col(entity), salt) % 2).alias("__arm"),
+            "__x",
+            "__y",
+        )
+    )
+    d38 = "decimal(38,0)"
+    x, y = F.col("__x").cast(d38), F.col("__y").cast(d38)
+    arm0 = F.col("__arm") == 0
+    m = per.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(F.when(arm0, 1).otherwise(0)).cast(d38).alias("n_a"),
+        F.sum(F.when(arm0, x).otherwise(F.lit(0).cast(d38))).alias("sx_a"),
+        F.sum(F.when(arm0, y).otherwise(F.lit(0).cast(d38))).alias("sy_a"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    theta = F.when(vx > 0, cov / vx).otherwise(F.lit(0.0))
+    rho2 = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    ).otherwise(F.lit(0.0))
+    xbar = sx.cast("double") / n.cast("double")
+
+    def _arm_row(tag: str, na: F.Column, sxa: F.Column, sya: F.Column):
+        mean_y = sya.cast("double") / na.cast("double")
+        mean_x = sxa.cast("double") / na.cast("double")
+        adj = mean_y - theta * (mean_x - xbar)
+        return F.struct(
+            F.lit(tag).alias("arm"),
+            na.cast("bigint").alias("n"),
+            F.when(
+                na.cast("double") > 0,
+                F.floor(mean_y * 1e6).cast("bigint"),
+            ).alias("mean_cents_micro"),
+            F.when(
+                na.cast("double") > 0,
+                F.floor(adj * 1e6).cast("bigint"),
+            ).alias("mean_adj_micro"),
+            F.floor(rho2 * rho2 * 1e6).cast("bigint").alias("rho2_micro"),
+        )
+
+    return m.select(
+        F.explode(
+            F.array(
+                _arm_row("a", F.col("n_a"), F.col("sx_a"), F.col("sy_a")),
+                _arm_row(
+                    "b",
+                    n - F.col("n_a"),
+                    sx - F.col("sx_a"),
+                    sy - F.col("sy_a"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")

@@ -10715,3 +10715,89 @@ ORACLES["cohen_kappa"] = r"""
     FROM m
 """
 QUERIES["cohen_kappa"] = cohen_kappa_q
+
+
+def cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout over event value
+    (operators/stats.cuped_report — Deng et al. WSDM 2013): pre-cut
+    entity sums as the control variate, pooled theta, md5-parity
+    arms; one entity exchange + one nine-moment scalar aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cuped_report,
+    )
+
+    return cuped_report(_events(spark, sf_dir))
+
+
+def _cuped_oracle() -> str:
+    k = _sample_key_terms_sql()
+    return f"""
+    WITH cut AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS v
+      FROM events
+    ), per AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(e.ts) <= cut.v THEN
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               ELSE 0 END) AS DECIMAL(38,0)) AS x,
+             CAST(sum(CASE WHEN epoch_us(e.ts) > cut.v THEN
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               ELSE 0 END) AS DECIMAL(38,0)) AS y
+      FROM events e, cut
+      WHERE value IS NOT NULL
+      GROUP BY 1
+    ), tag AS (
+      SELECT x, y, ({k}) % 2 AS arm
+      FROM (SELECT x, y,
+                   md5('ab' || '|' || CAST(user_id AS VARCHAR)) AS hx
+            FROM per)
+    ), m AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sx_a,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sy_a
+      FROM tag
+    ), s AS (
+      SELECT *,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      FROM m
+    ), s2 AS (
+      SELECT *,
+             CASE WHEN vx > 0 THEN cov / vx ELSE 0.0 END AS theta,
+             CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy)
+                  ELSE 0.0 END AS rho
+      FROM s
+    ), arms AS (
+      SELECT 'a' AS arm, n_a AS na, sx_a AS sxa, sy_a AS sya,
+             theta, rho, xbar FROM s2
+      UNION ALL
+      SELECT 'b' AS arm, n - n_a, sx - sx_a, sy - sy_a,
+             theta, rho, xbar FROM s2
+    )
+    SELECT arm, CAST(na AS BIGINT) AS n,
+           CASE WHEN CAST(na AS DOUBLE) > 0 THEN
+             CAST(floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                        * 1000000.0) AS BIGINT) END AS mean_cents_micro,
+           CASE WHEN CAST(na AS DOUBLE) > 0 THEN
+             CAST(floor((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                         - theta * (CAST(sxa AS DOUBLE)
+                                    / CAST(na AS DOUBLE) - xbar))
+                        * 1000000.0) AS BIGINT) END AS mean_adj_micro,
+           CAST(floor(rho * rho * 1000000.0) AS BIGINT) AS rho2_micro
+    FROM arms
+"""
+
+
+ORACLES["cuped_ab"] = _cuped_oracle()
+QUERIES["cuped_ab"] = cuped_q

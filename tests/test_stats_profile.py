@@ -509,3 +509,59 @@ def test_cohen_kappa_textbook_cases(spark):
         cohen_kappa(const, F.col("ra"), F.col("rb")).collect()[0]["kappa"]
         is None
     )
+
+
+def test_cuped_reduces_variance_and_preserves_contrast(spark):
+    """CUPED invariants: theta from pooled moments, the adjusted
+    per-arm means replay the closed-form y_bar - theta*(x_bar - xbar),
+    and the weighted adjusted means recombine to the pooled mean."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cuped_report,
+    )
+
+    df = _events_df(spark, n=2000, n_users=40)
+    rows = {r["arm"]: r for r in cuped_report(df).collect()}
+    assert set(rows) == {"a", "b"}
+
+    # brute force in pandas with the same md5 split
+    import hashlib
+    import math
+
+    pd = df.toPandas()
+    us = pd["ts"].astype("int64") // 1000
+    cut = (int(us.min()) + int(us.max())) // 2
+    pd["cents"] = (pd["value"] * 100).round().astype("int64")
+    pd["pre"] = pd["cents"].where(us <= cut, 0)
+    pd["post"] = pd["cents"].where(us > cut, 0)
+    per = pd.groupby("user_id")[["pre", "post"]].sum()
+    arm = {
+        u: int(hashlib.md5(f"ab|{u}".encode()).hexdigest()[:8], 16) % 2
+        for u in per.index
+    }
+    xs = per["pre"].astype(int)
+    ys = per["post"].astype(int)
+    n = len(per)
+    sx, sy = int(xs.sum()), int(ys.sum())
+    sxx = int((xs * xs).sum())
+    sxy = int((xs * ys).sum())
+    cov, vx = n * sxy - sx * sy, n * sxx - sx * sx
+    theta = cov / vx
+    xbar = sx / n
+    for tag, sel in (("a", 0), ("b", 1)):
+        mask = [arm[u] == sel for u in per.index]
+        na = sum(mask)
+        mean_y = int(ys[mask].sum()) / na
+        mean_x = int(xs[mask].sum()) / na
+        adj = mean_y - theta * (mean_x - xbar)
+        assert rows[tag]["n"] == na
+        assert rows[tag]["mean_cents_micro"] == math.floor(mean_y * 1e6)
+        assert rows[tag]["mean_adj_micro"] == math.floor(adj * 1e6)
+    # recombination identity: sum_g n_g * adj_g == sum_g n_g * mean_g
+    tot_adj = sum(
+        rows[t]["n"] * rows[t]["mean_adj_micro"] for t in "ab"
+    )
+    tot_raw = sum(
+        rows[t]["n"] * rows[t]["mean_cents_micro"] for t in "ab"
+    )
+    assert abs(tot_adj - tot_raw) <= n  # floor noise only
+    assert 0 <= rows["a"]["rho2_micro"] <= 1_000_000
