@@ -227,6 +227,7 @@ HEADLINE = [
     "spearman",
     "cohen_kappa",
     "cuped_ab",
+    "pii_audit",
 ]
 
 

@@ -196,3 +196,74 @@ def k_anonymity_report(
             (F.col("group_size") < F.lit(int(k))).alias("at_risk"),
         )
     )
+
+
+#: PII scan patterns — deliberately restricted to character classes and
+#: bounded quantifiers, the regex subset Java (Spark) and RE2 (DuckDB
+#: and most scanners) match identically. Extend with the same
+#: discipline: no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "longnum": r"[0-9]{6,}",
+}
+
+
+def pii_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-source PII exposure scan — the release gate that pairs with
+    ``k_anonymity_report``: k-anonymity bounds re-identification via
+    the metadata QI; this bounds DIRECT leakage in the text body
+    (emails, long digit runs — account/phone shapes). A source whose
+    email rate spikes needs scrubbing (``text_scrub``) before the
+    corpus ships.
+
+    Output: one row per (group, pattern): ``(grp, pattern, n_docs,
+    docs_hit, total_hits, hit_doc_micro)`` with the doc-rate as an
+    exact integer-micro DIV.
+
+    Plan: ``regexp_extract_all`` counts per row (JVM codegen, no
+    Python), one tagged union per pattern, ONE map-side-combined
+    group aggregate — |groups|·|patterns| output rows, the corpus
+    never shuffles (the exchange carries combined partials).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    parts = []
+    for name, rx in sorted(pats.items()):
+        hits = F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
+        parts.append(
+            docs.select(
+                F.col(group_col).alias("grp"),
+                F.lit(name).alias("pattern"),
+                hits.cast("bigint").alias("__h"),
+            )
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    return (
+        tagged.groupBy("grp", "pattern")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__h") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.sum("__h").cast("bigint").alias("total_hits"),
+        )
+        .select(
+            "grp",
+            "pattern",
+            "n_docs",
+            "docs_hit",
+            "total_hits",
+            F.expr("docs_hit * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("hit_doc_micro"),
+        )
+    )

@@ -10801,3 +10801,39 @@ def _cuped_oracle() -> str:
 
 ORACLES["cuped_ab"] = _cuped_oracle()
 QUERIES["cuped_ab"] = cuped_q
+
+
+def pii_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure scan over documents
+    (operators/dq.pii_audit): email-shape and long-digit-run regex
+    counts in the RE2∩Java-identical pattern subset; one tagged union
+    + one map-side-combined group aggregate, corpus never shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        pii_audit,
+    )
+
+    return pii_audit(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["pii_audit"] = r"""
+    WITH tagged AS (
+      SELECT source AS grp, 'email' AS pattern,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS h
+      FROM documents
+      UNION ALL
+      SELECT source AS grp, 'longnum' AS pattern,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+               '[0-9]{6,}')) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT grp, pattern,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_hit,
+           CAST(sum(h) AS BIGINT) AS total_hits,
+           CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS hit_doc_micro
+    FROM tagged GROUP BY 1, 2
+"""
+QUERIES["pii_audit"] = pii_audit_q

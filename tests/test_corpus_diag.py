@@ -217,3 +217,35 @@ def test_ngram_diversity_brute_force(spark):
 
     with _pytest.raises(ValueError):
         ngram_diversity(docs, ns=())
+
+
+def test_pii_audit_counts_and_null_text(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        pii_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "mail bob@x.io and alice@y.org plus 1234567"),
+            ("a", "clean text"),
+            ("a", None),
+            ("b", "num 987654321 and 000111 again 42"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["grp"], r["pattern"]): r for r in pii_audit(docs).collect()
+    }
+    a_em = got[("a", "email")]
+    assert (a_em["n_docs"], a_em["docs_hit"], a_em["total_hits"]) == (3, 1, 2)
+    assert a_em["hit_doc_micro"] == 1_000_000 // 3
+    b_ln = got[("b", "longnum")]
+    assert (b_ln["docs_hit"], b_ln["total_hits"]) == (1, 2)
+    assert got[("b", "email")]["docs_hit"] == 0
+    # longnum must not fire on the 7-digit number inside source a? it does:
+    assert got[("a", "longnum")]["total_hits"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pii_audit(docs, patterns={})
