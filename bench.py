@@ -228,6 +228,7 @@ HEADLINE = [
     "cohen_kappa",
     "cuped_ab",
     "pii_audit",
+    "char_entropy",
 ]
 
 

@@ -933,3 +933,62 @@ def ngram_diversity(
             ).cast("bigint").alias("distinct_micro"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source character-level Shannon entropy — the garbage
+    detector: natural-language text sits near ~4.1 nats/char of
+    alphabet entropy; base64/hex blobs, minified code and encrypted
+    payloads jump toward the uniform bound ln(alphabet), while
+    single-char padding craters toward 0. The cheap first-pass filter
+    before the LM-perplexity pass (which costs a tokenize + model
+    join; this is one scan).
+
+    Exactness: the same micro-nat identity as ``behavior_profile`` —
+    H = lnm(N) − (Σ c·lnm(c)) DIV N with lnm = floor(ln·1e6) int64 —
+    exact, order-independent, engine-replayable. Character counts per
+    source accumulate as int64; Σ c·lnm(c) ≤ 3e7·N stays in int64 up
+    to ~3·10^11 chars per source×char (document if a single char can
+    exceed that).
+
+    Plan: one char explode (the CPU cost — embarrassingly parallel,
+    no state), ONE map-side-combined (source, char) groupBy whose
+    exchange carries |source|·|alphabet| partials, then a KB-sized
+    rollup. Output: ``(grp, n_chars, distinct_chars,
+    entropy_micro)``.
+    """
+    chars = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+                lambda c: c != "",
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("grp", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    lnm = lambda c: F.floor(  # noqa: E731 — repo-wide micro-nat ln
+        F.log(c.cast("double")) * 1e6
+    ).cast("bigint")
+    per = counts.groupBy("grp").agg(
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("__c") * lnm(F.col("__c")))
+        .cast("bigint")
+        .alias("__slc"),
+    )
+    return per.select(
+        "grp",
+        "n_chars",
+        "distinct_chars",
+        (
+            lnm(F.col("n_chars"))
+            - F.expr("__slc DIV n_chars")
+        ).cast("bigint").alias("entropy_micro"),
+    )

@@ -10837,3 +10837,39 @@ ORACLES["pii_audit"] = r"""
     FROM tagged GROUP BY 1, 2
 """
 QUERIES["pii_audit"] = pii_audit_q
+
+
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-level Shannon entropy over documents
+    (operators/textstats.char_entropy): the one-scan garbage/base64
+    detector; micro-nat integer identity, one (source, char) exchange
+    carrying alphabet-sized partials."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    return char_entropy(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["char_entropy"] = r"""
+    WITH chars AS (
+      SELECT source AS grp, unnest(string_split(coalesce(text, ''), ''))
+               AS ch
+      FROM documents
+    ), counts AS (
+      SELECT grp, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars WHERE ch != '' GROUP BY 1, 2
+    ), per AS (
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS slc
+      FROM counts GROUP BY 1
+    )
+    SELECT grp, n_chars, distinct_chars,
+           CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+             - slc // n_chars AS entropy_micro
+    FROM per
+"""
+QUERIES["char_entropy"] = char_entropy_q

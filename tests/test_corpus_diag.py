@@ -249,3 +249,40 @@ def test_pii_audit_counts_and_null_text(spark):
 
     with _pytest.raises(ValueError):
         pii_audit(docs, patterns={})
+
+
+def test_char_entropy_brute_force_and_bounds(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        char_entropy,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            ("uni", "abcdefgh"),      # 8 distinct chars, uniform
+            ("mono", "aaaaaaaa"),     # zero entropy
+            ("mix", "aab"),
+            ("mix", None),
+        ],
+        "source string, text string",
+    )
+    got = {r["grp"]: r for r in char_entropy(docs).collect()}
+
+    def h_micro(counts):
+        n = sum(counts)
+        slc = sum(c * math.floor(math.log(c) * 1e6) for c in counts)
+        return math.floor(math.log(n) * 1e6) - slc // n
+
+    assert got["mono"]["entropy_micro"] == 0
+    assert got["uni"]["entropy_micro"] == h_micro([1] * 8)
+    # uniform case equals ln(8) up to micro flooring
+    assert abs(got["uni"]["entropy_micro"] - math.log(8) * 1e6) < 16
+    assert got["mix"]["n_chars"] == 3
+    assert got["mix"]["distinct_chars"] == 2
+    assert got["mix"]["entropy_micro"] == h_micro([2, 1])
+    # ordering: uniform > mixed > constant
+    assert (
+        got["uni"]["entropy_micro"]
+        > got["mix"]["entropy_micro"]
+        > got["mono"]["entropy_micro"]
+    )
