@@ -229,6 +229,7 @@ HEADLINE = [
     "cuped_ab",
     "pii_audit",
     "char_entropy",
+    "echo_rate",
 ]
 
 

@@ -276,3 +276,69 @@ def role_alternation(
         "n_offrole",
         strict.alias("strict_alternation"),
     )
+
+
+def echo_rate(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    ts: str = "ts",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation echo (parroting) rate: for each ``target_role``
+    turn, the containment of its DISTINCT token set in the immediately
+    preceding turn's — |prev ∩ cur| / |cur|. An assistant that mostly
+    restates the user scores near 1; SFT pairs mined from such
+    conversations teach copying, not answering, so this is the
+    curation gate that runs next to ``role_alternation`` before
+    ``sft_pairs``.
+
+    Exactness: token sets are order-independent (distinct + intersect
+    sizes are pure set cardinalities), the per-turn rate is an
+    integer-micro DIV, and the per-conv mean is ``Σ micro DIV pairs``
+    — no floats anywhere.
+
+    Plan: ONE conv exchange — the lag window and the per-conv rollup
+    share the hash(conv) partitioning (no second shuffle); token
+    split/distinct/intersect are JVM codegen array ops. Output:
+    ``(conv_id, n_pairs, echo_avg_micro, echo_max_micro)``, one row
+    per conversation that has at least one scored pair.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("__ts", "__ti")
+    lagged = tr.select(
+        F.col(conv).alias("conv_id"),
+        F.col(role).alias("__role"),
+        F.col(ts).alias("__ts"),
+        F.col(turn_idx).alias("__ti"),
+        toks.alias("__t"),
+    ).select(
+        "conv_id",
+        "__role",
+        "__t",
+        F.lag("__t").over(w).alias("__prev"),
+    )
+    scored = lagged.where(
+        (F.col("__role") == target_role)
+        & F.col("__prev").isNotNull()
+        & (F.size("__t") > 0)
+    ).select(
+        "conv_id",
+        F.expr(
+            "size(array_intersect(__prev, __t)) * 1000000 DIV size(__t)"
+        ).cast("bigint").alias("__m"),
+    )
+    return scored.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("sum(__m) DIV count(1)").cast("bigint").alias(
+            "echo_avg_micro"
+        ),
+        F.max("__m").cast("bigint").alias("echo_max_micro"),
+    )

@@ -10873,3 +10873,46 @@ ORACLES["char_entropy"] = r"""
     FROM per
 """
 QUERIES["char_entropy"] = char_entropy_q
+
+
+def echo_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation assistant echo rate (operators/turns.echo_rate):
+    distinct-token containment of each assistant turn in its
+    predecessor — the parroting gate ahead of sft_pairs. One conv
+    exchange shared by the lag window and the rollup; pure integer
+    set-cardinality math."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        echo_rate,
+    )
+
+    return echo_rate(_tr_proj(spark, sf_dir))
+
+
+ORACLES["echo_rate"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), toks AS (
+      SELECT conv_id, role, ts, turn_idx,
+             list_distinct(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               x -> x != '')) AS t
+      FROM tr
+    ), lagged AS (
+      SELECT conv_id, role, t,
+             lag(t) OVER (PARTITION BY conv_id
+                          ORDER BY ts, turn_idx) AS prev
+      FROM toks
+    ), scored AS (
+      SELECT conv_id,
+             CAST(len(list_intersect(prev, t)) AS BIGINT) * 1000000
+               // CAST(len(t) AS BIGINT) AS m
+      FROM lagged
+      WHERE role = 'assistant' AND prev IS NOT NULL AND len(t) > 0
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS echo_avg_micro,
+           CAST(max(m) AS BIGINT) AS echo_max_micro
+    FROM scored GROUP BY 1
+"""
+QUERIES["echo_rate"] = echo_rate_q

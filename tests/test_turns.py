@@ -181,3 +181,38 @@ def test_role_alternation_single_exchange(spark):
         _tr(spark, rows)
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_echo_rate_containment(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        echo_rate,
+    )
+
+    tr = spark.createDataFrame(
+        [
+            # conv c1: assistant parrots half, then fully
+            ("c1", 0, "user", "alpha beta gamma delta", 0.0),
+            ("c1", 1, "assistant", "alpha beta zeta omega", 1.0),
+            ("c1", 2, "user", "new question here", 2.0),
+            ("c1", 3, "assistant", "new question here", 3.0),
+            # conv c2: no echo at all
+            ("c2", 0, "user", "one two", 0.0),
+            ("c2", 1, "assistant", "three four", 1.0),
+            # conv c3: assistant-first (no prev) -> excluded
+            ("c3", 0, "assistant", "hello", 0.0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, s double",
+    )
+    import pyspark.sql.functions as F
+
+    tr = tr.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.timestamp_seconds(1_700_000_000 + F.col("s")).alias("ts"),
+    )
+    got = {r["conv_id"]: r for r in echo_rate(tr).collect()}
+    # c1 pair 1: 2 of 4 tokens echoed -> 500000; pair 2: 3/3 -> 1000000
+    assert got["c1"]["n_pairs"] == 2
+    assert got["c1"]["echo_avg_micro"] == (500_000 + 1_000_000) // 2
+    assert got["c1"]["echo_max_micro"] == 1_000_000
+    assert got["c2"]["echo_avg_micro"] == 0
+    assert "c3" not in got
