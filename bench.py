@@ -230,6 +230,7 @@ HEADLINE = [
     "pii_audit",
     "char_entropy",
     "echo_rate",
+    "template_openers",
 ]
 
 

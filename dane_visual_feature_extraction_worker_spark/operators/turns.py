@@ -342,3 +342,74 @@ def echo_rate(
         ),
         F.max("__m").cast("bigint").alias("echo_max_micro"),
     )
+
+
+def template_openers(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    ts: str = "ts",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    target_role: str = "assistant",
+    k: int = 20,
+) -> DataFrame:
+    """Boilerplate-opener detection: the first ``target_role`` turn of
+    every conversation is fingerprinted (md5 of its
+    whitespace-normalized lowercase text) and the k most common
+    openers are reported with their conversation share. A template
+    that opens thousands of conversations ("Hello! How can I help…")
+    adds no training signal and skews n-gram statistics — this report
+    feeds the scrub list.
+
+    Normalization: lower + \\s+→single-space + trim, so formatting
+    variants collapse; the fingerprint is md5 (portable), the first
+    16 hex chars kept for display next to a short prefix snippet.
+
+    Plan: ONE conv exchange (min-(ts, turn_idx) first-turn selection
+    via the struct-min trick — no row_number sort-per-group), then a
+    map-side-combined fingerprint count and a k-row TakeOrdered
+    (never a full sort). Output: ``(fp, n_convs, share_micro,
+    snippet)``, k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+", " "
+        )
+    )
+    cand = tr.where(F.col(role) == target_role).select(
+        F.col(conv).alias("conv_id"),
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(turn_idx).alias("ti"),
+            norm.alias("txt"),
+        ).alias("__s"),
+    )
+    first = cand.groupBy("conv_id").agg(F.min("__s").alias("__f")).select(
+        F.col("__f.txt").alias("__txt")
+    )
+    counted = (
+        first.groupBy("__txt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_convs"))
+        .select(
+            F.substring(F.md5(F.col("__txt")), 1, 16).alias("fp"),
+            "n_convs",
+            F.substring(F.col("__txt"), 1, 40).alias("snippet"),
+        )
+    )
+    tot = counted.agg(F.sum("n_convs").cast("bigint").alias("__tot"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "fp",
+            "n_convs",
+            F.expr("n_convs * 1000000 DIV __tot")
+            .cast("bigint")
+            .alias("share_micro"),
+            "snippet",
+        )
+        .orderBy(F.desc("n_convs"), F.col("fp"))
+        .limit(k)
+    )

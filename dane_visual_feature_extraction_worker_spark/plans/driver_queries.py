@@ -10916,3 +10916,45 @@ ORACLES["echo_rate"] = f"""
     FROM scored GROUP BY 1
 """
 QUERIES["echo_rate"] = echo_rate_q
+
+
+def template_openers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 boilerplate assistant openers across conversations
+    (operators/turns.template_openers): struct-min first-turn
+    selection (no per-group sort), fingerprint count, TakeOrdered —
+    the scrub-list report for canned openers."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        template_openers,
+    )
+
+    return template_openers(_tr_proj(spark, sf_dir), k=20)
+
+
+ORACLES["template_openers"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), cand AS (
+      SELECT conv_id, ts, turn_idx,
+             trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+                                 'g')) AS txt
+      FROM tr WHERE role = 'assistant'
+    ), first AS (
+      SELECT txt FROM (
+        SELECT txt, row_number() OVER (
+          PARTITION BY conv_id ORDER BY ts, turn_idx, txt) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ), counted AS (
+      SELECT substr(md5(txt), 1, 16) AS fp,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             substr(txt, 1, 40) AS snippet
+      FROM first GROUP BY txt
+    )
+    SELECT fp, n_convs,
+           n_convs * 1000000
+             // CAST(sum(n_convs) OVER () AS BIGINT) AS share_micro,
+           snippet
+    FROM counted
+    ORDER BY n_convs DESC, fp
+    LIMIT 20
+"""
+QUERIES["template_openers"] = template_openers_q

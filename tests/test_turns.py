@@ -216,3 +216,38 @@ def test_echo_rate_containment(spark):
     assert got["c1"]["echo_max_micro"] == 1_000_000
     assert got["c2"]["echo_avg_micro"] == 0
     assert "c3" not in got
+
+
+def test_template_openers_normalization_and_share(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        template_openers,
+    )
+    import pyspark.sql.functions as F
+
+    rows = []
+    # 3 convs open with formatting variants of the same template
+    for i, variant in enumerate(
+        ["Hello!  How can I help?", "hello! how can i help?",
+         "HELLO!\thow can I help?"]
+    ):
+        rows.append((f"c{i}", 0, "user", "hi", 0.0))
+        rows.append((f"c{i}", 1, "assistant", variant, 1.0))
+        rows.append((f"c{i}", 2, "assistant", "later turn ignored", 2.0))
+    # 1 conv opens uniquely
+    rows.append(("c9", 0, "assistant", "unique opener", 0.0))
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, s double"
+    ).select(
+        "conv_id", "turn_idx", "role", "text",
+        F.timestamp_seconds(1_700_000_000 + F.col("s")).alias("ts"),
+    )
+    out = template_openers(tr, k=5).collect()
+    assert [r["n_convs"] for r in out] == [3, 1]
+    assert out[0]["snippet"].startswith("hello! how can i help?")
+    assert out[0]["share_micro"] == 3 * 1_000_000 // 4
+    assert out[1]["share_micro"] == 1_000_000 // 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        template_openers(tr, k=0)
