@@ -231,6 +231,9 @@ HEADLINE = [
     "char_entropy",
     "echo_rate",
     "template_openers",
+    "retry_runs",
+    "conv_outcomes",
+    "conv_dedup",
 ]
 
 

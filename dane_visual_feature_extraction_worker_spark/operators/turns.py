@@ -413,3 +413,190 @@ def template_openers(
         .orderBy(F.desc("n_convs"), F.col("fp"))
         .limit(k)
     )
+
+
+def retry_runs(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Per-conversation retry-loop report: the aggregate view over the
+    runs ``collapse_repeats`` collapses. A "run" is a maximal streak of
+    consecutive turns with the same (role, text); a run of length >= 2
+    is a retry loop (double-submit, tool-retry storm, agent stuck
+    repeating itself). The report feeds a curation gate — conversations
+    whose wasted share is high get dropped before ``sft_pairs``.
+
+    Same islands plan as collapse_repeats (lag marks run starts, a
+    running sum numbers runs, one count per run), then ONE more rollup
+    per conversation — all three cluster on hash(conv), so the whole
+    operator is a single exchange. NULL text equals NULL (eqNullSafe):
+    two consecutive empty turns are still a run.
+
+    Output, one row per conversation: ``(conv_id, n_turns, n_runs,
+    n_retry_runs, max_run, wasted_turns)`` where wasted_turns =
+    Σ (run_len - 1) over retry runs = turns a dedup-collapse would
+    remove.
+    """
+    ob = [F.col(c) for c in order]
+    w = Window.partitionBy(conv).orderBy(*ob)
+    same = F.col(role).eqNullSafe(F.lag(F.col(role)).over(w)) & F.col(
+        text
+    ).eqNullSafe(F.lag(F.col(text)).over(w))
+    started = tr.select(
+        F.col(conv).alias("conv_id"),
+        *[F.col(c) for c in dict.fromkeys(order)],
+        (~F.coalesce(same, F.lit(False))).cast("bigint").alias("__start"),
+    )
+    w_run = (
+        Window.partitionBy("conv_id")
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = started.select(
+        "conv_id", F.sum("__start").over(w_run).alias("__run")
+    )
+    per_run = runs.groupBy("conv_id", "__run").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len")
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("__len").cast("bigint").alias("n_turns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum((F.col("__len") >= 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_retry_runs"),
+        F.max("__len").cast("bigint").alias("max_run"),
+        F.sum(
+            F.when(F.col("__len") >= 2, F.col("__len") - 1).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("wasted_turns"),
+    )
+
+
+def conv_outcomes(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    ts: str = "ts",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Conversation-outcome distribution: which role speaks LAST.
+    A conversation ending on a user turn is abandoned (the question
+    never got an answer — drop before SFT mining); ending on an
+    assistant turn is answered; ending on tool/system is a crashed
+    agent loop. One row per outcome role with the conversation count,
+    corpus share, and mean length.
+
+    Plan: struct-max last-turn selection per conversation (map-side
+    combinable max over (ts, turn_idx, role) — no row_number
+    sort-per-group, no window), then a |roles|-row rollup over the
+    entity-sized relation with a broadcast total for the share. Two
+    aggregations, zero joins on the corpus, zero windows. All ratios
+    integer-micro DIV — no floats.
+
+    Output: ``(outcome_role, n_convs, share_micro, turns_avg_micro)``.
+    """
+    last = tr.select(
+        F.col(conv).alias("conv_id"),
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(turn_idx).alias("ti"),
+            F.col(role).alias("role"),
+        ).alias("__s"),
+    ).groupBy("conv_id").agg(
+        F.max("__s").alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    per_role = last.groupBy(
+        F.col("__last.role").alias("outcome_role")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum("__n").cast("bigint").alias("__turns"),
+    )
+    tot = per_role.agg(F.sum("n_convs").cast("bigint").alias("__tot"))
+    return (
+        per_role.crossJoin(F.broadcast(tot))
+        .select(
+            "outcome_role",
+            "n_convs",
+            F.expr("n_convs * 1000000 DIV __tot")
+            .cast("bigint")
+            .alias("share_micro"),
+            F.expr("__turns * 1000000 DIV n_convs")
+            .cast("bigint")
+            .alias("turns_avg_micro"),
+        )
+    )
+
+
+def dedup_conversations(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Conversation-level exact dedup: two conversations are duplicates
+    when their full (role, text) turn sequences are identical in
+    stable order — the transcript-native analogue of dedup.exact_dedup
+    (which digests one document's text). Scraped chat corpora carry
+    whole duplicated conversations (mirrors, re-ingests); per-turn
+    dedup can't see them because every turn also occurs in the twin.
+
+    Digest: md5 over ``role<US>text`` payloads joined by <RS> in
+    (ts, turn_idx) order. The stable order is re-established by
+    sort_array AFTER the partial aggregation merges (same
+    partition-layout independence argument as
+    integrity.ordered_digest); NULL text digests as ''.
+
+    Plan: one hash(conv) exchange for the per-conversation digest
+    (map-side-combinable collect_list), then one window over the
+    ENTITY-sized digest relation (hash(digest) exchange over
+    |conversations| rows, never the corpus) for group size + keeper
+    selection. Keeper = lexicographically smallest conv_id, so the
+    choice is deterministic under any partitioning.
+
+    Output, one row per conversation: ``(conv_id, digest, n_turns,
+    group_size, is_keep)`` — filter ``is_keep = 1`` for the deduped
+    corpus, ``group_size > 1`` for the duplicate report.
+    """
+    payload = F.concat_ws(
+        "\x1f",
+        F.col(role),
+        F.coalesce(F.col(text), F.lit("")),
+    )
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order], payload.alias("__p")
+            )
+        )
+    )
+    digests = (
+        tr.groupBy(F.col(conv).alias("conv_id"))
+        .agg(ordered.alias("__xs"))
+        .select(
+            "conv_id",
+            F.size("__xs").cast("bigint").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "\x1e", F.transform("__xs", lambda x: x["__p"])
+                )
+            ).alias("digest"),
+        )
+    )
+    wg = Window.partitionBy("digest")
+    return digests.select(
+        "conv_id",
+        "digest",
+        "n_turns",
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("group_size"),
+        (F.col("conv_id") == F.min("conv_id").over(wg))
+        .cast("int")
+        .alias("is_keep"),
+    )

@@ -10958,3 +10958,118 @@ ORACLES["template_openers"] = f"""
     LIMIT 20
 """
 QUERIES["template_openers"] = template_openers_q
+
+
+def retry_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation retry-loop report (operators/turns.retry_runs):
+    consecutive same-(role,text) runs via the collapse_repeats islands
+    plan, rolled up to run counts / max run / wasted turns — the
+    curation gate that flags double-submit and stuck-agent loops.
+    Single hash(conv) exchange end to end."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        retry_runs,
+    )
+
+    return retry_runs(_tr_proj(spark, sf_dir))
+
+
+ORACLES["retry_runs"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), flagged AS (
+      SELECT conv_id, ts, turn_idx,
+             CASE WHEN lag(role) OVER w IS NOT DISTINCT FROM role
+                   AND lag(text) OVER w IS NOT DISTINCT FROM text
+                  THEN 0 ELSE 1 END AS is_start
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ), runs AS (
+      SELECT conv_id,
+             sum(is_start) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, turn_idx) AS run_id
+      FROM flagged
+    ), per_run AS (
+      SELECT conv_id, run_id, CAST(count(*) AS BIGINT) AS len
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT conv_id,
+           CAST(sum(len) AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retry_runs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(CASE WHEN len >= 2 THEN len - 1 ELSE 0 END)
+                AS BIGINT) AS wasted_turns
+    FROM per_run GROUP BY 1
+"""
+QUERIES["retry_runs"] = retry_runs_q
+
+
+def conv_outcomes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-outcome distribution (operators/turns.conv_outcomes):
+    which role speaks last, per-outcome conversation count/share/mean
+    length. Struct-max last-turn selection (no window sort), two
+    map-side-combined aggregations, integer-micro ratios."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        conv_outcomes,
+    )
+
+    return conv_outcomes(_tr_proj(spark, sf_dir))
+
+
+ORACLES["conv_outcomes"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), last AS (
+      SELECT conv_id, role, n FROM (
+        SELECT conv_id, role,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, turn_idx DESC) AS rn,
+               count(*) OVER (PARTITION BY conv_id) AS n
+        FROM tr
+      ) WHERE rn = 1
+    ), per_role AS (
+      SELECT role AS outcome_role,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n) AS BIGINT) AS turns
+      FROM last GROUP BY 1
+    )
+    SELECT outcome_role, n_convs,
+           n_convs * 1000000
+             // CAST(sum(n_convs) OVER () AS BIGINT) AS share_micro,
+           turns * 1000000 // n_convs AS turns_avg_micro
+    FROM per_role
+"""
+QUERIES["conv_outcomes"] = conv_outcomes_q
+
+
+def conv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup
+    (operators/turns.dedup_conversations): md5 digest of the full
+    (role, text) turn sequence in stable order, group size + keeper per
+    digest. One corpus exchange for the digest, one entity-sized
+    exchange for the grouping — the transcript-native twin of
+    dedup_exact."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        dedup_conversations,
+    )
+
+    return dedup_conversations(_tr_proj(spark, sf_dir))
+
+
+ORACLES["conv_dedup"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), digests AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             md5(string_agg(role || chr(31) || coalesce(text, ''),
+                            chr(30) ORDER BY ts, turn_idx)) AS digest
+      FROM tr GROUP BY conv_id
+    )
+    SELECT conv_id, digest, n_turns,
+           CAST(count(*) OVER (PARTITION BY digest) AS BIGINT)
+             AS group_size,
+           CAST(CASE WHEN conv_id = min(conv_id)
+                  OVER (PARTITION BY digest) THEN 1 ELSE 0 END AS INT)
+             AS is_keep
+    FROM digests
+"""
+QUERIES["conv_dedup"] = conv_dedup_q

@@ -251,3 +251,144 @@ def test_template_openers_normalization_and_share(spark):
 
     with _pytest.raises(ValueError):
         template_openers(tr, k=0)
+
+
+# ------------------------- retry_runs / conv_outcomes / conv dedup
+
+
+def _brute_retry(rows):
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for c, i, r, t in rows:
+        by_conv[c].append((i, r, t))
+    out = {}
+    for c, turns in by_conv.items():
+        turns.sort()
+        runs = []
+        for _, r, t in turns:
+            if runs and runs[-1][0] == (r, t):
+                runs[-1][1] += 1
+            else:
+                runs.append([(r, t), 1])
+        lens = [n for _, n in runs]
+        out[c] = (
+            sum(lens),
+            len(lens),
+            sum(1 for n in lens if n >= 2),
+            max(lens),
+            sum(n - 1 for n in lens if n >= 2),
+        )
+    return out
+
+
+def test_retry_runs_brute_force(spark):
+    random.seed(7)
+    rows = []
+    for c in range(8):
+        n = random.randint(1, 20)
+        for i in range(n):
+            # small alphabet so real runs occur
+            r = random.choice(["user", "assistant"])
+            t = random.choice(["x", "y"])
+            rows.append((f"c{c}", i, r, t))
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        retry_runs,
+    )
+
+    got = {
+        r["conv_id"]: (
+            r["n_turns"],
+            r["n_runs"],
+            r["n_retry_runs"],
+            r["max_run"],
+            r["wasted_turns"],
+        )
+        for r in retry_runs(_tr(spark, rows)).collect()
+    }
+    assert got == _brute_retry(rows)
+
+
+def test_retry_runs_null_text_is_a_run(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        retry_runs,
+    )
+
+    rows = [
+        ("a", 0, "assistant", None),
+        ("a", 1, "assistant", None),  # null == null: one run of 2
+        ("a", 2, "user", "q"),
+    ]
+    (row,) = retry_runs(_tr(spark, rows)).collect()
+    assert (row["n_runs"], row["n_retry_runs"], row["max_run"]) == (2, 1, 2)
+    assert row["wasted_turns"] == 1
+
+
+def test_conv_outcomes_last_role_and_share(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        conv_outcomes,
+    )
+
+    rows = [
+        ("a", 0, "user", "q"),
+        ("a", 1, "assistant", "r"),  # ends assistant, 2 turns
+        ("b", 0, "user", "q"),       # ends user (abandoned), 1 turn
+        ("c", 0, "user", "q"),
+        ("c", 1, "assistant", "r"),
+        ("c", 2, "user", "q2"),      # ends user, 3 turns
+        ("d", 0, "tool", "t"),       # ends tool, 1 turn
+    ]
+    got = {
+        r["outcome_role"]: (
+            r["n_convs"],
+            r["share_micro"],
+            r["turns_avg_micro"],
+        )
+        for r in conv_outcomes(_tr(spark, rows)).collect()
+    }
+    assert got == {
+        "assistant": (1, 250000, 2000000),
+        "user": (2, 500000, 2000000),  # (1+3)/2 turns
+        "tool": (1, 250000, 1000000),
+    }
+
+
+def test_dedup_conversations_groups_and_keeper(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        dedup_conversations,
+    )
+
+    rows = [
+        # b and a are content-identical (roles+texts in order)
+        ("a", 0, "user", "q"),
+        ("a", 1, "assistant", "r"),
+        ("b", 0, "user", "q"),
+        ("b", 1, "assistant", "r"),
+        # c differs in one text
+        ("c", 0, "user", "q"),
+        ("c", 1, "assistant", "R"),
+    ]
+    out = {
+        r["conv_id"]: (r["group_size"], r["is_keep"], r["digest"])
+        for r in dedup_conversations(_tr(spark, rows)).collect()
+    }
+    assert out["a"][0] == 2 and out["b"][0] == 2 and out["c"][0] == 1
+    assert out["a"][1] == 1 and out["b"][1] == 0  # keeper = min conv_id
+    assert out["c"][1] == 1
+    assert out["a"][2] == out["b"][2] != out["c"][2]
+
+
+def test_dedup_conversations_order_independence(spark):
+    """The digest is re-sorted after partial merges — shuffled input
+    row order and different partition counts give identical digests."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        dedup_conversations,
+    )
+
+    rows = [("a", i, "user", f"t{i}") for i in range(12)]
+    shuffled = rows[::-1]
+    d1 = dedup_conversations(_tr(spark, rows)).collect()[0]["digest"]
+    d2 = dedup_conversations(
+        _tr(spark, shuffled).repartition(7)
+    ).collect()[0]["digest"]
+    assert d1 == d2
