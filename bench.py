@@ -234,6 +234,9 @@ HEADLINE = [
     "retry_runs",
     "conv_outcomes",
     "conv_dedup",
+    "macro_f1",
+    "fleiss_kappa",
+    "readability",
 ]
 
 

@@ -1601,3 +1601,158 @@ def cuped_report(
             )
         ).alias("__r")
     ).select("__r.*")
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item: str = "item_id",
+    category: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa for m raters — the multi-rater generalization of
+    ``cohen_kappa`` (which compares exactly two labeling functions).
+    Input is LONG format: one row per (item, rater) with the assigned
+    ``category``; every item must carry the same rater count m (the
+    operator derives m from the data and NULLs out if items disagree —
+    Fleiss is undefined for ragged panels).
+
+    Exactness (all decimal(38,0) until one final divide):
+      P̄  = A / B   with A = Σ_i (Σ_j n_ij² − m), B = n·m·(m−1)
+      P_e = C / D   with C = Σ_j c_j²,            D = (n·m)²
+      κ  = (P̄ − P_e) / (1 − P_e) = (A·D − B·C) / (B·(D − C))
+    — integer products throughout (D ~ 10^26 at 10^12 ratings needs
+    decimal, not int64), ONE double divide, floor-1e-6 micro. Constant
+    panels (D = C, every rater always says the same thing) → NULL.
+
+    Plan: one (item, category) exchange for the n_ij counts (map-side
+    combined), one item-sized rollup for Σ n_ij², one |categories|-row
+    rollup for the column totals, three scalar aggregates — the corpus
+    never shuffles twice.
+    """
+    nij = ratings.groupBy(
+        F.col(item).alias("__i"), F.col(category).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per_item = nij.groupBy("__i").agg(
+        F.sum(F.col("__n") * F.col("__n")).cast("decimal(38,0)").alias("__s2"),
+        F.sum("__n").cast("bigint").alias("__m"),
+    )
+    per_cat = nij.groupBy("__c").agg(
+        F.sum("__n").cast("decimal(38,0)").alias("__cj")
+    )
+    scal_i = per_item.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n_items"),
+        F.sum("__s2").cast("decimal(38,0)").alias("__ss2"),
+        F.min("__m").alias("__m_min"),
+        F.max("__m").alias("__m_max"),
+    )
+    scal_c = per_cat.agg(
+        F.sum(F.col("__cj") * F.col("__cj")).cast("decimal(38,0)").alias("__C")
+    )
+    m_ = scal_i.crossJoin(F.broadcast(scal_c))
+    n = F.col("__n_items")
+    m = F.col("__m_min").cast("decimal(38,0)")
+    A = F.col("__ss2") - n * m
+    B = n * m * (m - 1)
+    C = F.col("__C")
+    D = (n * m) * (n * m)
+    num = (A * D - B * C).cast("double")
+    den = (B * (D - C)).cast("double")
+    return m_.select(
+        n.cast("bigint").alias("n_items"),
+        F.col("__m_min").cast("bigint").alias("m_raters"),
+        F.when(
+            (F.col("__m_min") == F.col("__m_max"))
+            & (F.col("__m_min") >= 2)
+            & (den > 0),
+            F.floor(num / den * 1e6) / 1e6,
+        ).alias("kappa"),
+    )
+
+
+def macro_f1(
+    preds: DataFrame,
+    y_true: str = "y_true",
+    y_pred: str = "y_pred",
+) -> DataFrame:
+    """Multi-class classification report: per-class tp/fp/fn,
+    precision/recall/F1, plus a ``__macro__`` summary row — the eval
+    that pairs with ``auc_eval`` (ranking) and ``calibration_bins``
+    (probability quality) for hard class decisions.
+
+    Conventions match sklearn ``zero_division=0``: an undefined ratio
+    (empty denominator) scores 0, and the macro average runs over ALL
+    classes observed in EITHER column — so a class the model never
+    predicts still drags the macro down. All ratios integer-micro DIV;
+    F1 = 2·p·r DIV (p+r) over the micro ints (≤ 2·10^12, exact).
+
+    Plan: ONE map-side-combined (true, pred) contingency exchange —
+    |classes|² rows — then broadcast-joined marginals on the tiny
+    frame; the corpus is scanned once and never shuffled again.
+    """
+    cells = preds.groupBy(
+        F.col(y_true).alias("__t"), F.col(y_pred).alias("__p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    true_tot = cells.groupBy(F.col("__t").alias("class")).agg(
+        F.sum("__n").cast("bigint").alias("__tt")
+    )
+    pred_tot = cells.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").cast("bigint").alias("__pt")
+    )
+    diag = cells.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("class"), F.col("__n").alias("__tp")
+    )
+    spine = (
+        true_tot.join(pred_tot, "class", "full_outer")
+        .join(diag, "class", "full_outer")
+        .select(
+            "class",
+            F.coalesce("__tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("__pt", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("__tt", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    p = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr("tp * 1000000 DIV (tp + fp)"),
+    ).otherwise(F.lit(0))
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.expr("tp * 1000000 DIV (tp + fn)"),
+    ).otherwise(F.lit(0))
+    scored = spine.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        p.cast("bigint").alias("precision_micro"),
+        r.cast("bigint").alias("recall_micro"),
+    ).select(
+        "*",
+        F.when(
+            F.col("precision_micro") + F.col("recall_micro") > 0,
+            F.expr(
+                "2 * precision_micro * recall_micro "
+                "DIV (precision_micro + recall_micro)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("f1_micro"),
+    )
+    macro = scored.agg(
+        F.lit("__macro__").alias("class"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("fp").cast("bigint").alias("fp"),
+        F.sum("fn").cast("bigint").alias("fn"),
+        F.expr("sum(precision_micro) DIV count(1)")
+        .cast("bigint")
+        .alias("precision_micro"),
+        F.expr("sum(recall_micro) DIV count(1)")
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.expr("sum(f1_micro) DIV count(1)").cast("bigint").alias("f1_micro"),
+    )
+    return scored.unionByName(macro)

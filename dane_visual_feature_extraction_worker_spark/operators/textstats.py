@@ -992,3 +992,60 @@ def char_entropy(
             - F.expr("__slc DIV n_chars")
         ).cast("bigint").alias("entropy_micro"),
     )
+
+
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    screen (Flesch 1948): ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``. Pipelines use it as a coarse quality
+    band next to ``quality_score``: negative scores flag run-on
+    machine-generated walls of text; > 90 flags trivially short
+    fragments.
+
+    Heuristics (identical, replayable regex in both engines): words =
+    whitespace tokens; syllables = ``[aeiouy]+`` vowel runs in the
+    lowercased text (whitespace breaks runs, so counting over the full
+    text equals the per-word sum); sentences = ``[.!?]+`` runs,
+    clamped to >= 1 so punctuation-free text divides cleanly.
+
+    Exactness: the three counts are integers; the score is the integer
+    identity ``206835000 − 1015·wps_micro DIV 1000 − 84600·spw_micro
+    DIV 1000`` over two integer-micro DIVs — no floats, so engines
+    agree bit-for-bit. Zero-word docs get NULL. Plan: pure per-row
+    codegen projection, zero exchanges.
+    """
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.size(
+        F.filter(F.split(low, r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    syll = F.size(
+        F.regexp_extract_all(low, F.lit(r"([aeiouy]+)"), 1)
+    ).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"([.!?]+)"), 1)),
+        F.lit(1),
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).select(
+        "*",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206835000).cast("bigint")
+            - F.expr(
+                "1015 * (n_words * 1000000 DIV n_sentences) DIV 1000"
+            )
+            - F.expr(
+                "84600 * (n_syllables * 1000000 DIV n_words) DIV 1000"
+            ),
+        )
+        .cast("bigint")
+        .alias("flesch_micro"),
+    )

@@ -11073,3 +11073,216 @@ ORACLES["conv_dedup"] = f"""
     FROM digests
 """
 QUERIES["conv_dedup"] = conv_dedup_q
+
+
+_MF1_CLASSES = ["click", "error", "purchase", "signup", "view"]
+
+
+def macro_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class classification report (operators/stats.macro_f1):
+    per-class tp/fp/fn + P/R/F1 and a __macro__ row, sklearn
+    zero_division=0 conventions. The synthetic classifier predicts the
+    true event_type ~80% of the time and a deterministic md5-chosen
+    class otherwise — portable across engines (no rand())."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        macro_f1,
+    )
+
+    e = _events(spark, sf_dir)
+    hx = F.md5(
+        F.concat_ws("|", F.lit("mf1"), F.col("event_id").cast("string"))
+    )
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    noise = F.element_at(
+        F.array(*[F.lit(c) for c in _MF1_CLASSES]),
+        ((key / F.lit(10)).cast("bigint") % 5 + 1).cast("int"),
+    )
+    preds = e.select(
+        F.col("event_type").alias("y_true"),
+        F.when(key % 10 < 8, F.col("event_type"))
+        .otherwise(noise)
+        .alias("y_pred"),
+    )
+    return macro_f1(preds)
+
+
+ORACLES["macro_f1"] = f"""
+    WITH h AS (
+      SELECT event_type AS y_true,
+             md5(concat('mf1', '|', CAST(event_id AS VARCHAR))) AS hx
+      FROM events
+    ), keyed AS (
+      SELECT y_true, ({_sample_key_terms_sql()}) AS key FROM h
+    ), preds AS (
+      SELECT y_true,
+             CASE WHEN key % 10 < 8 THEN y_true
+                  ELSE (['click','error','purchase','signup','view'])
+                         [CAST((key // 10) % 5 AS INT) + 1]
+             END AS y_pred
+      FROM keyed
+    ), cells AS (
+      SELECT y_true AS t, y_pred AS p, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY 1, 2
+    ), spine AS (
+      SELECT coalesce(tt.class, pt.class) AS class,
+             coalesce(dg.tp, 0) AS tp,
+             coalesce(pt.pt, 0) - coalesce(dg.tp, 0) AS fp,
+             coalesce(tt.tt, 0) - coalesce(dg.tp, 0) AS fn
+      FROM (SELECT t AS class, sum(n) AS tt FROM cells GROUP BY 1) tt
+      FULL OUTER JOIN (SELECT p AS class, sum(n) AS pt FROM cells
+                       GROUP BY 1) pt ON tt.class = pt.class
+      LEFT JOIN (SELECT t AS class, n AS tp FROM cells WHERE t = p) dg
+        ON coalesce(tt.class, pt.class) = dg.class
+    ), scored AS (
+      SELECT class,
+             CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn,
+             CAST(CASE WHEN tp + fp > 0
+                       THEN tp * 1000000 // (tp + fp) ELSE 0 END
+                  AS BIGINT) AS precision_micro,
+             CAST(CASE WHEN tp + fn > 0
+                       THEN tp * 1000000 // (tp + fn) ELSE 0 END
+                  AS BIGINT) AS recall_micro
+      FROM spine
+    ), f1 AS (
+      SELECT *,
+             CAST(CASE WHEN precision_micro + recall_micro > 0
+                  THEN 2 * precision_micro * recall_micro
+                       // (precision_micro + recall_micro)
+                  ELSE 0 END AS BIGINT) AS f1_micro
+      FROM scored
+    )
+    SELECT class, tp, fp, fn, precision_micro, recall_micro, f1_micro
+    FROM f1
+    UNION ALL
+    SELECT '__macro__',
+           CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT),
+           CAST(sum(precision_micro) // count(*) AS BIGINT),
+           CAST(sum(recall_micro) // count(*) AS BIGINT),
+           CAST(sum(f1_micro) // count(*) AS BIGINT)
+    FROM f1
+"""
+QUERIES["macro_f1"] = macro_f1_q
+
+
+def fleiss_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a 3-rater panel (operators/stats.fleiss_kappa)
+    — the m-rater generalization next to cohen_kappa. Raters agree with
+    event_type ~70% of the time, else say 'noise', via portable
+    md5-keyed choices; exact decimal(38,0) identity, one double
+    divide."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    e = _events(spark, sf_dir)
+    long = e.select(
+        F.col("event_id").alias("item_id"),
+        "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__r"),
+    )
+    hx = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("fk"),
+            F.col("__r").cast("string"),
+            F.col("item_id").cast("string"),
+        )
+    )
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    rated = long.select(
+        "item_id",
+        F.when(key % 10 < 7, F.col("event_type"))
+        .otherwise(F.lit("noise"))
+        .alias("category"),
+    )
+    return fleiss_kappa(rated)
+
+
+ORACLES["fleiss_kappa"] = f"""
+    WITH long AS (
+      SELECT event_id AS item_id, event_type, r
+      FROM events, (SELECT unnest([0, 1, 2]) AS r)
+    ), h AS (
+      SELECT item_id, event_type,
+             md5(concat('fk', '|', CAST(r AS VARCHAR), '|',
+                        CAST(item_id AS VARCHAR))) AS hx
+      FROM long
+    ), rated AS (
+      SELECT item_id,
+             CASE WHEN ({_sample_key_terms_sql()}) % 10 < 7
+                  THEN event_type ELSE 'noise' END AS category
+      FROM h
+    ), nij AS (
+      SELECT item_id, category, CAST(count(*) AS BIGINT) AS n
+      FROM rated GROUP BY 1, 2
+    ), per_item AS (
+      SELECT item_id, CAST(sum(n * n) AS DECIMAL(38,0)) AS s2,
+             CAST(sum(n) AS BIGINT) AS m
+      FROM nij GROUP BY 1
+    ), per_cat AS (
+      SELECT category, CAST(sum(n) AS DECIMAL(38,0)) AS cj
+      FROM nij GROUP BY 1
+    ), si AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n_items,
+             CAST(sum(s2) AS DECIMAL(38,0)) AS ss2,
+             min(m) AS m_min, max(m) AS m_max
+      FROM per_item
+    ), sc AS (
+      SELECT CAST(sum(cj * cj) AS DECIMAL(38,0)) AS c FROM per_cat
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(m_min AS BIGINT) AS m_raters,
+           CASE WHEN m_min = m_max AND m_min >= 2
+                 AND CAST((n_items * m_min * (m_min - 1))
+                          * ((n_items * m_min) * (n_items * m_min)
+                             - c) AS DOUBLE) > 0 THEN
+             floor(CAST((ss2 - n_items * m_min)
+                          * ((n_items * m_min) * (n_items * m_min))
+                        - (n_items * m_min * (m_min - 1)) * c
+                        AS DOUBLE)
+                   / CAST((n_items * m_min * (m_min - 1))
+                          * ((n_items * m_min) * (n_items * m_min) - c)
+                          AS DOUBLE)
+                   * 1000000.0) / 1000000.0
+           END AS kappa
+    FROM si, sc
+"""
+QUERIES["fleiss_kappa"] = fleiss_kappa_q
+
+
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/textstats.readability):
+    vowel-run syllable heuristic, clamped sentence count, pure integer
+    identity — zero exchanges, one codegen projection."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        readability,
+    )
+
+    return readability(_documents(spark, sf_dir))
+
+
+ORACLES["readability"] = r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(
+                    lower(coalesce(text, '')), '\s+'), x -> x != ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(
+                    lower(coalesce(text, '')), '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(
+                    lower(coalesce(text, '')), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206835000
+             - 1015 * (n_words * 1000000 // n_sentences) // 1000
+             - 84600 * (n_syllables * 1000000 // n_words) // 1000
+           END AS flesch_micro
+    FROM c
+"""
+QUERIES["readability"] = readability_q

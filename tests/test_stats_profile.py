@@ -565,3 +565,194 @@ def test_cuped_reduces_variance_and_preserves_contrast(spark):
     )
     assert abs(tot_adj - tot_raw) <= n  # floor noise only
     assert 0 <= rows["a"]["rho2_micro"] <= 1_000_000
+
+
+# ----------------------------- fleiss_kappa / macro_f1 / readability
+
+
+def _brute_fleiss(assignments):
+    """Independent Fleiss computation from (item, category) rows —
+    textbook formula over floats."""
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(Counter)
+    for i, c in assignments:
+        per_item[i][c] += 1
+    n = len(per_item)
+    ms = {sum(cnt.values()) for cnt in per_item.values()}
+    if len(ms) != 1:
+        return None
+    (m,) = ms
+    if m < 2:
+        return None
+    p_i = [
+        (sum(v * v for v in cnt.values()) - m) / (m * (m - 1))
+        for cnt in per_item.values()
+    ]
+    p_bar = sum(p_i) / n
+    cat_tot = Counter()
+    for cnt in per_item.values():
+        cat_tot.update(cnt)
+    p_j = [v / (n * m) for v in cat_tot.values()]
+    p_e = sum(p * p for p in p_j)
+    if 1 - p_e <= 0:
+        return None
+    return (p_bar - p_e) / (1 - p_e)
+
+
+def test_fleiss_kappa_brute_force(spark):
+    import math
+    import random as rnd
+
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    rnd.seed(11)
+    rows = []
+    for i in range(40):
+        for _ in range(4):  # m = 4 raters
+            rows.append((i, rnd.choice("abc")))
+    df = spark.createDataFrame(rows, "item_id int, category string")
+    [out] = fleiss_kappa(df).collect()
+    expect = _brute_fleiss(rows)
+    assert out["n_items"] == 40 and out["m_raters"] == 4
+    assert abs(out["kappa"] - math.floor(expect * 1e6) / 1e6) < 1e-9
+
+
+def test_fleiss_kappa_degenerate_and_ragged(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    # constant panel: every rater always says 'x' -> P_e = 1 -> NULL
+    const = spark.createDataFrame(
+        [(i, "x") for i in range(5) for _ in range(3)],
+        "item_id int, category string",
+    )
+    assert fleiss_kappa(const).collect()[0]["kappa"] is None
+    # ragged panel: item 0 has 3 ratings, item 1 has 2 -> NULL
+    ragged = spark.createDataFrame(
+        [(0, "x"), (0, "y"), (0, "x"), (1, "x"), (1, "y")],
+        "item_id int, category string",
+    )
+    assert fleiss_kappa(ragged).collect()[0]["kappa"] is None
+    # perfect agreement on a two-category mix -> kappa == 1
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(6) for _ in range(3)],
+        "item_id int, category string",
+    )
+    assert fleiss_kappa(perfect).collect()[0]["kappa"] == 1.0
+
+
+def _brute_macro_f1(pairs):
+    classes = sorted({t for t, _ in pairs} | {p for _, p in pairs})
+    out = {}
+    f1s, ps, rs = [], [], []
+    for c in classes:
+        tp = sum(1 for t, p in pairs if t == c and p == c)
+        fp = sum(1 for t, p in pairs if t != c and p == c)
+        fn = sum(1 for t, p in pairs if t == c and p != c)
+        pm = tp * 1_000_000 // (tp + fp) if tp + fp else 0
+        rm = tp * 1_000_000 // (tp + fn) if tp + fn else 0
+        fm = 2 * pm * rm // (pm + rm) if pm + rm else 0
+        out[c] = (tp, fp, fn, pm, rm, fm)
+        ps.append(pm)
+        rs.append(rm)
+        f1s.append(fm)
+    k = len(classes)
+    out["__macro__"] = (
+        sum(v[0] for c, v in out.items() if c != "__macro__"),
+        sum(v[1] for c, v in out.items() if c != "__macro__"),
+        sum(v[2] for c, v in out.items() if c != "__macro__"),
+        sum(ps) // k,
+        sum(rs) // k,
+        sum(f1s) // k,
+    )
+    return out
+
+
+def test_macro_f1_brute_force(spark):
+    import random as rnd
+
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        macro_f1,
+    )
+
+    rnd.seed(3)
+    pairs = [
+        (rnd.choice("abcd"), rnd.choice("abc"))  # 'd' never predicted
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "y_true string, y_pred string")
+    got = {
+        r["class"]: (
+            r["tp"], r["fp"], r["fn"],
+            r["precision_micro"], r["recall_micro"], r["f1_micro"],
+        )
+        for r in macro_f1(df).collect()
+    }
+    assert got == _brute_macro_f1(pairs)
+    # never-predicted class scores 0 precision AND 0 f1, dragging macro
+    assert got["d"][3] == 0 and got["d"][5] == 0
+
+
+def test_readability_known_counts(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        readability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sents, 6 syl
+            (2, ""),                            # zero words -> NULL
+            (3, None),
+            (4, "queueing theory"),             # no sentence punct -> 1
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["flesch_micro"],
+        )
+        for r in readability(docs).collect()
+    }
+    assert got[1][:3] == (6, 2, 6)
+    # identity replay: 206835000 - 1015*(6e6//2)//1000 - 84600*(6e6//6)//1000
+    assert got[1][3] == 206835000 - 1015 * 3_000_000 // 1000 - 84600 * 1_000_000 // 1000
+    assert got[2] == (0, 1, 0, None) and got[3] == (0, 1, 0, None)
+    # 'queueing' = one run 'ueuei' + 'eo' in theory... brute: vowel runs
+    assert got[4][0] == 2 and got[4][1] == 1
+
+
+def test_readability_brute_force(spark):
+    import random as rnd
+    import re
+
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        readability,
+    )
+
+    rnd.seed(5)
+    vocab = ["alpha", "bee", "sky", "queue", "strength", "io", "xyz"]
+    rows = []
+    for i in range(50):
+        n = rnd.randint(1, 12)
+        words = [rnd.choice(vocab) for _ in range(n)]
+        # sprinkle sentence punctuation
+        txt = " ".join(
+            w + ("." if rnd.random() < 0.2 else "") for w in words
+        )
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"])
+        for r in readability(df).collect()
+    }
+    for i, txt in rows:
+        low = txt.lower()
+        w = len([t for t in re.split(r"\s+", low) if t])
+        s = max(len(re.findall(r"[.!?]+", low)), 1)
+        syl = len(re.findall(r"[aeiouy]+", low))
+        assert got[i] == (w, s, syl), (i, txt)
