@@ -1283,3 +1283,90 @@ def shared_passage_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    ``C(A→B) = |A ∩ B| / |A|`` — the subset-duplicate detector Jaccard
+    is blind to: a wire-service paragraph embedded verbatim in a long
+    article has C ≈ 1 from the short side but tiny Jaccard (the union
+    is article-sized). Standard curation practice pairs a Jaccard pass
+    (mirror dups) with a containment pass (quote/boilerplate
+    embedding); a pair is reported when EITHER direction's containment
+    clears ``threshold``.
+
+    Plan: identical candidate machinery to ``jaccard_pairs`` (df-capped
+    inverted index, persisted across the self-join branches, hot-shingle
+    exact correction — the cap gates candidate generation, never the
+    value), different final identity: both directions are integer-micro
+    DIVs (inter·10⁶ DIV n_side), no floats. Same recall caveat as
+    jaccard_pairs: a pair must share ≥ 1 non-hot shingle.
+
+    Output ``(doc_a, doc_b, cont_a_micro, cont_b_micro)`` with
+    doc_a < doc_b; cont_a is the A→B direction (denominator = A).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    thr_micro = int(threshold * 1_000_000)
+    shw = scoped_persist(
+        shingle_table(docs, id_col, text_col, k).withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ),
+        "dedup.containment_index",
+    )
+    cold = shw.where(F.col("df") <= max_df)
+    inter_rare = (
+        cold.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(cold.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_rare"))
+    )
+    docinfo = shw.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("df") > max_df, F.col("shingle")))
+        ).alias("hot"),
+    )
+    j = (
+        inter_rare.join(
+            docinfo.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("hot").alias("hot_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docinfo.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("hot").alias("hot_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter",
+            F.col("inter_rare") + F.size(F.array_intersect("hot_a", "hot_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("inter * 1000000 DIV n_a").cast("bigint").alias(
+                "cont_a_micro"
+            ),
+            F.expr("inter * 1000000 DIV n_b").cast("bigint").alias(
+                "cont_b_micro"
+            ),
+        )
+    )
+    return j.where(
+        F.greatest("cont_a_micro", "cont_b_micro") >= F.lit(thr_micro)
+    )

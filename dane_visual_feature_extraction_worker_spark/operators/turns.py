@@ -600,3 +600,143 @@ def dedup_conversations(
         .cast("int")
         .alias("is_keep"),
     )
+
+
+def prefix_reuse(
+    tr: DataFrame,
+    depths: tuple[int, ...] = (1, 2, 4),
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Prefix-sharing report: at each depth d, how many conversations
+    share their first-d-turn (role, text) prefix with at least one
+    other conversation. This is the KV-cache / prefix-cache planning
+    view for serving AND the system-prompt-explosion detector for
+    training corpora (thousands of conversations opening with the
+    identical injected preamble inflate n-gram stats; template_openers
+    catches single-turn templates, this catches multi-turn ones).
+
+    Plan: ONE corpus hash(conv) exchange (collect_list + post-merge
+    sort_array — partition-layout independent like dedup_conversations),
+    one projection computing ALL depth digests from the same sorted
+    array (slice + md5, no re-aggregation per depth), one explode to
+    |depths|·|convs| rows, one (depth, digest) exchange over that
+    entity-sized frame, and a |depths|-row rollup. Conversations
+    shorter than d use their full prefix (a 2-turn conv can still
+    collide at d=4 with another 2-turn conv — both are "the whole
+    conversation", which IS reuse).
+
+    Output, one row per depth: ``(depth, n_convs, n_reused,
+    reuse_share_micro, n_prefixes)``.
+    """
+    if not depths or any(d < 1 for d in depths):
+        raise ValueError(f"depths must be >= 1: {depths}")
+    payload = F.concat_ws(
+        "\x1f", F.col(role), F.coalesce(F.col(text), F.lit(""))
+    )
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order], payload.alias("__p"))
+        )
+    )
+    per_conv = tr.groupBy(F.col(conv).alias("conv_id")).agg(
+        ordered.alias("__xs")
+    )
+    digest_at = lambda d: F.md5(  # noqa: E731
+        F.concat_ws(
+            "\x1e",
+            F.transform(
+                F.slice("__xs", 1, d), lambda x: x["__p"]
+            ),
+        )
+    )
+    exploded = per_conv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("depth"),
+                        digest_at(d).alias("digest"),
+                    )
+                    for d in depths
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.depth", "__e.digest")
+    groups = exploded.groupBy("depth", "digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__g")
+    )
+    return (
+        groups.groupBy("depth")
+        .agg(
+            F.sum("__g").cast("bigint").alias("n_convs"),
+            F.sum(F.when(F.col("__g") >= 2, F.col("__g")).otherwise(0))
+            .cast("bigint")
+            .alias("n_reused"),
+            F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+        )
+        .select(
+            "depth",
+            "n_convs",
+            "n_reused",
+            F.expr("n_reused * 1000000 DIV n_convs")
+            .cast("bigint")
+            .alias("reuse_share_micro"),
+            "n_prefixes",
+        )
+    )
+
+
+def length_drift(
+    tr: DataFrame,
+    conv: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Per-conversation OLS slope of turn length (tokens) over
+    turn_idx — the degeneracy detector that complements ``echo_rate``:
+    a strongly negative slope means the exchange is collapsing into
+    one-word turns (disengagement, agent giving up); strongly positive
+    means runaway verbosity. Curation gates drop the tails before
+    ``sft_pairs``.
+
+    Exactness: the five regression moments (n, Σi, Σi², Σl, Σil)
+    accumulate exact decimal(38,0) — n·Σil overflows int64 at 10⁵-turn
+    conversations — then ONE double divide with floor-1e-6 micro (the
+    cohen_kappa convention). Zero-variance index (single-turn conv)
+    → NULL slope.
+
+    Plan: one map-side-combined aggregation on hash(conv) — no window,
+    no sort (OLS moments are order-free); token counting is a JVM
+    codegen array op.
+    """
+    i = F.col(turn_idx).cast("decimal(38,0)")
+    toklen = F.size(
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"
+            ),
+            lambda t: t != "",
+        )
+    ).cast("decimal(38,0)")
+    m = tr.groupBy(F.col(conv).alias("conv_id")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(i).alias("__si"),
+        F.sum(i * i).alias("__sii"),
+        F.sum(toklen).alias("__sl"),
+        F.sum(i * toklen).alias("__sil"),
+    )
+    num = (F.col("__n") * F.col("__sil") - F.col("__si") * F.col("__sl")).cast(
+        "double"
+    )
+    den = (
+        F.col("__n") * F.col("__sii") - F.col("__si") * F.col("__si")
+    ).cast("double")
+    return m.select(
+        "conv_id",
+        F.col("__n").cast("bigint").alias("n_turns"),
+        F.col("__sl").cast("bigint").alias("n_tokens"),
+        F.when(den > 0, F.floor(num / den * 1e6) / 1e6).alias("slope"),
+    )

@@ -11286,3 +11286,143 @@ ORACLES["readability"] = r"""
     FROM c
 """
 QUERIES["readability"] = readability_q
+
+
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (operators/dedup.containment_pairs): |A∩B|/|A| catches
+    subset-duplicates (wire copy embedded in a long article) that
+    Jaccard's union denominator hides. Same df-capped candidate plan
+    as dedup_jaccard; both directions integer-micro DIV."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        _documents(spark, sf_dir), threshold=0.8, k=3, max_df=1000
+    )
+
+
+ORACLES["containment_pairs"] = r"""
+    WITH arr AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS a
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                          for i in range(1, len(a) - 1)]) AS shingle
+           FROM arr WHERE len(a) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= 1000),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+      JOIN rare r ON r.shingle = s1.shingle
+      WHERE s1.doc_id < s2.doc_id
+    ),
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT p.* FROM pairs p
+      JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    ),
+    scored AS (
+      SELECT paired.doc_a, paired.doc_b,
+             CAST(inter * 1000000 // ca.n AS BIGINT) AS cont_a_micro,
+             CAST(inter * 1000000 // cb.n AS BIGINT) AS cont_b_micro
+      FROM paired
+      JOIN cnt ca ON ca.doc_id = paired.doc_a
+      JOIN cnt cb ON cb.doc_id = paired.doc_b
+    )
+    SELECT * FROM scored
+    WHERE greatest(cont_a_micro, cont_b_micro) >= 800000
+"""
+QUERIES["containment_pairs"] = containment_pairs_q
+
+
+def prefix_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sharing report at depths 1/2/4
+    (operators/turns.prefix_reuse): the KV-cache planning view and
+    multi-turn template detector. One corpus exchange; all depth
+    digests from one sorted array."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        prefix_reuse,
+    )
+
+    return prefix_reuse(_tr_proj(spark, sf_dir), depths=(1, 2, 4))
+
+
+ORACLES["prefix_reuse"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), ranked AS (
+      SELECT conv_id, ts, turn_idx,
+             role || chr(31) || text AS p,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY ts, turn_idx) AS rn
+      FROM tr
+    ), d AS (SELECT unnest([1, 2, 4]) AS depth),
+    pref AS (
+      SELECT r.conv_id, CAST(d.depth AS INT) AS depth,
+             md5(string_agg(p, chr(30) ORDER BY ts, turn_idx)) AS digest
+      FROM ranked r JOIN d ON r.rn <= d.depth
+      GROUP BY 1, 2
+    ), groups AS (
+      SELECT depth, digest, CAST(count(*) AS BIGINT) AS g
+      FROM pref GROUP BY 1, 2
+    )
+    SELECT depth,
+           CAST(sum(g) AS BIGINT) AS n_convs,
+           CAST(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT)
+             AS n_reused,
+           CAST(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) * 1000000
+                // sum(g) AS BIGINT) AS reuse_share_micro,
+           CAST(count(*) AS BIGINT) AS n_prefixes
+    FROM groups GROUP BY depth
+"""
+QUERIES["prefix_reuse"] = prefix_reuse_q
+
+
+def length_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-length OLS slope
+    (operators/turns.length_drift): the degeneracy detector next to
+    echo_rate — collapsing or runaway-verbose conversations show in
+    the tails. Exact decimal moments, one double divide, no window."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        length_drift,
+    )
+
+    return length_drift(_tr_proj(spark, sf_dir))
+
+
+ORACLES["length_drift"] = f"""
+    WITH tr AS ({_TR_PROJ_SQL}
+    ), t AS (
+      SELECT conv_id,
+             CAST(turn_idx AS HUGEINT) AS i,
+             CAST(len(list_filter(string_split_regex(lower(text),
+                                                     '\\s+'),
+                                  x -> x != '')) AS HUGEINT) AS l
+      FROM tr
+    ), m AS (
+      SELECT conv_id,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(i) AS si, sum(i * i) AS sii,
+             sum(l) AS sl, sum(i * l) AS sil
+      FROM t GROUP BY 1
+    )
+    SELECT conv_id,
+           CAST(n AS BIGINT) AS n_turns,
+           CAST(sl AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(n * sii - si * si AS DOUBLE) > 0 THEN
+             floor(CAST(n * sil - si * sl AS DOUBLE)
+                   / CAST(n * sii - si * si AS DOUBLE)
+                   * 1000000.0) / 1000000.0
+           END AS slope
+    FROM m
+"""
+QUERIES["length_drift"] = length_drift_q

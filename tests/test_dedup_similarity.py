@@ -808,3 +808,91 @@ def test_pq_and_band_config_validation(spark):
     sh = shingle_table(_docs(spark))
     with pytest.raises(ValueError, match="not divisible"):
         minhash_bands(sh, n_hashes=8, band_size=3)
+
+
+# ------------------------------------------------- containment_pairs
+
+
+def test_containment_subset_detected_where_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment from
+    the short side ~1.0, Jaccard well under 0.5."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler), (3, filler)],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_micro"], r["cont_b_micro"])
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in pairs
+    ca, cb = pairs[(1, 2)]
+    assert ca == 1_000_000  # every shingle of doc 1 is in doc 2
+    assert cb < 800_000
+    # jaccard at 0.5 misses the same pair
+    jp = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jp
+    # (2, 3): doc 3 fully contained in doc 2 as well
+    assert (2, 3) in pairs and pairs[(2, 3)][1] == 1_000_000
+
+
+def test_containment_brute_force(spark):
+    import random as rnd
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rnd.seed(13)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 15))))
+        for i in range(12)
+    ]
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expect = {}
+    for a, ta in rows:
+        for b, tb in rows:
+            if a >= b:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca = inter * 1_000_000 // len(sa)
+            cb = inter * 1_000_000 // len(sb)
+            if max(ca, cb) >= 500_000:
+                expect[(a, b)] = (ca, cb)
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_micro"], r["cont_b_micro"])
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == expect
+
+
+def test_containment_threshold_validation(spark):
+    import pytest as _pt
+
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pt.raises(ValueError):
+        containment_pairs(docs, threshold=0.0)

@@ -392,3 +392,109 @@ def test_dedup_conversations_order_independence(spark):
         _tr(spark, shuffled).repartition(7)
     ).collect()[0]["digest"]
     assert d1 == d2
+
+
+# -------------------------------------- prefix_reuse / length_drift
+
+
+def test_prefix_reuse_depth_shares(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        prefix_reuse,
+    )
+
+    # a and b share turn 0; diverge at turn 1. c is unique.
+    rows = [
+        ("a", 0, "user", "hello"),
+        ("a", 1, "assistant", "A"),
+        ("b", 0, "user", "hello"),
+        ("b", 1, "assistant", "B"),
+        ("c", 0, "user", "other"),
+    ]
+    out = {
+        r["depth"]: (r["n_convs"], r["n_reused"], r["n_prefixes"])
+        for r in prefix_reuse(_tr(spark, rows), depths=(1, 2)).collect()
+    }
+    assert out[1] == (3, 2, 2)  # a+b share the depth-1 prefix
+    assert out[2] == (3, 0, 3)  # all diverge by depth 2
+
+
+def test_prefix_reuse_short_conv_clamps(spark):
+    """Two identical 1-turn convs still collide at depth 4 (their full
+    prefix IS the conversation)."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        prefix_reuse,
+    )
+
+    rows = [("a", 0, "user", "hi"), ("b", 0, "user", "hi")]
+    out = {
+        r["depth"]: r["n_reused"]
+        for r in prefix_reuse(_tr(spark, rows), depths=(4,)).collect()
+    }
+    assert out[4] == 2
+
+
+def test_prefix_reuse_validation(spark):
+    import pytest as _pt
+
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        prefix_reuse,
+    )
+
+    with _pt.raises(ValueError):
+        prefix_reuse(_tr(spark, [("a", 0, "user", "x")]), depths=(0,))
+
+
+def test_length_drift_brute_force(spark):
+    import math
+    import random as rnd
+
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        length_drift,
+    )
+
+    rnd.seed(17)
+    rows = []
+    for c in range(6):
+        for i in range(rnd.randint(1, 15)):
+            rows.append(
+                (f"c{c}", i, "user", " ".join(["w"] * rnd.randint(1, 9)))
+            )
+    got = {
+        r["conv_id"]: (r["n_turns"], r["n_tokens"], r["slope"])
+        for r in length_drift(_tr(spark, rows)).collect()
+    }
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for c, i, _, t in rows:
+        by_conv[c].append((i, len(t.split())))
+    for c, pts in by_conv.items():
+        n = len(pts)
+        si = sum(i for i, _ in pts)
+        sii = sum(i * i for i, _ in pts)
+        sl = sum(l for _, l in pts)
+        sil = sum(i * l for i, l in pts)
+        den = n * sii - si * si
+        slope = (
+            math.floor((n * sil - si * sl) / den * 1e6) / 1e6
+            if den > 0
+            else None
+        )
+        assert got[c] == (n, sl, slope), c
+
+
+def test_length_drift_known_slopes(spark):
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        length_drift,
+    )
+
+    rows = (
+        # collapsing: lengths 5,3,1 over idx 0,1,2 -> slope -2
+        [("down", i, "user", " ".join(["w"] * (5 - 2 * i))) for i in range(3)]
+        # single turn -> NULL slope
+        + [("solo", 0, "user", "a b c")]
+    )
+    got = {
+        r["conv_id"]: r["slope"] for r in length_drift(_tr(spark, rows)).collect()
+    }
+    assert got["down"] == -2.0 and got["solo"] is None
