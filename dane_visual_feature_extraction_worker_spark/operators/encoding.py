@@ -413,3 +413,40 @@ def hashed_bow(
         .groupBy(id_col, "bucket")
         .agg(F.sum("__s").cast("bigint").alias("v"))
     )
+
+
+def rare_collapse(
+    df: DataFrame,
+    category: str,
+    min_count: int = 100,
+    other: str = "__other__",
+) -> DataFrame:
+    """Tail-category collapse report: categories seen fewer than
+    ``min_count`` times fold into ``other`` — the standard
+    cardinality-control step before one-hot/frequency/WOE encoding (a
+    10⁷-level id column would otherwise explode the encoder) and a
+    privacy smoother (rare levels are quasi-identifiers; see
+    k_anonymity).
+
+    Output, one row per SURVIVING level: ``(category_out, n_rows,
+    n_levels_merged)`` — the ``other`` row carries how many raw levels
+    it absorbed. Plan: ONE map-side-combined count per raw level, then
+    the |levels|-row frame re-groups after the fold — the corpus is
+    read once and never shuffled (both exchanges are level-sized).
+    Deterministic: no ordering dependence anywhere.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    counts = df.groupBy(F.col(category).alias("__c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    folded = counts.select(
+        F.when(F.col("__n") >= min_count, F.col("__c"))
+        .otherwise(F.lit(other))
+        .alias("category_out"),
+        "__n",
+    )
+    return folded.groupBy("category_out").agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_levels_merged"),
+    )

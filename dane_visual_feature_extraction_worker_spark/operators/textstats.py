@@ -1049,3 +1049,166 @@ def readability(
         .cast("bigint")
         .alias("flesch_micro"),
     )
+
+
+def charclass_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group character-class composition — the cleanliness report
+    that pairs with ``char_entropy``: a source whose punct/other share
+    spikes is shipping markup or binary junk; a digit-share spike is
+    tables/IDs. Classes are EXPLICIT ASCII ranges (letters, digits,
+    space [ \\t\\n\\r], printable-ASCII punctuation, other) — never \\s
+    or POSIX classes, whose definitions differ between regex engines.
+
+    Counting is the length-difference trick (len(text) −
+    len(regexp_replace(text, class, ''))) — five codegen regex passes
+    per row, embarrassingly parallel, ZERO corpus shuffle; one
+    map-side-combined rollup to a |groups|-row frame; shares are
+    integer-micro DIV.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t).cast("bigint")
+
+    def cnt(pat: str) -> F.Column:
+        return (n - F.length(F.regexp_replace(t, pat, ""))).cast("bigint")
+
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        n.alias("__n"),
+        cnt("[a-zA-Z]").alias("__let"),
+        cnt("[0-9]").alias("__dig"),
+        cnt("[ \t\n\r]").alias("__sp"),
+        cnt("[!-/:-@\\[-`{-~]").alias("__pun"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.sum("__n").cast("bigint").alias("n_chars"),
+        F.sum("__let").cast("bigint").alias("__l"),
+        F.sum("__dig").cast("bigint").alias("__d"),
+        F.sum("__sp").cast("bigint").alias("__s"),
+        F.sum("__pun").cast("bigint").alias("__p"),
+    )
+    share = lambda c: (  # noqa: E731
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(f"{c} * 1000000 DIV n_chars"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return agg.select(
+        "grp",
+        "n_chars",
+        share("__l").alias("letter_micro"),
+        share("__d").alias("digit_micro"),
+        share("__s").alias("space_micro"),
+        share("__p").alias("punct_micro"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                "(n_chars - __l - __d - __s - __p) * 1000000"
+                " DIV n_chars"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("other_micro"),
+    )
+
+
+def js_unigram_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two groups' unigram
+    distributions — the symmetric, always-finite corpus-comparison
+    number (0 = identical vocab usage, ln 2 ≈ 0.693 = disjoint).
+    Complements the drift shelf: psi_drift needs a shared category
+    binning, ks_drift a numeric axis; JS compares open vocabularies
+    directly and handles unshared tokens without smoothing (a token
+    absent from one side contributes exactly p_w·ln2 from the other).
+
+    Exactness (the psi_drift discipline): per token,
+    ``termP = p_w·[ln(2·p_w·Q) − ln(p_w·Q + q_w·P)]`` — every ln is of
+    a bare integer, floor-scaled to micro-nats; the p_w·Δln products
+    accumulate exact decimal(38,0); TWO final double divides (one per
+    side, fixed order) + 1e-6 floor. JS = (ΣP)/(2P) + (ΣQ)/(2Q) in
+    micro-nats.
+
+    Plan: one tokenize+explode pass filtered to the two groups, ONE
+    map-side-combined (token) exchange carrying two CASE-counts, two
+    broadcast scalar totals, one vocab-row scalar aggregate — the
+    corpus never shuffles full rows.
+    """
+    toks = docs.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__isa"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("__w"),
+    )
+    counts = toks.groupBy("__w").agg(
+        F.sum(F.col("__isa").cast("bigint")).cast("bigint").alias("__p"),
+        F.sum((~F.col("__isa")).cast("bigint")).cast("bigint").alias("__q"),
+    )
+    totals = counts.agg(
+        F.sum("__p").cast("bigint").alias("__tp"),
+        F.sum("__q").cast("bigint").alias("__tq"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    d38 = "decimal(38,0)"
+
+    def _lnm(c: F.Column) -> F.Column:
+        return F.floor(F.log(c.cast("double")) * 1e6).cast("bigint")
+
+    mix = F.col("__p").cast(d38) * F.col("__tq").cast(d38) + F.col(
+        "__q"
+    ).cast(d38) * F.col("__tp").cast(d38)
+    dp = _lnm(
+        F.lit(2).cast(d38) * F.col("__p").cast(d38) * F.col("__tq").cast(d38)
+    ) - _lnm(mix)
+    dq = _lnm(
+        F.lit(2).cast(d38) * F.col("__q").cast(d38) * F.col("__tp").cast(d38)
+    ) - _lnm(mix)
+    scal = j.agg(
+        F.sum(
+            F.when(
+                F.col("__p") > 0, F.col("__p").cast(d38) * dp.cast(d38)
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("__sp"),
+        F.sum(
+            F.when(
+                F.col("__q") > 0, F.col("__q").cast(d38) * dq.cast(d38)
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("__sq"),
+        F.any_value(F.col("__tp")).alias("__tp"),
+        F.any_value(F.col("__tq")).alias("__tq"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    js = (
+        F.col("__sp").cast("double")
+        / (F.col("__tp").cast("double") * F.lit(2e6))
+        + F.col("__sq").cast("double")
+        / (F.col("__tq").cast("double") * F.lit(2e6))
+    )
+    return scal.select(
+        F.col("__tp").alias("n_tokens_a"),
+        F.col("__tq").alias("n_tokens_b"),
+        "vocab",
+        F.when(
+            (F.col("__tp") > 0) & (F.col("__tq") > 0),
+            F.floor(js * 1e6) / 1e6,
+        ).alias("js"),
+    )

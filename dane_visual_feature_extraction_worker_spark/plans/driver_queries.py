@@ -11426,3 +11426,157 @@ ORACLES["length_drift"] = f"""
     FROM m
 """
 QUERIES["length_drift"] = length_drift_q
+
+
+def charclass_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition
+    (operators/textstats.charclass_profile): letters/digits/space/
+    punct/other shares via the length-difference trick — five codegen
+    regex passes, zero corpus shuffle, integer-micro shares."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        charclass_profile,
+    )
+
+    return charclass_profile(_documents(spark, sf_dir), group_col="source")
+
+
+# Classes are explicit ASCII ranges (never \s / POSIX classes) so the
+# Java and RE2 engines count identically; both `length` functions count
+# codepoints.
+ORACLES["charclass_profile"] = r"""
+    WITH per AS (
+      SELECT source AS grp,
+             CAST(length(t) AS BIGINT) AS n,
+             CAST(length(t) - length(regexp_replace(t, '[a-zA-Z]', '',
+                                                    'g')) AS BIGINT)
+               AS l,
+             CAST(length(t) - length(regexp_replace(t, '[0-9]', '',
+                                                    'g')) AS BIGINT)
+               AS d,
+             CAST(length(t) - length(regexp_replace(t, '[ \t\n\r]', '',
+                                                    'g')) AS BIGINT)
+               AS s,
+             CAST(length(t)
+                  - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '',
+                                          'g')) AS BIGINT) AS p
+      FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+    ), agg AS (
+      SELECT grp,
+             CAST(sum(n) AS BIGINT) AS n_chars,
+             CAST(sum(l) AS BIGINT) AS l,
+             CAST(sum(d) AS BIGINT) AS d,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(p) AS BIGINT) AS p
+      FROM per GROUP BY 1
+    )
+    SELECT grp, n_chars,
+           CASE WHEN n_chars > 0 THEN l * 1000000 // n_chars
+                ELSE 0 END AS letter_micro,
+           CASE WHEN n_chars > 0 THEN d * 1000000 // n_chars
+                ELSE 0 END AS digit_micro,
+           CASE WHEN n_chars > 0 THEN s * 1000000 // n_chars
+                ELSE 0 END AS space_micro,
+           CASE WHEN n_chars > 0 THEN p * 1000000 // n_chars
+                ELSE 0 END AS punct_micro,
+           CASE WHEN n_chars > 0 THEN
+             (n_chars - l - d - s - p) * 1000000 // n_chars
+                ELSE 0 END AS other_micro
+    FROM agg
+"""
+QUERIES["charclass_profile"] = charclass_profile_q
+
+
+def js_unigram_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions (operators/textstats.js_unigram_divergence): exact
+    decimal micro-nat accumulation, two final double divides, the
+    corpus never shuffles full rows."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        js_unigram_divergence,
+    )
+
+    return js_unigram_divergence(
+        _documents(spark, sf_dir), group_col="source",
+        group_a="src0", group_b="src1",
+    )
+
+
+ORACLES["js_unigram_divergence"] = r"""
+    WITH toks AS (
+      SELECT (source = 'src0') AS isa,
+             unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), counts AS (
+      SELECT w,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(q) AS BIGINT) AS tq
+      FROM counts
+    ), j AS (
+      SELECT p, q, tp, tq,
+             CAST(floor(ln(CAST(CAST(p AS HUGEINT) * tq
+                                + CAST(q AS HUGEINT) * tp AS DOUBLE))
+                        * 1e6) AS BIGINT) AS lnmix,
+             CASE WHEN p > 0 THEN
+               CAST(floor(ln(CAST(2 * CAST(p AS HUGEINT) * tq
+                                  AS DOUBLE)) * 1e6) AS BIGINT) END
+               AS ln2ptq,
+             CASE WHEN q > 0 THEN
+               CAST(floor(ln(CAST(2 * CAST(q AS HUGEINT) * tp
+                                  AS DOUBLE)) * 1e6) AS BIGINT) END
+               AS ln2qtp
+      FROM counts, tot
+    ), s AS (
+      SELECT sum(CASE WHEN p > 0
+                      THEN CAST(p AS HUGEINT) * (ln2ptq - lnmix)
+                      ELSE CAST(0 AS HUGEINT) END) AS sp,
+             sum(CASE WHEN q > 0
+                      THEN CAST(q AS HUGEINT) * (ln2qtp - lnmix)
+                      ELSE CAST(0 AS HUGEINT) END) AS sq,
+             any_value(tp) AS tp, any_value(tq) AS tq,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM j
+    )
+    SELECT CAST(tp AS BIGINT) AS n_tokens_a,
+           CAST(tq AS BIGINT) AS n_tokens_b,
+           vocab,
+           CASE WHEN tp > 0 AND tq > 0 THEN
+             floor((CAST(sp AS DOUBLE) / (CAST(tp AS DOUBLE) * 2e6)
+                    + CAST(sq AS DOUBLE) / (CAST(tq AS DOUBLE) * 2e6))
+                   * 1e6) / 1e6
+           END AS js
+    FROM s
+"""
+QUERIES["js_unigram_divergence"] = js_unigram_divergence_q
+
+
+def rare_collapse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-category collapse report over documents.lang
+    (operators/encoding.rare_collapse): levels with < 100 rows fold
+    into __other__; two level-sized exchanges, corpus read once."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        rare_collapse,
+    )
+
+    return rare_collapse(_documents(spark, sf_dir), "lang", min_count=100)
+
+
+ORACLES["rare_collapse"] = """
+    WITH counts AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), f AS (
+      SELECT CASE WHEN n >= 100 THEN c ELSE '__other__' END
+               AS category_out, n
+      FROM counts
+    )
+    SELECT category_out,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_levels_merged
+    FROM f GROUP BY 1
+"""
+QUERIES["rare_collapse"] = rare_collapse_q
