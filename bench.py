@@ -237,6 +237,12 @@ HEADLINE = [
     "macro_f1",
     "fleiss_kappa",
     "readability",
+    "containment_pairs",
+    "prefix_reuse",
+    "length_drift",
+    "charclass_profile",
+    "js_unigram_divergence",
+    "rare_collapse",
 ]
 
 
