@@ -243,6 +243,9 @@ HEADLINE = [
     "charclass_profile",
     "js_unigram_divergence",
     "rare_collapse",
+    "hapax_share",
+    "dup_ngram_coverage",
+    "refusal_rate",
 ]
 
 

@@ -267,3 +267,62 @@ def pii_audit(
             .alias("hit_doc_micro"),
         )
     )
+
+
+#: Refusal-phrase lexicon — plain lowercase substrings (NO regex: both
+#: engines match with simple `contains`, so there is no engine-dialect
+#: surface at all). Extend freely; matching is case-insensitive.
+REFUSAL_PHRASES = (
+    "i cannot",
+    "i can't",
+    "i'm sorry",
+    "i am sorry",
+    "as an ai",
+    "i'm unable",
+    "i am unable",
+)
+
+
+def refusal_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    phrases: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-source refusal-phrase rate — the RLHF-curation gate next to
+    ``pii_audit``: assistant outputs that open with boilerplate
+    refusals ("I'm sorry, I can't…") poison SFT mixes and inflate
+    over-refusal; dashboards track this share per source before a mix
+    ships. A doc counts as hit if ANY lexicon phrase occurs
+    (case-insensitive substring — deliberately not regex, see
+    REFUSAL_PHRASES).
+
+    Plan: one lower() + |phrases| `contains` ORs per row (all JVM
+    codegen, zero per-row Python), ONE map-side-combined group
+    aggregate — |groups| output rows, the corpus never shuffles.
+    """
+    pats = REFUSAL_PHRASES if phrases is None else phrases
+    if not pats:
+        raise ValueError("phrases must be non-empty")
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hit = F.lit(False)
+    for p in sorted(pats):
+        hit = hit | lowered.contains(p.lower())
+    return (
+        docs.select(F.col(group_col).alias("grp"), hit.alias("__hit"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__hit").cast("bigint"))
+            .cast("bigint")
+            .alias("docs_hit"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "docs_hit",
+            F.expr("docs_hit * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("hit_doc_micro"),
+        )
+    )

@@ -1212,3 +1212,112 @@ def js_unigram_divergence(
             F.floor(js * 1e6) / 1e6,
         ).alias("js"),
     )
+
+
+def hapax_share(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group hapax-legomena report — the vocabulary-health number
+    next to ``vocab_growth`` (Heaps) and ``zipf_slope``: the share of
+    a source's vocabulary that occurs exactly once. Natural text sits
+    around 40-60% hapax; templated/boilerplate output collapses toward
+    0 (every token reused), OCR junk or random IDs push toward 1
+    (every token unique). Both tails are curation flags.
+
+    Plan: one map-side-combined (group, token) count exchange (the
+    corpus never shuffles full rows), then a vocab-sized rollup to
+    |groups| rows; shares are exact integer-micro DIV.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(text_col)).alias("__w"),
+    )
+    counts = toks.groupBy("grp", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    agg = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("__n") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("hapax"),
+    )
+    return agg.select(
+        "grp",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.expr("hapax * 1000000 DIV vocab").cast("bigint").alias(
+            "hapax_vocab_micro"
+        ),
+        F.expr("hapax * 1000000 DIV n_tokens").cast("bigint").alias(
+            "hapax_token_micro"
+        ),
+    )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate k-gram coverage per group — the
+    corpus-level twin of ``repetition_stats`` (which is within-doc,
+    Gopher-style). For each group: the share of k-gram OCCURRENCES
+    whose gram appears in ≥2 distinct documents of that group. High
+    coverage = boilerplate / near-duplicate contamination that
+    per-doc repetition filters cannot see.
+
+    Plan: grams are built inside the token array (transform/slice, no
+    per-row Python), exploded once; a (group, gram, doc) pre-reduce
+    collapses within-doc repeats map-side, then a (group, gram)
+    reduce counts occurrences + distinct docs; final |groups|-row
+    rollup with exact integer-micro DIV. Two gram-keyed exchanges,
+    the corpus text never shuffles.
+
+    Groups whose every doc is shorter than k tokens emit NO row
+    (explode drops empty gram arrays) — callers wanting a zero row
+    should left-join back to the group spine.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__doc"),
+        F.explode(_ngrams(_tokens(text_col), k)).alias("__g"),
+    )
+    per_doc = grams.groupBy("grp", "__g", "__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__occ")
+    )
+    per_gram = per_doc.groupBy("grp", "__g").agg(
+        F.sum("__occ").cast("bigint").alias("__occ"),
+        F.count(F.lit(1)).cast("bigint").alias("__docs"),
+    )
+    agg = per_gram.groupBy("grp").agg(
+        F.sum("__occ").cast("bigint").alias("n_gram_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(
+            F.when(F.col("__docs") >= 2, F.col("__occ")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("dup_occ"),
+    )
+    return agg.select(
+        "grp",
+        "n_gram_occ",
+        "n_grams",
+        "dup_occ",
+        F.when(
+            F.col("n_gram_occ") > 0,
+            F.expr("dup_occ * 1000000 DIV n_gram_occ"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("dup_occ_micro"),
+    )

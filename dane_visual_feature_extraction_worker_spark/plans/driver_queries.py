@@ -11580,3 +11580,123 @@ ORACLES["rare_collapse"] = """
     FROM f GROUP BY 1
 """
 QUERIES["rare_collapse"] = rare_collapse_q
+
+
+def hapax_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena report (operators/textstats.
+    hapax_share): share of each source's vocabulary occurring exactly
+    once — one (grp, token) exchange, integer-micro shares."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        hapax_share,
+    )
+
+    return hapax_share(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["hapax_share"] = r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT grp, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT grp,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS hapax_vocab_micro,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+             // sum(n) AS BIGINT) AS hapax_token_micro
+    FROM counts GROUP BY 1
+"""
+QUERIES["hapax_share"] = hapax_share_q
+
+
+def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 3-gram coverage per source
+    (operators/textstats.dup_ngram_coverage): share of gram
+    occurrences whose gram appears in >=2 distinct docs — the
+    corpus-level boilerplate detector next to repetition_stats."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        dup_ngram_coverage,
+    )
+
+    return dup_ngram_coverage(_documents(spark, sf_dir), group_col="source", k=3)
+
+
+ORACLES["dup_ngram_coverage"] = r"""
+    WITH toks AS (
+      SELECT source AS grp, doc_id,
+             list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '') AS a
+      FROM documents
+    ), grams AS (
+      SELECT grp, doc_id,
+             unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     for i in range(1, len(a) - 1)]) AS g
+      FROM toks WHERE len(a) >= 3
+    ), per_doc AS (
+      SELECT grp, g, doc_id, CAST(count(*) AS BIGINT) AS occ
+      FROM grams GROUP BY 1, 2, 3
+    ), per_gram AS (
+      SELECT grp, g,
+             CAST(sum(occ) AS BIGINT) AS occ,
+             CAST(count(*) AS BIGINT) AS docs
+      FROM per_doc GROUP BY 1, 2
+    ), agg AS (
+      SELECT grp,
+             CAST(sum(occ) AS BIGINT) AS n_gram_occ,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN docs >= 2 THEN occ ELSE 0 END)
+                  AS BIGINT) AS dup_occ
+      FROM per_gram GROUP BY 1
+    )
+    SELECT grp, n_gram_occ, n_grams, dup_occ,
+           CASE WHEN n_gram_occ > 0
+                THEN dup_occ * 1000000 // n_gram_occ
+                ELSE 0 END AS dup_occ_micro
+    FROM agg
+"""
+QUERIES["dup_ngram_coverage"] = dup_ngram_coverage_q
+
+
+def refusal_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source refusal-phrase rate (operators/dq.refusal_rate):
+    case-insensitive substring lexicon (no regex dialect surface at
+    all), one map-side-combined aggregate, zero corpus shuffle."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import refusal_rate
+
+    return refusal_rate(_documents(spark, sf_dir), group_col="source")
+
+
+# The lexicon is inlined with doubled single-quotes; matching is plain
+# `contains` on lower(text) in BOTH engines — no regex.
+ORACLES["refusal_rate"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             (contains(t, 'as an ai')
+              OR contains(t, 'i am sorry')
+              OR contains(t, 'i am unable')
+              OR contains(t, 'i can''t')
+              OR contains(t, 'i cannot')
+              OR contains(t, 'i''m sorry')
+              OR contains(t, 'i''m unable')) AS hit
+      FROM (SELECT source, lower(coalesce(text, '')) AS t
+            FROM documents)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_hit,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS hit_doc_micro
+    FROM per GROUP BY 1
+"""
+QUERIES["refusal_rate"] = refusal_rate_q
