@@ -246,6 +246,9 @@ HEADLINE = [
     "hapax_share",
     "dup_ngram_coverage",
     "refusal_rate",
+    "curriculum_order",
+    "periodicity_report",
+    "walk_forward_splits",
 ]
 
 

@@ -110,3 +110,95 @@ def zorder_layout(
     return keyed.repartitionByRange(int(n), key_col).sortWithinPartitions(
         key_col
     )
+
+
+def global_index(
+    df: DataFrame,
+    order_by: list[str],
+    idx_col: str = "global_idx",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based global row index under a TOTAL order — the
+    scale-safe replacement for ``row_number() OVER (ORDER BY …)``,
+    whose empty-partitionBy window collapses the whole table into ONE
+    task (the classic 100 TB driver-killer). ``order_by`` must be a
+    total order (include a unique tiebreak column); otherwise the
+    index assignment between equal keys is partition-dependent.
+
+    Plan (two phases, both fully parallel):
+
+    1. ``repartitionByRange(order_by) + sortWithinPartitions`` — one
+       range exchange; partition i holds keys strictly below
+       partition i+1 (RangePartitioner contract), each sorted.
+       ``monotonically_increasing_id()`` stamped AFTER the sort is
+       consecutive within each partition in sort order. The stamped
+       frame is persisted: the id is assignment-time-stable only if
+       the lineage is not recomputed between the two jobs below.
+    2. ONE |partitions|-row aggregate (count + min id per partition
+       id) collected to the driver, prefix-summed (tiny — never data
+       sized), broadcast-joined back:
+       ``idx = offset[pid] + (id − min_id[pid])``.
+
+    The caller owns unpersisting the RETURNED frame's cache once
+    consumed (it is the persisted stamped frame plus a broadcast
+    join — cheap to keep, safe to drop).
+    """
+    n_parts = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c) for c in order_by]
+    stamped = (
+        df.repartitionByRange(int(n_parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    stamped.persist()
+    stats = (
+        stamped.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.min("__mid").alias("__mid0"),
+        )
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc, r["__mid0"]))
+        acc += r["__n"]
+    omap = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long, __mid0 long"
+    )
+    return (
+        stamped.join(F.broadcast(omap), "__pid")
+        .withColumn(
+            idx_col,
+            (F.col("__off") + (F.col("__mid") - F.col("__mid0"))).cast(
+                "bigint"
+            ),
+        )
+        .drop("__pid", "__mid", "__off", "__mid0")
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    rank_col: str = "curriculum_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Shortest-first curriculum ranking of a corpus — the canonical
+    curriculum-learning data order (easy/short examples first), as a
+    CONTIGUOUS 0-based rank every downstream epoch sampler can slice
+    by range. Built on :func:`global_index`, so the 100 TB plan has
+    no single-partition window anywhere: one range exchange + a
+    |partitions|-row driver prefix-sum.
+    """
+    out = global_index(
+        docs.select(F.col(id_col), F.col(length_col).cast("bigint")),
+        order_by=[length_col, id_col],
+        idx_col=rank_col,
+        partitions=partitions,
+    )
+    return out.select(id_col, length_col, rank_col)

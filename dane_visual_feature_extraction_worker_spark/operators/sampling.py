@@ -417,3 +417,64 @@ def purged_folds(
         .otherwise("train")
     )
     return folded.select(id_col, "fold", split.alias("split"))
+
+
+def walk_forward_splits(
+    df: DataFrame,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    k: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation report: the
+    global time order splits into k EQUAL-COUNT contiguous folds; for
+    each fold f, test = fold f, train = everything strictly earlier —
+    the backtest protocol for time-ordered models. ``purged_folds``
+    cuts by equal TIME span (folds can be wildly unequal in rows when
+    traffic grows); this cuts by equal ROW count, which is what keeps
+    per-fold training cost predictable on a growing corpus.
+
+    Fold assignment is ``fold = idx·k DIV n`` over the CONTIGUOUS
+    global index from :func:`~dane_visual_feature_extraction_worker_spark.operators.layout.global_index`
+    ((ts, id) total order — one range exchange + a |partitions|-row
+    driver prefix-sum, NO single-partition window at any scale), so
+    membership is exact-integer and engine-replayable. Output is the
+    k-row report (fold, n_test, n_train, ts_min, ts_max); n_train is
+    the running sum of earlier fold sizes — a window over k rows.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from dane_visual_feature_extraction_worker_spark.operators.layout import global_index
+
+    idx = global_index(
+        df.select(F.col(id_col), F.col(ts).cast("timestamp").alias("__ts")),
+        order_by=["__ts", id_col],
+        idx_col="__idx",
+        partitions=partitions,
+    )
+    n = idx.count()  # the persisted stamped frame — a cached scan
+    if n == 0:
+        raise ValueError("cannot split an empty frame")
+    folds = idx.select(
+        F.expr(f"CAST(__idx * {int(k)} DIV {int(n)} AS INT)").alias(
+            "fold"
+        ),
+        "__ts",
+    ).groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.min("__ts").alias("ts_min"),
+        F.max("__ts").alias("ts_max"),
+    )
+    w = (
+        Window.orderBy("fold")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # k-row frame: the single-partition window is |k|-sized, fine
+    return folds.select(
+        "fold",
+        "n_test",
+        F.coalesce(F.sum("n_test").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_train"),
+        "ts_min",
+        "ts_max",
+    )

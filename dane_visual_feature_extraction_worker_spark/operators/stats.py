@@ -1756,3 +1756,64 @@ def macro_f1(
         F.expr("sum(f1_micro) DIV count(1)").cast("bigint").alias("f1_micro"),
     )
     return scored.unionByName(macro)
+
+
+def periodicity_report(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 24,
+) -> DataFrame:
+    """Per-entity hour-of-day periodicity score — a chi-square
+    statistic of the entity's hour histogram against uniform. Human
+    traffic has strong daily structure (chi2 >> n_buckets); bots and
+    replayed/synthetic transcripts are flat (chi2 ≈ n_buckets) or
+    spike on one hour (chi2 → n·(B−1)). The anomaly screen next to
+    ``behavior_profile``: that one looks at WHAT an entity does, this
+    one at WHEN.
+
+    Exactness: with e = n/B expected per bucket and o_h observed,
+    ``chi2 = Σ_h (o_h − e)²/e = (B·Σo² − n²)/n`` — a single integer
+    rational. Products ride decimal(38,0) (B·Σo²·10⁶ overflows int64
+    past ~6·10⁵ rows/entity), one integer DIV, reported micro-scaled.
+    Zero-count buckets contribute through the closed form — no
+    24-row densification per entity is ever materialized.
+
+    Plan: one map-side-combined (entity, hour) count, one
+    entity-sized rollup — two exchanges, both count-frame-sized; the
+    events table never shuffles full rows.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    per_hour = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.floor(
+                F.hour(F.col(ts_col)) * F.lit(n_buckets) / F.lit(24)
+            )
+            .cast("int")
+            .alias("__h"),
+        )
+        .groupBy("entity", "__h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+    )
+    d38 = "decimal(38,0)"
+    agg = per_hour.groupBy("entity").agg(
+        F.sum("__o").cast("bigint").alias("n_events"),
+        F.sum(F.col("__o").cast(d38) * F.col("__o").cast(d38))
+        .cast(d38)
+        .alias("__so2"),
+        F.count(F.lit(1)).cast("bigint").alias("active_buckets"),
+    )
+    return agg.select(
+        "entity",
+        "n_events",
+        "active_buckets",
+        F.expr(
+            f"CAST((CAST({n_buckets} AS decimal(38,0)) * __so2"
+            f" - CAST(n_events AS decimal(38,0))"
+            f" * CAST(n_events AS decimal(38,0)))"
+            f" * CAST(1000000 AS decimal(38,0))"
+            f" DIV CAST(n_events AS decimal(38,0)) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )

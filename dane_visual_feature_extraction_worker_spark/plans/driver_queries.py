@@ -11700,3 +11700,101 @@ ORACLES["refusal_rate"] = """
     FROM per GROUP BY 1
 """
 QUERIES["refusal_rate"] = refusal_rate_q
+
+
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-first curriculum rank over documents
+    (operators/layout.curriculum_order → global_index): contiguous
+    0-based global rank with NO single-partition window — one range
+    exchange + a |partitions|-row driver prefix-sum. The oracle IS
+    the single-window row_number the plan refuses to use, so the
+    hash gate proves the two-phase index replays the total order
+    bit-for-bit."""
+    from dane_visual_feature_extraction_worker_spark.operators.layout import (
+        curriculum_order,
+    )
+
+    out = curriculum_order(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+    )
+
+
+ORACLES["curriculum_order"] = """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                AS BIGINT) AS curriculum_rank
+    FROM documents
+"""
+QUERIES["curriculum_order"] = curriculum_order_q
+
+
+def periodicity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hour-of-day chi-square periodicity score
+    (operators/stats.periodicity_report): closed-form
+    (B·Σo² − n²)/n over decimal(38,0), two count-frame exchanges,
+    events never shuffle full rows."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        periodicity_report,
+    )
+
+    return periodicity_report(_events(spark, sf_dir))
+
+
+ORACLES["periodicity_report"] = """
+    WITH per AS (
+      SELECT user_id AS entity, hour(ts) AS h,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT entity,
+             CAST(sum(o) AS BIGINT) AS n_events,
+             sum(CAST(o AS HUGEINT) * CAST(o AS HUGEINT)) AS so2,
+             CAST(count(*) AS BIGINT) AS active_buckets
+      FROM per GROUP BY 1
+    )
+    SELECT entity, n_events, active_buckets,
+           CAST((24 * so2 - CAST(n_events AS HUGEINT)
+                 * CAST(n_events AS HUGEINT)) * 1000000
+                // CAST(n_events AS HUGEINT) AS BIGINT) AS chi2_micro
+    FROM agg
+"""
+QUERIES["periodicity_report"] = periodicity_report_q
+
+
+def walk_forward_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV report over events
+    (operators/sampling.walk_forward_splits): equal-count contiguous
+    folds over the (ts, event_id) total order via the two-phase
+    global index; k-row output."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        walk_forward_splits,
+    )
+
+    return walk_forward_splits(_events(spark, sf_dir), k=4)
+
+
+ORACLES["walk_forward_splits"] = """
+    WITH idx AS (
+      SELECT ts,
+             CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM events
+    ), folds AS (
+      SELECT CAST(rn * 4 // n AS INT) AS fold,
+             CAST(count(*) AS BIGINT) AS n_test,
+             min(ts) AS ts_min, max(ts) AS ts_max
+      FROM idx GROUP BY 1
+    )
+    SELECT fold, n_test,
+           CAST(coalesce(sum(n_test) OVER (ORDER BY fold
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS n_train,
+           ts_min, ts_max
+    FROM folds
+"""
+QUERIES["walk_forward_splits"] = walk_forward_splits_q
