@@ -249,6 +249,8 @@ HEADLINE = [
     "curriculum_order",
     "periodicity_report",
     "walk_forward_splits",
+    "krippendorff_alpha",
+    "tokenizer_fertility",
 ]
 
 

@@ -1817,3 +1817,108 @@ def periodicity_report(
             f" DIV CAST(n_events AS decimal(38,0)) AS BIGINT)"
         ).alias("chi2_micro"),
     )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item: str = "item_id",
+    category: str = "category",
+    max_raters: int = 3,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — the agreement coefficient
+    for RAGGED rater panels, which is exactly the case
+    ``fleiss_kappa`` refuses (Fleiss needs every item rated by the
+    same m raters; real labeling queues never are). Units with fewer
+    than 2 ratings are unpairable and excluded per the definition.
+
+    Exactness: with n_uc the unit×category counts, m_u = Σ_c n_uc,
+    pairable values n = Σ m_u and marginals n_c,
+
+      D_o·L = Σ_u (L/(m_u−1)) · (m_u(m_u−1) − Σ_c n_uc(n_uc−1))
+      α = 1 − D_o·L·(n−1) / (L·(n² − Σ_c n_c²))
+
+    where L = lcm(1…max_raters−1) clears every per-unit denominator,
+    so the accumulation is EXACT decimal(38,0) and only the final α
+    is one double divide (floor-1e-6, the fleiss/cohen discipline).
+    Units with m_u > max_raters would make L/(m_u−1) non-integral;
+    they are EXCLUDED and surfaced in ``n_units_over_cap`` — never
+    silently folded in. All ratings identical (n² = Σ n_c²) → NULL.
+
+    Plan: one (item, category) exchange, one item rollup, one
+    |categories|-row rollup, two scalar aggregates — same shape as
+    fleiss_kappa, one extra broadcast of three scalars.
+    """
+    if max_raters < 2:
+        raise ValueError("max_raters must be >= 2")
+    L = 1
+    for d in range(1, max_raters):
+        g, a, b = 1, L, d
+        while b:
+            a, b = b, a % b
+        g = a
+        L = L * d // g
+    d38 = "decimal(38,0)"
+    nuc = ratings.groupBy(
+        F.col(item).alias("__u"), F.col(category).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per_unit = nuc.groupBy("__u").agg(
+        F.sum("__n").cast("bigint").alias("__m"),
+        F.sum(F.col("__n") * (F.col("__n") - 1))
+        .cast(d38)
+        .alias("__snn1"),
+    )
+    unit_scal = per_unit.agg(
+        F.sum(
+            F.when(
+                (F.col("__m") >= 2) & (F.col("__m") <= max_raters),
+                F.expr(f"CAST({L} DIV (__m - 1) AS decimal(38,0))")
+                * (
+                    F.col("__m").cast(d38)
+                    * (F.col("__m") - 1).cast(d38)
+                    - F.col("__snn1")
+                ),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("__dol"),
+        F.sum(
+            F.when(
+                (F.col("__m") >= 2) & (F.col("__m") <= max_raters),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__n_units"),
+        F.sum(F.when(F.col("__m") > max_raters, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_units_over_cap"),
+    )
+    # marginals over INCLUDED (pairable, under-cap) units only
+    inc = nuc.join(
+        per_unit.filter(
+            (F.col("__m") >= 2) & (F.col("__m") <= max_raters)
+        ).select("__u"),
+        "__u",
+    )
+    per_cat = inc.groupBy("__c").agg(
+        F.sum("__n").cast(d38).alias("__nc")
+    )
+    cat_scal = per_cat.agg(
+        F.sum("__nc").cast(d38).alias("__nv"),
+        F.sum(F.col("__nc") * F.col("__nc")).cast(d38).alias("__snc2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    m_ = unit_scal.crossJoin(F.broadcast(cat_scal))
+    nv = F.col("__nv")
+    num = (F.col("__dol") * (nv - 1)).cast("double")
+    den = (F.lit(L).cast(d38) * (nv * nv - F.col("__snc2"))).cast(
+        "double"
+    )
+    return m_.select(
+        F.col("__n_units").alias("n_units"),
+        nv.cast("bigint").alias("n_values"),
+        F.col("n_categories"),
+        F.col("n_units_over_cap"),
+        F.when(
+            (F.col("__n_units") > 0) & (den > 0),
+            F.floor((F.lit(1.0) - num / den) * 1e6) / 1e6,
+        ).alias("alpha"),
+    )

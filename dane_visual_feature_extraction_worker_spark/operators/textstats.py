@@ -1321,3 +1321,52 @@ def dup_ngram_coverage(
         .cast("bigint")
         .alias("dup_occ_micro"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer-fertility report: chars-per-token and
+    tokens-per-doc — the numbers multilingual budget planning runs on
+    (a language whose chars/token is 2× another pays 2× the context
+    window for the same text; temperature_sample rates are set from
+    exactly these tables). Token = whitespace token (the corpus-side
+    proxy; a trained tokenizer only shifts the constant).
+
+    Plan: per-row size(split) + length (pure codegen), ONE
+    map-side-combined group aggregate — |langs| output rows, zero
+    corpus shuffle; ratios exact integer-micro DIV.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("__t"),
+        F.length(t).cast("bigint").alias("__c"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        F.sum("__c").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("n_chars * 1000000 DIV n_tokens"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("chars_per_token_micro"),
+        F.expr("n_tokens * 1000000 DIV n_docs")
+        .cast("bigint")
+        .alias("tokens_per_doc_micro"),
+    )

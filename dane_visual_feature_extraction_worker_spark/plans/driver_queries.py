@@ -11798,3 +11798,140 @@ ORACLES["walk_forward_splits"] = """
     FROM folds
 """
 QUERIES["walk_forward_splits"] = walk_forward_splits_q
+
+
+def krippendorff_alpha_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over a RAGGED 3-rater panel
+    (operators/stats.krippendorff_alpha) — the missing-data agreement
+    coefficient fleiss_kappa refuses. Panel: rater r rates item u only
+    when md5-key('kp',r,u) % 10 < 8 (~80% response), and agrees with
+    event_type ~70% of the time (md5-key('ka',r,u)), else 'noise' —
+    both portable md5 constructions (fleiss precedent)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    e = _events(spark, sf_dir)
+    long = e.select(
+        F.col("event_id").alias("item_id"),
+        "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__r"),
+    )
+
+    def _key(salt: str) -> F.Column:
+        hx = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("__r").cast("string"),
+                F.col("item_id").cast("string"),
+            )
+        )
+        return F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+
+    rated = long.filter(_key("kp") % 10 < 8).select(
+        "item_id",
+        F.when(_key("ka") % 10 < 7, F.col("event_type"))
+        .otherwise(F.lit("noise"))
+        .alias("category"),
+    )
+    return krippendorff_alpha(rated, max_raters=3)
+
+
+ORACLES["krippendorff_alpha"] = f"""
+    WITH long AS (
+      SELECT event_id AS item_id, event_type, r
+      FROM events, (SELECT unnest([0, 1, 2]) AS r)
+    ), keyed AS (
+      SELECT item_id, event_type,
+             md5(concat('kp', '|', CAST(r AS VARCHAR), '|',
+                        CAST(item_id AS VARCHAR))) AS hxp,
+             md5(concat('ka', '|', CAST(r AS VARCHAR), '|',
+                        CAST(item_id AS VARCHAR))) AS hxa
+      FROM long
+    ), rated AS (
+      SELECT item_id,
+             CASE WHEN ({_sample_key_terms_sql().replace("hx", "hxa")})
+                       % 10 < 7
+                  THEN event_type ELSE 'noise' END AS category
+      FROM keyed
+      WHERE ({_sample_key_terms_sql().replace("hx", "hxp")}) % 10 < 8
+    ), nuc AS (
+      SELECT item_id AS u, category AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rated GROUP BY 1, 2
+    ), per_unit AS (
+      SELECT u, CAST(sum(n) AS BIGINT) AS m,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS snn1
+      FROM nuc GROUP BY 1
+    ), unit_scal AS (
+      SELECT sum(CASE WHEN m BETWEEN 2 AND 3
+                      THEN (2 // (m - 1))
+                           * (CAST(m AS HUGEINT) * (m - 1) - snn1)
+                      ELSE CAST(0 AS HUGEINT) END) AS dol,
+             CAST(sum(CASE WHEN m BETWEEN 2 AND 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN m > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_units_over_cap
+      FROM per_unit
+    ), inc AS (
+      SELECT nuc.c, nuc.n FROM nuc
+      JOIN per_unit ON per_unit.u = nuc.u
+      WHERE per_unit.m BETWEEN 2 AND 3
+    ), per_cat AS (
+      SELECT c, CAST(sum(n) AS HUGEINT) AS nc FROM inc GROUP BY 1
+    ), cat_scal AS (
+      SELECT sum(nc) AS nv, sum(nc * nc) AS snc2,
+             CAST(count(*) AS BIGINT) AS n_categories
+      FROM per_cat
+    )
+    SELECT n_units,
+           CAST(nv AS BIGINT) AS n_values,
+           n_categories,
+           n_units_over_cap,
+           CASE WHEN n_units > 0 AND CAST(2 * (nv * nv - snc2)
+                     AS DOUBLE) > 0
+                THEN floor((1.0 - CAST(dol * (nv - 1) AS DOUBLE)
+                            / CAST(2 * (nv * nv - snc2) AS DOUBLE))
+                           * 1e6) / 1e6
+           END AS alpha
+    FROM unit_scal, cat_scal
+"""
+QUERIES["krippendorff_alpha"] = krippendorff_alpha_q
+
+
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility report (operators/textstats.
+    tokenizer_fertility): chars/token + tokens/doc, zero corpus
+    shuffle — the multilingual budget-planning table."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_documents(spark, sf_dir), group_col="lang")
+
+
+ORACLES["tokenizer_fertility"] = r"""
+    WITH per AS (
+      SELECT lang AS grp,
+             CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '')) AS BIGINT) AS t,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS c
+      FROM documents
+    ), agg AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_chars
+      FROM per GROUP BY 1
+    )
+    SELECT grp, n_docs, n_tokens, n_chars,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+                ELSE 0 END AS chars_per_token_micro,
+           CAST(n_tokens * 1000000 // n_docs AS BIGINT)
+             AS tokens_per_doc_micro
+    FROM agg
+"""
+QUERIES["tokenizer_fertility"] = tokenizer_fertility_q
