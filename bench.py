@@ -251,6 +251,8 @@ HEADLINE = [
     "walk_forward_splits",
     "krippendorff_alpha",
     "tokenizer_fertility",
+    "pass_at_k",
+    "token_entropy_rate",
 ]
 
 

@@ -1922,3 +1922,70 @@ def krippendorff_alpha(
             F.floor((F.lit(1.0) - num / den) * 1e6) / 1e6,
         ).alias("alpha"),
     )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    task: str = "task_id",
+    correct: str = "correct",
+    k: int = 2,
+) -> DataFrame:
+    """Unbiased pass@k estimator per task (Chen et al. 2021, Codex
+    §2.1 — the standard coding-agent eval): with n samples and c
+    correct, ``pass@k = 1 − C(n−c,k)/C(n,k)`` — the probability at
+    least one of k drawn samples is correct. The naive "run k, check
+    any" is a high-variance downward-biased estimate; this is the
+    exact combinatorial one.
+
+    Exactness: C(n−c,k)/C(n,k) = Π_{i=0..k−1} (n−c−i)/(n−i) —
+    numerator and denominator unroll into k-factor integer products
+    on decimal(38,0) (n^k·10⁶ overflows int64 past n ~ 3·10⁶ at
+    k=2), and ``pass_micro = (den − num)·10⁶ DIV den`` is one integer
+    DIV. n−c < k (fewer failures than draws) → pass = 1 exactly.
+    Tasks with n < k cannot be estimated: ``estimable = false`` and
+    NULL pass_micro — surfaced, never dropped.
+
+    Plan: ONE map-side-combined (task) aggregate; the k-factor
+    product is a fixed-size codegen expression — no per-row Python,
+    no second exchange.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    agg = samples.groupBy(F.col(task).alias("task")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(F.col(correct).cast("bigint"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    n = F.col("n_samples")
+    c = F.col("n_correct")
+    # the k-factor products are unrolled SQL on decimal(38,0); the DIV
+    # numerator den·10⁶ − num·10⁶ is nonnegative (num ≤ den), so the
+    # integer-division semantics both engines share apply
+    return agg.select(
+        "task",
+        "n_samples",
+        "n_correct",
+        (n >= k).alias("estimable"),
+        F.when(n < k, F.lit(None).cast("bigint"))
+        .when(n - c < k, F.lit(1_000_000).cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"CAST(({_prod_sql('n_samples - n_correct', k)}"
+                f" * CAST(-1000000 AS decimal(38,0))"
+                f" + {_prod_sql('n_samples', k)}"
+                f" * CAST(1000000 AS decimal(38,0)))"
+                f" DIV {_prod_sql('n_samples', k)} AS BIGINT)"
+            )
+        )
+        .alias("pass_micro"),
+    )
+
+
+def _prod_sql(base: str, k: int) -> str:
+    """Unrolled k-factor falling-product SQL:
+    Π_{i=0..k-1} (base − i) on decimal(38,0)."""
+    terms = [
+        f"CAST(({base}) - {i} AS decimal(38,0))" for i in range(k)
+    ]
+    return "(" + " * ".join(terms) + ")"

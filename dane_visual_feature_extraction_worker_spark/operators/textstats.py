@@ -1370,3 +1370,66 @@ def tokenizer_fertility(
         .cast("bigint")
         .alias("tokens_per_doc_micro"),
     )
+
+
+def token_entropy_rate(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-level conditional entropy H(next|prev) — the
+    text-structure number next to ``char_entropy`` (symbol mix) and
+    ``transition_entropy`` (event chains): natural language sits
+    around 2-6 nats; Markov-degenerate generation (every token
+    deterministically follows its predecessor) collapses toward 0
+    while shuffled-word junk approaches the unigram entropy. Bigrams
+    never cross document boundaries.
+
+    Exactness (the transition_entropy discipline): rate =
+    (1/N)·Σ_{p,n} c_pn·(ln c_p − ln c_pn) with every ln a micro-nat
+    ``floor(ln·1e6)`` of a bare integer; the c·Δln products ride
+    decimal(38,0), ONE integer DIV on the nonnegative numerator — no
+    doubles anywhere.
+
+    Plan: bigrams built inside the token array (transform/slice),
+    one map-side-combined (grp, prev, next) exchange, a (grp, prev)
+    rollup, one pair-frame join on (grp, prev) (both sides
+    vocab²-bounded, AQE co-planned), |groups|-row rollup.
+    """
+    pairs = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_ngrams(_tokens(text_col), 2)).alias("__b"),
+        )
+        .groupBy("grp", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .withColumn(
+            "__p", F.substring_index(F.col("__b"), " ", 1)
+        )
+    )
+    per_prev = pairs.groupBy("grp", "__p").agg(
+        F.sum("__c").cast("bigint").alias("__cp")
+    )
+    lnm = lambda c: F.floor(  # noqa: E731 — repo-wide micro-nat ln
+        F.log(c.cast("double")) * 1e6
+    ).cast("bigint")
+    d38 = "decimal(38,0)"
+    joined = pairs.join(per_prev, ["grp", "__p"])
+    agg = joined.groupBy("grp").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.col("__c").cast(d38)
+            * (lnm(F.col("__cp")) - lnm(F.col("__c"))).cast(d38)
+        )
+        .cast(d38)
+        .alias("__s"),
+    )
+    return agg.select(
+        "grp",
+        "n_bigrams",
+        "n_pairs",
+        F.expr(
+            "CAST(__s DIV CAST(n_bigrams AS decimal(38,0)) AS BIGINT)"
+        ).alias("rate_micro_nat"),
+    )

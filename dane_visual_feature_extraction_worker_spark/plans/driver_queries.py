@@ -11935,3 +11935,100 @@ ORACLES["tokenizer_fertility"] = r"""
     FROM agg
 """
 QUERIES["tokenizer_fertility"] = tokenizer_fertility_q
+
+
+def pass_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@2 per task (operators/stats.pass_at_k): task =
+    user_id, sample correct = (event_type = 'click') — the Codex
+    estimator 1 − C(n−c,k)/C(n,k) as exact k-factor decimal products
+    + one integer DIV; one map-side-combined exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import pass_at_k
+
+    e = _events(spark, sf_dir)
+    return pass_at_k(
+        e.select(
+            F.col("user_id").alias("task_id"),
+            (F.col("event_type") == "click").alias("correct"),
+        ),
+        k=2,
+    )
+
+
+ORACLES["pass_at_k"] = """
+    WITH agg AS (
+      SELECT user_id AS task,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_correct
+      FROM events GROUP BY 1
+    )
+    SELECT task, n_samples, n_correct,
+           (n_samples >= 2) AS estimable,
+           CASE
+             WHEN n_samples < 2 THEN NULL
+             WHEN n_samples - n_correct < 2 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(
+               (CAST(n_samples AS HUGEINT) * (n_samples - 1)
+                  * 1000000
+                - CAST(n_samples - n_correct AS HUGEINT)
+                  * (n_samples - n_correct - 1) * 1000000)
+               // (CAST(n_samples AS HUGEINT) * (n_samples - 1))
+               AS BIGINT)
+           END AS pass_micro
+    FROM agg
+"""
+QUERIES["pass_at_k"] = pass_at_k_q
+
+
+def token_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token bigram conditional entropy H(next|prev)
+    (operators/textstats.token_entropy_rate): micro-nat int64 ln,
+    decimal(38,0) products, one integer DIV — the text-structure
+    degeneracy number next to char_entropy."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        token_entropy_rate,
+    )
+
+    return token_entropy_rate(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["token_entropy_rate"] = r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '') AS a
+      FROM documents
+    ), pairs AS (
+      SELECT grp,
+             unnest([a[i] || ' ' || a[i+1]
+                     for i in range(1, len(a))]) AS b
+      FROM toks WHERE len(a) >= 2
+    ), cnt AS (
+      SELECT grp, b, split_part(b, ' ', 1) AS p,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2, 3
+    ), per_prev AS (
+      SELECT grp, p, CAST(sum(c) AS BIGINT) AS cp
+      FROM cnt GROUP BY 1, 2
+    ), j AS (
+      SELECT cnt.grp, cnt.c,
+             CAST(floor(ln(CAST(per_prev.cp AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lncp,
+             CAST(floor(ln(CAST(cnt.c AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lnc
+      FROM cnt JOIN per_prev
+        ON cnt.grp = per_prev.grp AND cnt.p = per_prev.p
+    ), agg AS (
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(c AS HUGEINT) * (lncp - lnc)) AS s
+      FROM j GROUP BY 1
+    )
+    SELECT grp, n_bigrams, n_pairs,
+           CAST(s // CAST(n_bigrams AS HUGEINT) AS BIGINT)
+             AS rate_micro_nat
+    FROM agg
+"""
+QUERIES["token_entropy_rate"] = token_entropy_rate_q
