@@ -253,6 +253,8 @@ HEADLINE = [
     "tokenizer_fertility",
     "pass_at_k",
     "token_entropy_rate",
+    "mrr_eval",
+    "compression_ratio",
 ]
 
 

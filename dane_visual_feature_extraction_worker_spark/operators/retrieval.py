@@ -332,3 +332,130 @@ def precision_recall_at_k(
             F.expr("(hits * 1000000) div n_relevant").cast("double") / 1e6,
         ).alias("r_at_k"),
     )
+
+
+def mrr_at_k(
+    docs: DataFrame,
+    tokens_col: F.Column,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Batch Mean-Reciprocal-Rank@k — the third leg of the retrieval
+    eval shelf (ndcg_at_k grades the whole list, precision_recall_at_k
+    the set; MRR grades WHERE the first right answer lands, the metric
+    for known-item / navigational queries). Ranking is OR-based BM25
+    (any query term matches); relevance is STRICT — a doc is relevant
+    only if it contains ALL the query's terms — so the first-relevant
+    rank is non-trivial.
+
+    All queries evaluate in ONE pass: a broadcast (qid, term) table
+    joins the postings, every aggregate below carries qid — no
+    per-query jobs. Per query: rank = row_number over (bm25 desc, id)
+    within the candidate set (docs sharing ≥1 term — postings-bounded,
+    never the corpus), ``rr_micro = 10⁶ DIV first_relevant_rank`` (0
+    if none in the top k). A final ``__mrr__`` row carries
+    ``rr_micro = Σ rr DIV |queries|`` (the macro_f1 summary-row
+    convention). BM25 internals reuse the module's exact integer
+    discipline (22/10/3/9 constants, micro-nat IDF).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    for q, ts in queries.items():
+        if not ts:
+            raise ValueError(f"query {q!r} has no terms")
+    spark = docs.sparkSession
+    qrows = [
+        (qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))
+    ]
+    qterms = F.broadcast(
+        spark.createDataFrame(qrows, "qid string, term string")
+    )
+    nterms = F.broadcast(
+        qterms.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nt")
+        )
+    )
+    toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("term"))
+    dls = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    scal = dls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dl").cast("bigint").alias("__tl"),
+    )
+    # postings pruned to the union of query terms BEFORE any shuffle
+    post = (
+        toks.join(qterms, "term")
+        .groupBy("qid", id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = post.groupBy("qid", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    j = (
+        post.join(dls, id_col)
+        .join(F.broadcast(dfreq), ["qid", "term"])
+        .crossJoin(F.broadcast(scal))
+    )
+    idf_micro = _lnm(F.lit(2) * F.col("__n") + 2) - _lnm(
+        F.lit(2) * F.col("df") + 1
+    )
+    num = (
+        F.lit(22).cast(_D38) * F.col("tf").cast(_D38) * F.col("__tl").cast(_D38)
+    )
+    den = (
+        F.lit(10).cast(_D38) * F.col("tf").cast(_D38) * F.col("__tl").cast(_D38)
+        + F.lit(3).cast(_D38) * F.col("__tl").cast(_D38)
+        + F.lit(9).cast(_D38) * F.col("dl").cast(_D38) * F.col("__n").cast(_D38)
+    )
+    term_micro = F.floor(
+        (idf_micro.cast(_D38) * num).cast("double") / den.cast("double")
+    ).cast("bigint")
+    scored = (
+        j.select(
+            "qid",
+            F.col(id_col),
+            term_micro.alias("__tm"),
+            F.lit(1).cast("bigint").alias("__one"),
+        )
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum("__tm").alias("__micro"),
+            F.sum("__one").cast("bigint").alias("__matched"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__micro").desc(), F.col(id_col)
+    )
+    ranked = scored.join(nterms, "qid").select(
+        "qid",
+        F.row_number().over(w).cast("bigint").alias("__rank"),
+        (F.col("__matched") == F.col("__nt")).alias("__rel"),
+    )
+    per_q = (
+        ranked.where((F.col("__rank") <= k) & F.col("__rel"))
+        .groupBy("qid")
+        .agg(F.min("__rank").alias("first_rel_rank"))
+    )
+    # left join back to the query spine so empty queries surface as 0
+    spine = nterms.select("qid")
+    perq = spine.join(per_q, "qid", "left").select(
+        "qid",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.expr("1000000 DIV first_rel_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rr_micro"),
+    )
+    mean = perq.agg(
+        F.lit("__mrr__").alias("qid"),
+        F.lit(None).cast("bigint").alias("first_rel_rank"),
+        F.expr("sum(rr_micro) DIV count(1)")
+        .cast("bigint")
+        .alias("rr_micro"),
+    )
+    return perq.unionByName(mean)

@@ -1433,3 +1433,72 @@ def token_entropy_rate(
             "CAST(__s DIV CAST(n_bigrams AS decimal(38,0)) AS BIGINT)"
         ).alias("rate_micro_nat"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-source zlib compression-ratio report — the classic
+    low-quality-text detector the heuristic shelf can't replace
+    (Gopher / CCNet / RefinedWeb all gate on it): natural prose
+    compresses to ~0.3-0.5 of its bytes, boilerplate and repeated
+    spans compress far harder (low ratio), encrypted/random junk
+    barely compresses (ratio → 1). ``char_entropy`` sees the symbol
+    DISTRIBUTION; compression sees REPEATED STRUCTURE at every
+    offset — a page of shuffled words fools entropy, not DEFLATE.
+
+    Plan: ``mapInPandas`` over Arrow batches (the engine's documented
+    slow-path seam — compression is inherently per-row CPU, but
+    zlib-C over a pandas Series beats row-at-a-time Python ~50×),
+    emitting per-row (grp, raw_bytes, comp_bytes); ONE
+    map-side-combined group aggregate; ratio = exact integer-micro
+    DIV of byte totals. Level is pinned (deterministic bytes for a
+    given zlib build — fixture-tested, not oracle-gated: SQL engines
+    ship no DEFLATE, so this is a rows-only gate by design).
+    """
+    if not 0 <= level <= 9:
+        raise ValueError("level must be in [0, 9]")
+    import pandas as pd  # local: executor-side import
+
+    gc, tc = group_col, text_col
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            txt = pdf[tc].fillna("")
+            enc = txt.map(lambda s: s.encode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "grp": pdf[gc],
+                    "__raw": enc.map(len).astype("int64"),
+                    "__comp": enc.map(
+                        lambda b: len(zlib.compress(b, level))
+                    ).astype("int64"),
+                }
+            )
+
+    per = docs.select(gc, tc).mapInPandas(
+        run, schema="grp string, __raw bigint, __comp bigint"
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__raw").cast("bigint").alias("raw_bytes"),
+        F.sum("__comp").cast("bigint").alias("comp_bytes"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "raw_bytes",
+        "comp_bytes",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.expr("comp_bytes * 1000000 DIV raw_bytes"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ratio_micro"),
+    )

@@ -12032,3 +12032,117 @@ ORACLES["token_entropy_rate"] = r"""
     FROM agg
 """
 QUERIES["token_entropy_rate"] = token_entropy_rate_q
+
+
+def mrr_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MRR@10 of BM25 rankings against strict ALL-terms
+    relevance (operators/retrieval.mrr_at_k): three queries evaluated
+    in ONE pass via a broadcast (qid, term) table; per-query
+    reciprocal rank + a __mrr__ mean row — completes the retrieval
+    eval shelf next to ndcg_eval and pr_at_k."""
+    from dane_visual_feature_extraction_worker_spark.operators.retrieval import (
+        mrr_at_k,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    return mrr_at_k(
+        d,
+        F.col("__t"),
+        {
+            "q0": ["scan", "merge"],
+            "q1": ["vector", "table", "window"],
+            "q2": ["zzznosuchterm"],
+        },
+        k=10,
+    )
+
+
+ORACLES["mrr_eval"] = r"""
+    WITH qterms(qid, term) AS (
+      VALUES ('q0', 'merge'), ('q0', 'scan'),
+             ('q1', 'table'), ('q1', 'vector'), ('q1', 'window'),
+             ('q2', 'zzznosuchterm')
+    ), nterms AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS nt FROM qterms GROUP BY 1
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(dl) AS BIGINT) AS tl FROM dls),
+    post AS (
+      SELECT q.qid, t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks t JOIN qterms q USING (term)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT qid, term, CAST(count(*) AS BIGINT) AS df
+              FROM post GROUP BY 1, 2),
+    t AS (
+      SELECT p.qid, p.doc_id,
+             CAST(floor(ln(2 * s.n + 2) * 1e6) AS BIGINT)
+               - CAST(floor(ln(2 * f.df + 1) * 1e6) AS BIGINT) AS idf,
+             CAST(22 AS HUGEINT) * p.tf * s.tl AS num,
+             CAST(10 AS HUGEINT) * p.tf * s.tl
+               + CAST(3 AS HUGEINT) * s.tl
+               + CAST(9 AS HUGEINT) * d.dl * s.n AS den
+      FROM post p JOIN dls d USING (doc_id)
+      JOIN dfreq f ON f.qid = p.qid AND f.term = p.term
+      CROSS JOIN scal s
+    ),
+    sc AS (
+      SELECT qid, doc_id,
+             sum(CAST(floor(CAST(CAST(idf AS HUGEINT) * num AS DOUBLE)
+                            / CAST(den AS DOUBLE)) AS BIGINT)) AS micro,
+             CAST(count(*) AS BIGINT) AS matched
+      FROM t GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT sc.qid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sc.qid
+                    ORDER BY micro DESC, doc_id) AS BIGINT) AS rnk,
+             (matched = nterms.nt) AS rel
+      FROM sc JOIN nterms ON nterms.qid = sc.qid
+    ),
+    per_q AS (
+      SELECT qid, min(rnk) AS first_rel_rank
+      FROM ranked WHERE rnk <= 10 AND rel GROUP BY 1
+    ),
+    perq AS (
+      SELECT n.qid, p.first_rel_rank,
+             CASE WHEN p.first_rel_rank IS NOT NULL
+                  THEN CAST(1000000 // p.first_rel_rank AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rr_micro
+      FROM nterms n LEFT JOIN per_q p ON p.qid = n.qid
+    )
+    SELECT qid, first_rel_rank, rr_micro FROM perq
+    UNION ALL
+    SELECT '__mrr__', NULL,
+           CAST(sum(rr_micro) // count(*) AS BIGINT)
+    FROM perq
+"""
+QUERIES["mrr_eval"] = mrr_eval_q
+
+
+def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source zlib compression-ratio garbage detector
+    (operators/textstats.compression_ratio): Arrow-batched
+    mapInPandas + one map-side-combined aggregate. ROWS-ONLY gate by
+    design — no SQL engine ships DEFLATE, so the oracle can't replay
+    the compressed byte counts; exactness is pytest-asserted against
+    direct zlib (tests/test_eval_entropy.py) the way
+    checkpoint_resume asserts resume semantics."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_documents(spark, sf_dir), group_col="source")
+
+
+QUERIES["compression_ratio"] = compression_ratio_q
