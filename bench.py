@@ -255,6 +255,8 @@ HEADLINE = [
     "token_entropy_rate",
     "mrr_eval",
     "compression_ratio",
+    "dp_histogram",
+    "token_f1_eval",
 ]
 
 

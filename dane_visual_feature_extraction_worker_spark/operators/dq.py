@@ -326,3 +326,64 @@ def refusal_rate(
             .alias("hit_doc_micro"),
         )
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    category_col: str = "event_type",
+    eps_inv_micro: int = 1_000_000,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private histogram release (Laplace mechanism,
+    sensitivity 1) — the privacy-preserving counterpart of a plain
+    groupBy count for publishing corpus composition stats; pairs with
+    ``k_anonymity`` (which audits the raw table) by protecting the
+    RELEASED aggregate. Noise scale b = 1/ε; ``eps_inv_micro`` is
+    b·10⁶ (default ε = 1).
+
+    Exactness: Laplace(b) = b·(E₁ − E₂) for iid exponentials, and an
+    exponential from a uniform integer u ∈ [1, 2³²] is
+    ``ln(2³²) − ln(u)`` — every ln of a BARE INTEGER, micro-nat
+    floor-scaled (the js/entropy discipline), so the noise is an
+    exact int64 and any engine replays the release bit-for-bit.
+    Randomness is the portable md5 key (``sample_key`` convention):
+    deterministic under a seed HERE so the mechanism is testable —
+    a production release must draw the two uniforms from a real
+    entropy source instead (swap the salt for os.urandom material);
+    the privacy guarantee is about the noise DISTRIBUTION, which is
+    exactly Laplace either way.
+
+    Output keeps ``n_raw`` beside ``released_micro`` for the gate and
+    tests; a production release drops the raw column. Plan: ONE
+    map-side-combined count, noise is a |categories|-row projection.
+    """
+    if eps_inv_micro <= 0:
+        raise ValueError("eps_inv_micro must be positive")
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import sample_key
+
+    counts = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw")
+    )
+    lnm = lambda c: F.floor(  # noqa: E731 — repo-wide micro-nat ln
+        F.log(c.cast("double")) * 1e6
+    ).cast("bigint")
+    u1 = sample_key(F.col("category"), salt=f"{salt}1") + 1
+    u2 = sample_key(F.col("category"), salt=f"{salt}2") + 1
+    # Laplace(b) in micro-units: b_micro · (ln u2 − ln u1) / 1e6. The
+    # micro-nat difference is exact int64 but SIGNED — and integer
+    # division of negatives truncates in Spark yet floors in DuckDB,
+    # so the DIV runs on the ABSOLUTE value and the sign re-applies
+    # after (both engines then agree bit-for-bit).
+    noise = F.expr(
+        f"CAST(CASE WHEN __dln >= 0 THEN 1 ELSE -1 END"
+        f" * (({eps_inv_micro} * abs(__dln)) DIV 1000000) AS BIGINT)"
+    )
+    out = counts.withColumn("__dln", lnm(u2) - lnm(u1)).select(
+        "category",
+        "n_raw",
+        noise.alias("noise_micro"),
+        (F.col("n_raw") * F.lit(1_000_000) + noise)
+        .cast("bigint")
+        .alias("released_micro"),
+    )
+    return out

@@ -1502,3 +1502,72 @@ def compression_ratio(
         .cast("bigint")
         .alias("ratio_micro"),
     )
+
+
+def token_f1_eval(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """SQuAD-style token-level F1 between prediction/gold text pairs —
+    the standard extractive-QA / short-answer eval (Rajpurkar et al.
+    2016): overlap = MULTISET intersection of the two token bags,
+    P = overlap/|pred|, R = overlap/|gold|, F1 = 2·overlap/(|p|+|g|).
+    Complements pass_at_k (binary) with a partial-credit text metric.
+
+    Plan: tokens + overlap are pure array expressions fused into the
+    scan — per row O(|tokens|·|distinct|) like repetition_stats,
+    embarrassingly parallel, ZERO shuffle; every ratio is an exact
+    integer-micro DIV. A ``__mean__`` summary row (macro_f1
+    convention) rides one scalar aggregate.
+    """
+    p = F.coalesce(F.col(pred_col), F.lit(""))
+    g = F.coalesce(F.col(gold_col), F.lit(""))
+    tok = lambda c: F.filter(  # noqa: E731 — the shared tokenizer
+        F.split(F.lower(c), r"\s+"), lambda t: t != ""
+    )
+    d = pairs.select(
+        F.col(id_col).alias("pair_id"),
+        tok(p).alias("__p"),
+        tok(g).alias("__g"),
+    )
+    cnt_in = lambda arr, t: F.size(  # noqa: E731
+        F.filter(arr, lambda x: x == t)
+    )
+    overlap = F.aggregate(
+        F.array_distinct(F.col("__p")),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.least(cnt_in(F.col("__p"), t), cnt_in(F.col("__g"), t)),
+    )
+    per = d.select(
+        "pair_id",
+        F.size("__p").cast("bigint").alias("n_pred"),
+        F.size("__g").cast("bigint").alias("n_gold"),
+        overlap.cast("bigint").alias("overlap"),
+    ).select(
+        "pair_id",
+        "n_pred",
+        "n_gold",
+        "overlap",
+        F.when(
+            F.col("n_pred") + F.col("n_gold") > 0,
+            F.expr("2 * overlap * 1000000 DIV (n_pred + n_gold)"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("f1_micro"),
+    )
+    # the summary row keys on -1, not NULL: a NULL id would coerce the
+    # whole column to float on the pandas side of the gate comparator
+    mean = per.agg(
+        F.lit(-1).cast(per.schema["pair_id"].dataType).alias("pair_id"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("n_gold").cast("bigint").alias("n_gold"),
+        F.sum("overlap").cast("bigint").alias("overlap"),
+        F.expr("sum(f1_micro) DIV count(1)")
+        .cast("bigint")
+        .alias("f1_micro"),
+    )
+    return per.unionByName(mean)

@@ -12146,3 +12146,123 @@ def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["compression_ratio"] = compression_ratio_q
+
+
+def dp_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP histogram release over events.event_type
+    (operators/dq.dp_histogram): Laplace(b=2) noise as the exact
+    micro-nat difference of two md5-exponentials; signed DIV routed
+    through abs (trunc-vs-floor divergence documented in the op)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import dp_histogram
+
+    return dp_histogram(
+        _events(spark, sf_dir), category_col="event_type",
+        eps_inv_micro=2_000_000,
+    )
+
+
+ORACLES["dp_histogram"] = f"""
+    WITH counts AS (
+      SELECT event_type AS category,
+             CAST(count(*) AS BIGINT) AS n_raw
+      FROM events GROUP BY 1
+    ), keyed AS (
+      SELECT category, n_raw,
+             md5(concat('dp1', '|', category)) AS hx1,
+             md5(concat('dp2', '|', category)) AS hx2
+      FROM counts
+    ), us AS (
+      SELECT category, n_raw,
+             ({_sample_key_terms_sql().replace("hx", "hx1")}) + 1 AS u1,
+             ({_sample_key_terms_sql().replace("hx", "hx2")}) + 1 AS u2
+      FROM keyed
+    ), dln AS (
+      SELECT category, n_raw,
+             CAST(floor(ln(CAST(u2 AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(floor(ln(CAST(u1 AS DOUBLE)) * 1e6) AS BIGINT)
+               AS d
+      FROM us
+    )
+    SELECT category, n_raw,
+           CAST(CASE WHEN d >= 0 THEN 1 ELSE -1 END
+                * ((2000000 * abs(d)) // 1000000) AS BIGINT)
+             AS noise_micro,
+           CAST(n_raw * 1000000
+                + CASE WHEN d >= 0 THEN 1 ELSE -1 END
+                  * ((2000000 * abs(d)) // 1000000) AS BIGINT)
+             AS released_micro
+    FROM dln
+"""
+QUERIES["dp_histogram"] = dp_histogram_q
+
+
+def token_f1_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style token F1 over even/odd document pairs
+    (operators/textstats.token_f1_eval): multiset-overlap P/R/F1 as
+    pure array expressions — zero shuffle for the metric itself; the
+    -1 row is the corpus mean."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        token_f1_eval,
+    )
+
+    d = _documents(spark, sf_dir)
+    pred = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("text").alias("pred"),
+    )
+    gold = d.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("bigint").alias("pair_id"),
+        F.col("text").alias("gold"),
+    )
+    return token_f1_eval(pred.join(gold, "pair_id"))
+
+
+ORACLES["token_f1_eval"] = r"""
+    WITH pred AS (
+      SELECT doc_id // 2 AS pair_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'), x -> x != '') AS p
+      FROM documents WHERE doc_id % 2 = 0
+    ), gold AS (
+      SELECT (doc_id - 1) // 2 AS pair_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'), x -> x != '') AS g
+      FROM documents WHERE doc_id % 2 = 1
+    ), joined AS (
+      SELECT pred.pair_id, p, g FROM pred JOIN gold USING (pair_id)
+    ), toks AS (
+      SELECT pair_id, t, side FROM (
+        SELECT pair_id, unnest(p) AS t, 'p' AS side FROM joined
+        UNION ALL
+        SELECT pair_id, unnest(g) AS t, 'g' AS side FROM joined
+      )
+    ), cnt AS (
+      SELECT pair_id, t,
+             CAST(sum(CASE WHEN side = 'p' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN side = 'g' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cg
+      FROM toks GROUP BY 1, 2
+    ), ov AS (
+      SELECT pair_id, CAST(sum(least(cp, cg)) AS BIGINT) AS overlap
+      FROM cnt GROUP BY 1
+    ), per AS (
+      SELECT j.pair_id,
+             CAST(len(p) AS BIGINT) AS n_pred,
+             CAST(len(g) AS BIGINT) AS n_gold,
+             coalesce(ov.overlap, 0) AS overlap,
+             CASE WHEN len(p) + len(g) > 0
+                  THEN CAST(2 * coalesce(ov.overlap, 0) * 1000000
+                            // (len(p) + len(g)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS f1_micro
+      FROM joined j LEFT JOIN ov ON ov.pair_id = j.pair_id
+    )
+    SELECT pair_id, n_pred, n_gold, overlap, f1_micro FROM per
+    UNION ALL
+    SELECT -1,
+           CAST(sum(n_pred) AS BIGINT), CAST(sum(n_gold) AS BIGINT),
+           CAST(sum(overlap) AS BIGINT),
+           CAST(sum(f1_micro) // count(*) AS BIGINT)
+    FROM per
+"""
+QUERIES["token_f1_eval"] = token_f1_eval_q
