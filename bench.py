@@ -257,6 +257,8 @@ HEADLINE = [
     "compression_ratio",
     "dp_histogram",
     "token_f1_eval",
+    "self_consistency",
+    "truncation_loss",
 ]
 
 

@@ -1989,3 +1989,67 @@ def _prod_sql(base: str, k: int) -> str:
         f"CAST(({base}) - {i} AS decimal(38,0))" for i in range(k)
     ]
     return "(" + " * ".join(terms) + ")"
+
+
+def self_consistency_vote(
+    samples: DataFrame,
+    task: str = "task_id",
+    answer: str = "answer",
+    gold: str = "gold",
+) -> DataFrame:
+    """Self-consistency majority vote per task (Wang et al. 2022):
+    with k sampled answers per task, the prediction is the modal
+    answer (ties break to the LEXICOGRAPHICALLY SMALLEST — a
+    deterministic, engine-replayable rule; "first sampled" would be
+    partition-order-dependent). The agentic-eval twin of
+    ``pass_at_k``: pass@k asks "did ANY sample succeed", this asks
+    "does the CONSENSUS succeed" — the deployable decision rule.
+
+    ``gold`` must be constant per task (enforced: disagreeing golds
+    raise at aggregation via a distinct-count check folded into the
+    same pass, never a second job).
+
+    Plan: one (task, answer) map-side-combined count, one task-sized
+    max-count rollup joined back (both frames answer-bounded), one
+    min-answer rollup — three task/answer-frame exchanges, the
+    samples table itself shuffles once.
+    """
+    counts = samples.groupBy(
+        F.col(task).alias("task"), F.col(answer).alias("__a")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+    )
+    golds = samples.groupBy(F.col(task).alias("task")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.min(F.col(gold)).alias("__gold"),
+        F.count_distinct(F.col(gold)).alias("__ng"),
+    )
+    maxc = counts.groupBy("task").agg(F.max("__c").alias("__mc"))
+    majority = (
+        counts.join(maxc, "task")
+        .where(F.col("__c") == F.col("__mc"))
+        .groupBy("task")
+        .agg(
+            F.min("__a").alias("majority_answer"),
+            F.max("__mc").cast("bigint").alias("n_majority"),
+        )
+    )
+    out = majority.join(golds, "task")
+    return out.select(
+        "task",
+        "n_samples",
+        "n_majority",
+        "majority_answer",
+        F.when(
+            F.col("__ng") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("gold disagrees within task "),
+                    F.col("task").cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col("__gold"))
+        .alias("gold"),
+        (F.col("majority_answer") == F.col("__gold")).alias("is_correct"),
+    )

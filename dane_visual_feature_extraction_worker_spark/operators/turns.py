@@ -740,3 +740,64 @@ def length_drift(
         F.col("__sl").cast("bigint").alias("n_tokens"),
         F.when(den > 0, F.floor(num / den * 1e6) / 1e6).alias("slope"),
     )
+
+
+def truncation_loss(
+    df: DataFrame,
+    entity: str = "conv_id",
+    tokens_col: str = "n_tokens",
+    limits: tuple[int, ...] = (2048, 8192, 32768),
+) -> DataFrame:
+    """Context-window truncation planning table: for each candidate
+    limit L, how many conversations exceed it and what share of
+    TOKENS a hard tail-truncation at L would drop — the table that
+    decides the serving/training context length (and whether
+    ``sequence_pack`` should split long conversations instead of
+    truncating). ``context_window`` builds the windows; this prices
+    the cut.
+
+    Exactness: all integer sums; shares are integer-micro DIV.
+    Plan: ONE map-side-combined entity rollup (the corpus never
+    shuffles full rows), a |limits|-element explode over the
+    entity-sized frame, a |limits|-row final rollup.
+    """
+    if not limits or any(l <= 0 for l in limits):
+        raise ValueError("limits must be positive and non-empty")
+    per = df.groupBy(F.col(entity).alias("__e")).agg(
+        F.sum(F.col(tokens_col).cast("bigint"))
+        .cast("bigint")
+        .alias("__tok")
+    )
+    lim = F.explode(
+        F.array(*[F.lit(int(l)) for l in sorted(limits)])
+    ).alias("limit")
+    fanned = per.select("__tok", lim)
+    agg = fanned.groupBy("limit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum((F.col("__tok") > F.col("limit")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_over"),
+        F.sum("__tok").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.greatest(F.col("__tok") - F.col("limit"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("tokens_lost"),
+    )
+    return agg.select(
+        "limit",
+        "n_convs",
+        "n_over",
+        F.expr("n_over * 1000000 DIV n_convs")
+        .cast("bigint")
+        .alias("over_share_micro"),
+        "total_tokens",
+        "tokens_lost",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr("tokens_lost * 1000000 DIV total_tokens"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("lost_share_micro"),
+    )

@@ -12266,3 +12266,107 @@ ORACLES["token_f1_eval"] = r"""
     FROM per
 """
 QUERIES["token_f1_eval"] = token_f1_eval_q
+
+
+def self_consistency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency majority vote per task (operators/stats.
+    self_consistency_vote): task = user_id, samples = event_types,
+    gold = md5-keyed pick of the five types (constant per task by
+    construction); lexicographic tie-break is engine-replayable."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        self_consistency_vote,
+    )
+
+    e = _events(spark, sf_dir)
+    hx = F.md5(F.concat_ws("|", F.lit("gold"), F.col("user_id").cast("string")))
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    types = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"),
+        F.lit("signup"), F.lit("view"),
+    )
+    return self_consistency_vote(
+        e.select(
+            F.col("user_id").alias("task_id"),
+            F.col("event_type").alias("answer"),
+            F.element_at(types, (key % 5 + 1).cast("int")).alias("gold"),
+        )
+    )
+
+
+ORACLES["self_consistency"] = f"""
+    WITH keyed AS (
+      SELECT user_id, event_type,
+             md5(concat('gold', '|', CAST(user_id AS VARCHAR))) AS hx
+      FROM events
+    ), samples AS (
+      SELECT user_id AS task, event_type AS a,
+             (['click', 'error', 'purchase', 'signup', 'view'])[
+               CAST(({_sample_key_terms_sql()}) % 5 + 1 AS INT)] AS gold
+      FROM keyed
+    ), counts AS (
+      SELECT task, a, CAST(count(*) AS BIGINT) AS c
+      FROM samples GROUP BY 1, 2
+    ), golds AS (
+      SELECT task, CAST(count(*) AS BIGINT) AS n_samples,
+             min(gold) AS gold
+      FROM samples GROUP BY 1
+    ), maxc AS (
+      SELECT task, max(c) AS mc FROM counts GROUP BY 1
+    ), majority AS (
+      SELECT counts.task, min(a) AS majority_answer,
+             CAST(max(mc) AS BIGINT) AS n_majority
+      FROM counts JOIN maxc ON maxc.task = counts.task
+      WHERE c = mc GROUP BY 1
+    )
+    SELECT m.task, g.n_samples, m.n_majority, m.majority_answer,
+           g.gold, (m.majority_answer = g.gold) AS is_correct
+    FROM majority m JOIN golds g ON g.task = m.task
+"""
+QUERIES["self_consistency"] = self_consistency_q
+
+
+def truncation_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-limit truncation pricing over events-as-turns
+    (operators/turns.truncation_loss): per-turn token proxy =
+    length(props); one entity rollup + |limits| explode."""
+    from dane_visual_feature_extraction_worker_spark.operators.turns import (
+        truncation_loss,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        F.length(F.coalesce(F.col("props"), F.lit("")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return truncation_loss(e, limits=(300, 600, 1200))
+
+
+ORACLES["truncation_loss"] = """
+    WITH per AS (
+      SELECT user_id,
+             CAST(sum(length(coalesce(props, ''))) AS BIGINT) AS tok
+      FROM events GROUP BY 1
+    ), fanned AS (
+      SELECT tok, unnest([300, 600, 1200]) AS lim FROM per
+    ), agg AS (
+      SELECT lim AS "limit",
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(CASE WHEN tok > lim THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_over,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(greatest(tok - lim, 0)) AS BIGINT)
+               AS tokens_lost
+      FROM fanned GROUP BY 1
+    )
+    SELECT "limit", n_convs, n_over,
+           CAST(n_over * 1000000 // n_convs AS BIGINT)
+             AS over_share_micro,
+           total_tokens, tokens_lost,
+           CASE WHEN total_tokens > 0
+                THEN CAST(tokens_lost * 1000000 // total_tokens
+                          AS BIGINT)
+                ELSE 0 END AS lost_share_micro
+    FROM agg
+"""
+QUERIES["truncation_loss"] = truncation_loss_q
