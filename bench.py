@@ -259,6 +259,8 @@ HEADLINE = [
     "token_f1_eval",
     "self_consistency",
     "truncation_loss",
+    "cross_perplexity",
+    "vocab_coverage",
 ]
 
 

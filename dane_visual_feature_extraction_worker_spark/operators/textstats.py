@@ -1571,3 +1571,144 @@ def token_f1_eval(
         .alias("f1_micro"),
     )
     return per.unionByName(mean)
+
+
+def cross_perplexity(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-entropy of corpus B under corpus A's add-1-smoothed
+    bigram LM — the DOMAIN-SHIFT number the within-corpus scores
+    (``unigram_logprob_score`` / ``bigram_logprob_score``) can't give
+    and js_unigram_divergence only approximates (JS is symmetric
+    bag-of-words; this is directional and sequential). Rising H(B‖A)
+    across snapshots = the new data no longer looks like the training
+    mix. Reported in micro-nats (PPL = e^H is the caller's one float).
+
+    Exactness: with V_A distinct token types in A,
+    ``H = (1/N_B)·Σ_pn c_B(p,n)·[ln(c_A(p)+V_A) − ln(c_A(p,n)+1)]``
+    — every ln of a BARE INTEGER (micro-nat floor), products exact
+    decimal(38,0), ONE integer DIV on a nonnegative numerator
+    (c_A(p,n) ≤ c_A(p) keeps each bracket ≥ 0). Unseen bigrams/
+    contexts hit the same identity with c_A = 0.
+
+    Plan: two bigram-frame builds (one tokenize+explode pass each,
+    map-side combined), B left-joins A's pair frame and A's context
+    frame (vocab²-bounded, AQE co-planned), two broadcast scalars —
+    the corpora never shuffle full rows.
+    """
+    d38 = "decimal(38,0)"
+    lnm = lambda c: F.floor(  # noqa: E731 — repo-wide micro-nat ln
+        F.log(c.cast("double")) * 1e6
+    ).cast("bigint")
+
+    def bigrams(g: str) -> DataFrame:
+        return (
+            docs.where(F.col(group_col) == g)
+            .select(F.explode(_ngrams(_tokens(text_col), 2)).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .withColumn("__p", F.substring_index(F.col("__b"), " ", 1))
+        )
+    a = bigrams(group_a)
+    b = bigrams(group_b)
+    a_ctx = a.groupBy("__p").agg(
+        F.sum("__c").cast("bigint").alias("__cp")
+    )
+    va = (
+        docs.where(F.col(group_col) == group_a)
+        .select(F.explode(_tokens(text_col)).alias("__t"))
+        .agg(F.count_distinct("__t").cast("bigint").alias("__va"))
+    )
+    j = (
+        b.withColumnRenamed("__c", "__cb")
+        .join(
+            a.select("__b", F.col("__c").alias("__ca")), "__b", "left"
+        )
+        .join(a_ctx, "__p", "left")
+        .crossJoin(F.broadcast(va))
+    )
+    ca = F.coalesce(F.col("__ca"), F.lit(0))
+    cp = F.coalesce(F.col("__cp"), F.lit(0))
+    term = F.col("__cb").cast(d38) * (
+        lnm(cp + F.col("__va")) - lnm(ca + 1)
+    ).cast(d38)
+    agg = j.agg(
+        F.sum("__cb").cast("bigint").alias("n_bigrams_b"),
+        F.any_value(F.col("__va")).alias("vocab_a"),
+        F.sum(term).cast(d38).alias("__s"),
+    )
+    return agg.select(
+        "n_bigrams_b",
+        "vocab_a",
+        F.expr(
+            "CAST(__s DIV CAST(n_bigrams_b AS decimal(38,0)) AS BIGINT)"
+        ).alias("h_micro_nat"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Share of corpus B's token OCCURRENCES covered by corpus A's
+    top-k vocabulary — the tokenizer/vocab transfer planning number
+    next to ``tokenizer_fertility``: ship A's 32k vocab to domain B
+    and this is the non-OOV mass it retains (``oov_rate`` audits one
+    corpus against a FIXED list; this prices a candidate vocab SIZE
+    across corpora).
+
+    Plan: A's top-k is a map-side-combined count + k-row TakeOrdered
+    (count desc, term asc — never a vocabulary sort); B's counts
+    join it broadcast; exact integer-micro share. One corpus pass
+    per side.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def counts(g: str) -> DataFrame:
+        return (
+            docs.where(F.col(group_col) == g)
+            .select(F.explode(_tokens(text_col)).alias("__t"))
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        )
+    top_a = (
+        counts(group_a)
+        .orderBy(F.col("__c").desc(), F.col("__t"))
+        .limit(k)
+        .select("__t", F.lit(1).alias("__in"))
+    )
+    b = counts(group_b)
+    j = b.join(F.broadcast(top_a), "__t", "left")
+    agg = j.agg(
+        F.sum("__c").cast("bigint").alias("n_tokens_b"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_b"),
+        F.sum(
+            F.when(F.col("__in").isNotNull(), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("covered"),
+    )
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_tokens_b",
+        "vocab_b",
+        "covered",
+        F.when(
+            F.col("n_tokens_b") > 0,
+            F.expr("covered * 1000000 DIV n_tokens_b"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("coverage_micro"),
+    )

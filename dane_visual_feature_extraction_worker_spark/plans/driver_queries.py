@@ -12370,3 +12370,113 @@ ORACLES["truncation_loss"] = """
     FROM agg
 """
 QUERIES["truncation_loss"] = truncation_loss_q
+
+
+def cross_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy of src1 under src0's add-1 bigram LM
+    (operators/textstats.cross_perplexity): every ln of a bare
+    integer, decimal(38,0) products, one integer DIV — the
+    directional domain-shift number."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        cross_perplexity,
+    )
+
+    return cross_perplexity(
+        _documents(spark, sf_dir), group_col="source",
+        group_a="src0", group_b="src1",
+    )
+
+
+ORACLES["cross_perplexity"] = r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '') AS a
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), pairs AS (
+      SELECT grp,
+             unnest([a[i] || ' ' || a[i+1]
+                     for i in range(1, len(a))]) AS b
+      FROM toks WHERE len(a) >= 2
+    ), cnt AS (
+      SELECT grp, b, split_part(b, ' ', 1) AS p,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2, 3
+    ), actx AS (
+      SELECT p, CAST(sum(c) AS BIGINT) AS cp
+      FROM cnt WHERE grp = 'src0' GROUP BY 1
+    ), va AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+        SELECT unnest(a) AS t FROM toks WHERE grp = 'src0')
+    ), j AS (
+      SELECT bb.c AS cb,
+             coalesce(aa.c, 0) AS ca,
+             coalesce(actx.cp, 0) AS cp,
+             va.v
+      FROM (SELECT * FROM cnt WHERE grp = 'src1') bb
+      LEFT JOIN (SELECT b, c FROM cnt WHERE grp = 'src0') aa
+        ON aa.b = bb.b
+      LEFT JOIN actx ON actx.p = bb.p
+      CROSS JOIN va
+    ), agg AS (
+      SELECT CAST(sum(cb) AS BIGINT) AS n_bigrams_b,
+             any_value(v) AS vocab_a,
+             sum(CAST(cb AS HUGEINT)
+                 * (CAST(floor(ln(CAST(cp + v AS DOUBLE)) * 1e6)
+                         AS BIGINT)
+                    - CAST(floor(ln(CAST(ca + 1 AS DOUBLE)) * 1e6)
+                           AS BIGINT))) AS s
+      FROM j
+    )
+    SELECT n_bigrams_b, CAST(vocab_a AS BIGINT) AS vocab_a,
+           CAST(s // CAST(n_bigrams_b AS HUGEINT) AS BIGINT)
+             AS h_micro_nat
+    FROM agg
+"""
+QUERIES["cross_perplexity"] = cross_perplexity_q
+
+
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 src0 vocabulary coverage of src1 token mass
+    (operators/textstats.vocab_coverage): k-row TakeOrdered +
+    broadcast join, exact integer-micro share."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(
+        _documents(spark, sf_dir), group_col="source",
+        group_a="src0", group_b="src1", k=10,
+    )
+
+
+ORACLES["vocab_coverage"] = r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '')) AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), cnt AS (
+      SELECT grp, t, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), top_a AS (
+      SELECT t FROM cnt WHERE grp = 'src0'
+      ORDER BY c DESC, t LIMIT 10
+    ), b AS (
+      SELECT t, c FROM cnt WHERE grp = 'src1'
+    ), agg AS (
+      SELECT CAST(sum(b.c) AS BIGINT) AS n_tokens_b,
+             CAST(count(*) AS BIGINT) AS vocab_b,
+             CAST(sum(CASE WHEN top_a.t IS NOT NULL THEN b.c
+                           ELSE 0 END) AS BIGINT) AS covered
+      FROM b LEFT JOIN top_a ON top_a.t = b.t
+    )
+    SELECT CAST(10 AS BIGINT) AS k, n_tokens_b, vocab_b, covered,
+           CASE WHEN n_tokens_b > 0
+                THEN CAST(covered * 1000000 // n_tokens_b AS BIGINT)
+                ELSE 0 END AS coverage_micro
+    FROM agg
+"""
+QUERIES["vocab_coverage"] = vocab_coverage_q
