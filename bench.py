@@ -261,6 +261,8 @@ HEADLINE = [
     "truncation_loss",
     "cross_perplexity",
     "vocab_coverage",
+    "tool_trigrams",
+    "mixture_knapsack",
 ]
 
 

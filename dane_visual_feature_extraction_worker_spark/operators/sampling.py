@@ -478,3 +478,73 @@ def walk_forward_splits(
         "ts_min",
         "ts_max",
     )
+
+
+def mixture_knapsack(
+    stats: DataFrame,
+    budget_tokens: int,
+    source: str = "source",
+    tokens: str = "n_tokens",
+    score: str = "score_micro",
+) -> DataFrame:
+    """Greedy budgeted mixture plan: rank sources by score (desc,
+    source asc tie-break), take whole sources until the token budget
+    runs out, split the boundary source PARTIALLY, drop the rest —
+    the planning step BEFORE ``dataset_mix`` executes a mix (this
+    chooses the manifest; that applies it). Greedy-by-density is the
+    optimal fractional-knapsack rule when sources are divisible,
+    which token sampling makes them.
+
+    Input is the PRE-AGGREGATED |sources|-row frame (build it from
+    quality_score + a token rollup); the window here orders KB-sized
+    rows, never the corpus — the one place a single-partition window
+    is the right plan. All arithmetic exact integers;
+    ``take_micro`` = taken·10⁶ DIV tokens per source.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    w = Window.orderBy(F.col(score).desc(), F.col(source))
+    ranked = stats.select(
+        F.col(source).alias("source"),
+        F.col(tokens).cast("bigint").alias("n_tokens"),
+        F.col(score).cast("bigint").alias("score_micro"),
+    ).withColumn("rank", F.row_number().over(w).cast("bigint"))
+    wcum = (
+        Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ranked.withColumn(
+        "__before", F.coalesce(F.sum("n_tokens").over(wcum), F.lit(0))
+    ).select(
+        "rank",
+        "source",
+        "n_tokens",
+        "score_micro",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("n_tokens"),
+                F.lit(int(budget_tokens)) - F.col("__before"),
+            ),
+        )
+        .cast("bigint")
+        .alias("take_tokens"),
+    )
+    return out.select(
+        "rank",
+        "source",
+        "n_tokens",
+        "score_micro",
+        "take_tokens",
+        F.when(F.col("take_tokens") == F.col("n_tokens"), F.lit("full"))
+        .when(F.col("take_tokens") > 0, F.lit("partial"))
+        .otherwise(F.lit("none"))
+        .alias("status"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("take_tokens * 1000000 DIV n_tokens"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("take_micro"),
+    )

@@ -97,3 +97,71 @@ def tool_usage_profile(
         .cast("bigint")
         .alias("turns_since_tool"),
     )
+
+
+def tool_trigrams(
+    events: DataFrame,
+    entity: str = "conv_id",
+    action: str = "tool",
+    order: tuple[str, str] = ("ts", "turn_idx"),
+    k: int = 20,
+) -> DataFrame:
+    """Top-k 3-step action chains across conversations — the
+    sequential-pattern view the first-order ``markov_transitions``
+    cannot see (A→B→A retry loops and fixed tool litanies look
+    unremarkable pairwise but dominate at depth 3). The
+    agent-behavior miner for playbook discovery and loop auditing.
+
+    Plan: ONE corpus hash(conv) exchange (collect_list + post-merge
+    sort_array — partition-layout independent, the prefix_reuse
+    idiom), trigrams built array-side (transform/slice — never a
+    second window), explode to the trigram stream, map-side-combined
+    counts, k-row TakeOrdered (count desc, chain asc) with the
+    conversation-share micro.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order],
+                F.coalesce(F.col(action).cast("string"), F.lit("")).alias(
+                    "__a"
+                ),
+            )
+        )
+    )
+    per_conv = events.groupBy(F.col(entity).alias("__e")).agg(
+        F.transform(ordered, lambda x: x["__a"]).alias("__seq")
+    )
+    n_convs = per_conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    seq = F.col("__seq")
+    n = F.size(seq)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " > ", seq[i], seq[i + 1], seq[i + 2]
+    )
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(0), n - 3), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    # distinct chains per conv for the share; raw occurrences for count
+    per = per_conv.select(
+        F.explode(grams).alias("chain"), F.col("__e")
+    )
+    counts = per.groupBy("chain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.count_distinct("__e").cast("bigint").alias("n_convs_with"),
+    )
+    top = counts.orderBy(
+        F.col("n_occ").desc(), F.col("chain")
+    ).limit(k)
+    return top.crossJoin(F.broadcast(n_convs)).select(
+        "chain",
+        "n_occ",
+        "n_convs_with",
+        F.expr("n_convs_with * 1000000 DIV __n")
+        .cast("bigint")
+        .alias("conv_share_micro"),
+    )

@@ -12480,3 +12480,117 @@ ORACLES["vocab_coverage"] = r"""
     FROM agg
 """
 QUERIES["vocab_coverage"] = vocab_coverage_q
+
+
+def tool_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 3-step action chains over events-as-agent-actions
+    (operators/toolusage.tool_trigrams): one conv exchange, array-side
+    trigrams, TakeOrdered — the depth-3 pattern miner next to
+    markov_transitions."""
+    from dane_visual_feature_extraction_worker_spark.operators.toolusage import (
+        tool_trigrams,
+    )
+
+    e = _events(spark, sf_dir)
+    return tool_trigrams(
+        e.select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_type").alias("tool"),
+            "ts",
+            F.col("event_id").alias("turn_idx"),
+        ),
+        k=15,
+    )
+
+
+ORACLES["tool_trigrams"] = """
+    WITH per AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY 1
+    ), grams AS (
+      SELECT user_id,
+             unnest([seq[i] || ' > ' || seq[i+1] || ' > ' || seq[i+2]
+                     for i in range(1, len(seq) - 1)]) AS chain
+      FROM per WHERE len(seq) >= 3
+    ), counts AS (
+      SELECT chain,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_convs_with
+      FROM grams GROUP BY 1
+    ), total AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM per
+    )
+    SELECT chain, n_occ, n_convs_with,
+           CAST(n_convs_with * 1000000 // total.n AS BIGINT)
+             AS conv_share_micro
+    FROM counts, total
+    ORDER BY n_occ DESC, chain LIMIT 15
+"""
+QUERIES["tool_trigrams"] = tool_trigrams_q
+
+
+def mixture_knapsack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budgeted mixture plan over per-source stats
+    (operators/sampling.mixture_knapsack): demo score = chars/token
+    micro (tokenizer_fertility's exact integer), budget = 100k
+    tokens; the window orders the |sources|-row frame only."""
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        mixture_knapsack,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    stats = tokenizer_fertility(
+        _documents(spark, sf_dir), group_col="source"
+    ).select(
+        F.col("grp").alias("source"),
+        "n_tokens",
+        F.col("chars_per_token_micro").alias("score_micro"),
+    )
+    return mixture_knapsack(stats, budget_tokens=100_000)
+
+
+ORACLES["mixture_knapsack"] = r"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x != '')) AS BIGINT) AS t,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS c
+      FROM documents
+    ), stats AS (
+      SELECT source,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CASE WHEN sum(t) > 0
+                  THEN CAST(sum(c) * 1000000 // sum(t) AS BIGINT)
+                  ELSE 0 END AS score_micro
+      FROM per GROUP BY 1
+    ), ranked AS (
+      SELECT source, n_tokens, score_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, source)
+                  AS BIGINT) AS rank
+      FROM stats
+    ), cum AS (
+      SELECT *,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS before
+      FROM ranked
+    ), take AS (
+      SELECT rank, source, n_tokens, score_micro,
+             CAST(greatest(0, least(n_tokens, 100000 - before))
+                  AS BIGINT) AS take_tokens
+      FROM cum
+    )
+    SELECT rank, source, n_tokens, score_micro, take_tokens,
+           CASE WHEN take_tokens = n_tokens THEN 'full'
+                WHEN take_tokens > 0 THEN 'partial'
+                ELSE 'none' END AS status,
+           CASE WHEN n_tokens > 0
+                THEN CAST(take_tokens * 1000000 // n_tokens AS BIGINT)
+                ELSE 0 END AS take_micro
+    FROM take
+"""
+QUERIES["mixture_knapsack"] = mixture_knapsack_q
