@@ -263,6 +263,8 @@ HEADLINE = [
     "vocab_coverage",
     "tool_trigrams",
     "mixture_knapsack",
+    "canary_scan",
+    "slice_gap_report",
 ]
 
 

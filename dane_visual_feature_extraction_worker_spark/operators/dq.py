@@ -387,3 +387,72 @@ def dp_histogram(
         .alias("released_micro"),
     )
     return out
+
+
+def canary_scan(
+    docs: DataFrame,
+    canaries: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canary / secret-string extraction audit (Carlini et al. 2019
+    "secret sharer" protocol, public paper): count EXACT occurrences
+    of each planted canary across the corpus — the memorization gate
+    a release runs before and after dedup, and the leak scan for
+    known secrets (API-key literals, internal hostnames). ``pii_audit``
+    scans SHAPES (regex classes); this scans LITERALS.
+
+    Exactness: occurrences per row =
+    (len(text) − len(replace(text, canary, ''))) / len(canary) — the
+    charclass_profile length-difference trick with a LITERAL replace
+    (no regex dialect surface at all); matching is case-insensitive
+    (lower both sides). Counts are non-overlapping occurrences,
+    replace semantics — identical in both engines.
+
+    Plan: |canaries| literal replace passes per row fused into the
+    scan, one tagged union, ONE map-side-combined aggregate —
+    |canaries| output rows, zero corpus shuffle.
+    """
+    if not canaries:
+        raise ValueError("canaries must be non-empty")
+    if any(not c for c in canaries):
+        raise ValueError("canaries must be non-empty strings")
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    parts = []
+    for c in sorted(canaries):
+        cl = c.lower()
+        occ = (
+            (
+                F.length(lowered)
+                - F.length(F.replace(lowered, F.lit(cl), F.lit("")))
+            )
+            / F.lit(len(cl))
+        ).cast("bigint")
+        parts.append(
+            docs.select(
+                F.lit(c).alias("canary"),
+                occ.alias("__occ"),
+            )
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    return (
+        tagged.groupBy("canary")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__occ") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.sum("__occ").cast("bigint").alias("occurrences"),
+        )
+        .select(
+            "canary",
+            "n_docs",
+            "docs_hit",
+            "occurrences",
+            F.expr("docs_hit * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("hit_doc_micro"),
+        )
+    )

@@ -2053,3 +2053,47 @@ def self_consistency_vote(
         .alias("gold"),
         (F.col("majority_answer") == F.col("__gold")).alias("is_correct"),
     )
+
+
+def slice_gap_report(
+    preds: DataFrame,
+    slice_col: str = "slice",
+    correct_col: str = "correct",
+) -> DataFrame:
+    """Per-slice accuracy audit with the max-gap summary — the
+    fairness / robustness gate next to macro_f1 (which slices by
+    predicted CLASS; this slices by a metadata attribute — language,
+    source, demographic bucket): a model that is 95% overall but 70%
+    on one language ships a regression for that slice, and the GAP is
+    the number review boards track.
+
+    Output: one row per slice ``(slice, n, n_correct, acc_micro)``
+    plus a ``__gap__`` row whose acc_micro is max−min over slices
+    (n / n_correct carry the totals). All exact integers; the gap
+    rides a second aggregate over the |slices|-row frame.
+
+    Plan: ONE map-side-combined slice aggregate — the corpus never
+    shuffles full rows.
+    """
+    per = preds.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(correct_col).cast("bigint"))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "slice",
+        "n",
+        "n_correct",
+        F.expr("n_correct * 1000000 DIV n").cast("bigint").alias(
+            "acc_micro"
+        ),
+    )
+    gap = per.agg(
+        F.lit("__gap__").alias("slice"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_correct").cast("bigint").alias("n_correct"),
+        (F.max("acc_micro") - F.min("acc_micro"))
+        .cast("bigint")
+        .alias("acc_micro"),
+    )
+    return per.unionByName(gap)

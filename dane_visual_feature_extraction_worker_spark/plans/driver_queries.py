@@ -12594,3 +12594,91 @@ ORACLES["mixture_knapsack"] = r"""
     FROM take
 """
 QUERIES["mixture_knapsack"] = mixture_knapsack_q
+
+
+def canary_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary/secret literal scan over documents
+    (operators/dq.canary_scan): exact occurrence counts via the
+    literal-replace length-difference trick — two corpus words plus
+    one guaranteed-absent canary."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import canary_scan
+
+    return canary_scan(
+        _documents(spark, sf_dir),
+        canaries=("spark", "window", "canary-7f3a-xyzzy"),
+    )
+
+
+ORACLES["canary_scan"] = """
+    WITH per AS (
+      SELECT canary, clow,
+             CAST((length(t) - length(replace(t, clow, '')))
+                  // length(clow) AS BIGINT) AS occ
+      FROM (SELECT lower(coalesce(text, '')) AS t FROM documents),
+           (SELECT unnest(['canary-7f3a-xyzzy', 'spark', 'window'])
+              AS canary,
+             unnest(['canary-7f3a-xyzzy', 'spark', 'window'])
+              AS clow)
+    )
+    SELECT canary,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_hit,
+           CAST(sum(occ) AS BIGINT) AS occurrences,
+           CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hit_doc_micro
+    FROM per GROUP BY 1
+"""
+QUERIES["canary_scan"] = canary_scan_q
+
+
+def slice_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type accuracy audit with the __gap__ summary
+    (operators/stats.slice_gap_report): correctness is an md5-keyed
+    70% coin per event (portable), slices are event types."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        slice_gap_report,
+    )
+
+    e = _events(spark, sf_dir)
+    hx = F.md5(
+        F.concat_ws("|", F.lit("acc"), F.col("event_id").cast("string"))
+    )
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    return slice_gap_report(
+        e.select(
+            F.col("event_type").alias("slice"),
+            (key % 10 < 7).alias("correct"),
+        )
+    )
+
+
+ORACLES["slice_gap_report"] = f"""
+    WITH keyed AS (
+      SELECT event_type,
+             md5(concat('acc', '|', CAST(event_id AS VARCHAR))) AS hx
+      FROM events
+    ), preds AS (
+      SELECT event_type AS slc,
+             (({_sample_key_terms_sql()}) % 10 < 7) AS correct
+      FROM keyed
+    ), per AS (
+      SELECT slc AS "slice",
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM preds GROUP BY 1
+    ), scored AS (
+      SELECT "slice", n, n_correct,
+             CAST(n_correct * 1000000 // n AS BIGINT) AS acc_micro
+      FROM per
+    )
+    SELECT "slice", n, n_correct, acc_micro FROM scored
+    UNION ALL
+    SELECT '__gap__',
+           CAST(sum(n) AS BIGINT),
+           CAST(sum(n_correct) AS BIGINT),
+           CAST(max(acc_micro) - min(acc_micro) AS BIGINT)
+    FROM scored
+"""
+QUERIES["slice_gap_report"] = slice_gap_report_q
