@@ -265,6 +265,8 @@ HEADLINE = [
     "mixture_knapsack",
     "canary_scan",
     "slice_gap_report",
+    "disorder_audit",
+    "order_inversions",
 ]
 
 

@@ -150,3 +150,123 @@ def pit_leak_audit(
             F.sum("__sum_w").alias("sum_cents"),
         )
     )
+
+
+def disorder_audit(
+    events: DataFrame,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    seq: str = "turn_idx",
+) -> DataFrame:
+    """Out-of-order-arrival audit per entity — the WATERMARK PLANNING
+    table for the streaming shelf: an event is LATE when its event
+    time is behind the running maximum seen so far in arrival
+    (``seq``) order, and ``max_disorder_us`` (the worst event-time
+    regression) is exactly the watermark delay a streaming job must
+    allow to avoid dropping it. Run this over a batch sample before
+    choosing ``withWatermark``.
+
+    Plan: ONE entity exchange; the running max is a window over the
+    same sort the exchange already provides; the rollup rides the
+    shuffle's map side. All timestamps exact integer microseconds.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("__seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        F.col(entity).alias("entity"),
+        us.alias("__us"),
+        F.col(seq).alias("__seq"),
+    ).withColumn("__prevmax", F.max("__us").over(w))
+    late = F.col("__prevmax") > F.col("__us")
+    return (
+        flagged.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late.cast("bigint")).cast("bigint").alias("n_late"),
+            F.max(
+                F.when(late, F.col("__prevmax") - F.col("__us"))
+            ).alias("max_disorder_us"),
+        )
+        .select(
+            "entity",
+            "n_events",
+            F.coalesce(F.col("n_late"), F.lit(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.expr("coalesce(n_late, 0) * 1000000 DIV n_events")
+            .cast("bigint")
+            .alias("late_micro"),
+            F.col("max_disorder_us").cast("bigint"),
+        )
+    )
+
+
+def order_inversions(
+    events: DataFrame,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    seq: str = "turn_idx",
+) -> DataFrame:
+    """Total disorder between the ``seq`` order and event time per
+    entity: the exact INVERSION COUNT (pairs i<j with ts_i > ts_j) —
+    a Kendall-tau-style integrity number. ``disorder_audit`` sees
+    only ADJACENT regressions (the streaming view); interleaved
+    sessions or merged logs show up here as a quadratic inversion
+    mass while barely moving the adjacent rate.
+
+    Plan: ONE entity exchange (collect_list + post-merge sort_array
+    by seq — partition-layout independent), inversions counted
+    ARRAY-SIDE in O(n²) per entity (bounded conversations; swap to a
+    merge-sort pandas kernel past ~10⁴ turns — documented, same
+    contract), |entities|-row output. Share is over n·(n−1)/2 pairs.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    per = events.groupBy(F.col(entity).alias("entity")).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(seq).alias("__s"), us.alias("__t"))
+                )
+            ),
+            lambda x: x["__t"],
+        ).alias("__ts")
+    )
+    arr = F.col("__ts")
+    n = F.size(arr)
+    inv = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.size(
+            F.filter(
+                F.slice(arr, i + 1, n - i),
+                lambda x: x < F.element_at(arr, i),
+            )
+        ).cast("bigint"),
+    )
+    out = per.select(
+        "entity",
+        n.cast("bigint").alias("n_events"),
+        F.when(n >= 2, inv).otherwise(F.lit(0)).cast("bigint").alias(
+            "inversions"
+        ),
+    )
+    return out.select(
+        "entity",
+        "n_events",
+        "inversions",
+        F.when(
+            F.col("n_events") >= 2,
+            F.expr(
+                "inversions * 1000000"
+                " DIV (n_events * (n_events - 1) DIV 2)"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("inversion_micro"),
+    )

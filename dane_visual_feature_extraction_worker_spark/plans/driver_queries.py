@@ -12682,3 +12682,80 @@ ORACLES["slice_gap_report"] = f"""
     FROM scored
 """
 QUERIES["slice_gap_report"] = slice_gap_report_q
+
+
+def disorder_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-planning disorder audit over events
+    (operators/integrity.disorder_audit): arrival order = event_id,
+    event time = ts; per-user late rate + worst regression in exact
+    integer microseconds."""
+    from dane_visual_feature_extraction_worker_spark.operators.integrity import (
+        disorder_audit,
+    )
+
+    return disorder_audit(
+        _events(spark, sf_dir), entity="user_id", ts="ts", seq="event_id"
+    )
+
+
+ORACLES["disorder_audit"] = """
+    WITH flagged AS (
+      SELECT user_id AS entity,
+             epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+      FROM events
+    )
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN prevmax > us THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS n_late,
+           CAST(coalesce(sum(CASE WHEN prevmax > us THEN 1 ELSE 0
+                             END), 0) * 1000000 // count(*)
+                AS BIGINT) AS late_micro,
+           CAST(max(CASE WHEN prevmax > us THEN prevmax - us END)
+                AS BIGINT) AS max_disorder_us
+    FROM flagged GROUP BY 1
+"""
+QUERIES["disorder_audit"] = disorder_audit_q
+
+
+def order_inversions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inversion count between event_id order and event time
+    per user (operators/integrity.order_inversions): one entity
+    exchange, array-side O(n²) count; the oracle is the quadratic
+    pair self-join the operator avoids shuffling."""
+    from dane_visual_feature_extraction_worker_spark.operators.integrity import (
+        order_inversions,
+    )
+
+    return order_inversions(
+        _events(spark, sf_dir), entity="user_id", ts="ts", seq="event_id"
+    )
+
+
+ORACLES["order_inversions"] = """
+    WITH idx AS (
+      SELECT user_id AS entity, event_id AS s, epoch_us(ts) AS t
+      FROM events
+    ), per AS (
+      SELECT entity, CAST(count(*) AS BIGINT) AS n_events
+      FROM idx GROUP BY 1
+    ), inv AS (
+      SELECT a.entity, CAST(count(*) AS BIGINT) AS inversions
+      FROM idx a JOIN idx b
+        ON a.entity = b.entity AND a.s < b.s AND a.t > b.t
+      GROUP BY 1
+    )
+    SELECT per.entity, per.n_events,
+           coalesce(inv.inversions, 0) AS inversions,
+           CASE WHEN per.n_events >= 2
+                THEN CAST(coalesce(inv.inversions, 0) * 1000000
+                          // (per.n_events * (per.n_events - 1) // 2)
+                          AS BIGINT)
+                ELSE 0 END AS inversion_micro
+    FROM per LEFT JOIN inv ON inv.entity = per.entity
+"""
+QUERIES["order_inversions"] = order_inversions_q
