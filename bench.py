@@ -267,6 +267,8 @@ HEADLINE = [
     "slice_gap_report",
     "disorder_audit",
     "order_inversions",
+    "activity_streaks",
+    "join_size_estimate",
 ]
 
 

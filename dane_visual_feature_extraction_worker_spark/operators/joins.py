@@ -180,3 +180,75 @@ def bloom_join_prune(
 
     pruned = fact.where(pred)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT inner-join output size and its hot keys WITHOUT executing
+    the join: |A ⋈ B| = Σ_k c_A(k)·c_B(k) over the two key-count
+    frames. ``skew_report`` diagnoses ONE table's key distribution;
+    this prices the JOIN — the number that decides broadcast vs
+    shuffle vs salted BEFORE a 10^12×10^9 join is launched (a single
+    hot key contributing 40% of the product is the AQE-skew-split /
+    salting trigger, visible here for the cost of two count
+    aggregates instead of the join itself).
+
+    Output: top-k keys by pair count (desc, key asc) with their exact
+    product share, plus a ``__total__`` row (key = NULL-safe '-1'
+    string) carrying Σ products. Products ride decimal(38,0)
+    (c_A·c_B ≤ 10²⁴ at hot-key scale).
+
+    Plan: one map-side-combined count per side (corpus columns pruned
+    to the key), a key-frame-sized inner join (AQE co-planned), a
+    k-row TakeOrdered + one scalar rollup — the fact tables never
+    shuffle full rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    d38 = "decimal(38,0)"
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_left")
+    )
+    cb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_right")
+    )
+    prod = ca.join(cb, "key").select(
+        F.col("key").cast("string").alias("key"),
+        "c_left",
+        "c_right",
+        (F.col("c_left").cast(d38) * F.col("c_right").cast(d38))
+        .cast(d38)
+        .alias("__p"),
+    )
+    total = prod.agg(
+        F.sum("__p").cast(d38).alias("__tot"),
+        F.count(F.lit(1)).cast("bigint").alias("__nk"),
+    )
+    top = (
+        prod.orderBy(F.col("__p").desc(), F.col("key"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "c_left",
+            "c_right",
+            F.col("__p").cast(d38).alias("pairs"),
+            F.expr(
+                "CAST(__p * CAST(1000000 AS decimal(38,0))"
+                " DIV __tot AS BIGINT)"
+            ).alias("share_micro"),
+        )
+    )
+    tot_row = total.select(
+        F.lit("__total__").alias("key"),
+        F.lit(None).cast("bigint").alias("c_left"),
+        F.col("__nk").alias("c_right"),  # matched key count
+        F.col("__tot").alias("pairs"),
+        F.lit(1_000_000).cast("bigint").alias("share_micro"),
+    )
+    return top.unionByName(tot_row)

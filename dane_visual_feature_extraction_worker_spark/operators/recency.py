@@ -107,3 +107,48 @@ def response_latency(
         .where(F.col(type_col) == response)
         .drop(type_col)
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-entity consecutive-day activity streaks (longest + the
+    streak touching the last active day) — the engagement features
+    retention modeling runs on; ``retention_cohorts`` sees cohort
+    survival, ``recency`` features see the last gap, streaks see
+    SUSTAINED habit. Classic gaps-and-islands, made exact: island key
+    = epoch_day − dense_rank over the entity's distinct active days
+    (consecutive days share it).
+
+    Plan: distinct (entity, day) reduction (map-side combined — the
+    corpus collapses to entity×days before any window), ONE
+    entity-partitioned window over that frame, island rollup, entity
+    rollup. All integer day arithmetic.
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts).cast("timestamp")), F.lit("1970-01-01")
+    ).cast("bigint")
+    days = (
+        events.select(F.col(entity).alias("entity"), day.alias("__d"))
+        .distinct()
+    )
+    w = Window.partitionBy("entity").orderBy("__d")
+    isl = days.withColumn(
+        "__k", F.col("__d") - F.row_number().over(w)
+    )
+    islands = isl.groupBy("entity", "__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len"),
+        F.max("__d").alias("__end"),
+    )
+    return islands.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        # __end is unique per entity (one island ends per day), so the
+        # arg-max is deterministic on both engines
+        F.max_by("__len", F.col("__end"))
+        .cast("bigint")
+        .alias("latest_streak"),
+    )

@@ -12759,3 +12759,88 @@ ORACLES["order_inversions"] = """
     FROM per LEFT JOIN inv ON inv.entity = per.entity
 """
 QUERIES["order_inversions"] = order_inversions_q
+
+
+def activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user
+    (operators/recency.activity_streaks): gaps-and-islands over the
+    distinct (user, day) frame, exact integer day math."""
+    from dane_visual_feature_extraction_worker_spark.operators.recency import (
+        activity_streaks,
+    )
+
+    return activity_streaks(_events(spark, sf_dir))
+
+
+ORACLES["activity_streaks"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id AS entity,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS d
+      FROM events
+    ), isl AS (
+      SELECT entity, d,
+             d - ROW_NUMBER() OVER (PARTITION BY entity ORDER BY d)
+               AS k
+      FROM days
+    ), islands AS (
+      SELECT entity, k,
+             CAST(count(*) AS BIGINT) AS len,
+             max(d) AS endd
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(arg_max(len, endd) AS BIGINT) AS latest_streak
+    FROM islands GROUP BY 1
+"""
+QUERIES["activity_streaks"] = activity_streaks_q
+
+
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size + hot-key pricing for a self-join of events on
+    user_id (operators/joins.join_size_estimate): two count frames,
+    never the join itself. The decimal pair counts are cast to bigint
+    for the gate (testdata scale fits; the operator keeps
+    decimal(38,0) for 10^24-pair hot keys)."""
+    from dane_visual_feature_extraction_worker_spark.operators.joins import (
+        join_size_estimate,
+    )
+
+    e = _events(spark, sf_dir)
+    out = join_size_estimate(e, e, "user_id", "user_id", k=10)
+    return out.select(
+        "key",
+        "c_left",
+        "c_right",
+        F.col("pairs").cast("bigint").alias("pairs"),
+        "share_micro",
+    )
+
+
+ORACLES["join_size_estimate"] = """
+    WITH ca AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS c_left
+      FROM events GROUP BY 1
+    ), prod AS (
+      SELECT a.key, a.c_left, b.c_left AS c_right,
+             CAST(a.c_left AS HUGEINT) * b.c_left AS p
+      FROM ca a JOIN ca b ON a.key = b.key
+    ), total AS (
+      SELECT sum(p) AS tot, CAST(count(*) AS BIGINT) AS nk FROM prod
+    ), top AS (
+      SELECT key, c_left, c_right,
+             CAST(p AS BIGINT) AS pairs,
+             CAST(p * 1000000 // total.tot AS BIGINT) AS share_micro
+      FROM prod, total
+      ORDER BY p DESC, key LIMIT 10
+    )
+    SELECT key, c_left, c_right, pairs, share_micro FROM top
+    UNION ALL
+    SELECT '__total__', NULL, nk, CAST(tot AS BIGINT), 1000000
+    FROM total
+"""
+QUERIES["join_size_estimate"] = join_size_estimate_q
