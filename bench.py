@@ -269,6 +269,8 @@ HEADLINE = [
     "order_inversions",
     "activity_streaks",
     "join_size_estimate",
+    "hashing_collisions",
+    "partition_balance",
 ]
 
 

@@ -450,3 +450,120 @@ def rare_collapse(
         F.sum("__n").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_levels_merged"),
     )
+
+
+def hashing_collisions(
+    docs: DataFrame,
+    tokens_col,
+    n_buckets: int = 1 << 8,
+) -> DataFrame:
+    """Collision audit for the ``hashed_bow`` feature hasher at a
+    candidate dimension: how many distinct terms share buckets, and —
+    the number that actually hurts — the TOKEN-MASS share sitting in
+    collided buckets (a hot term colliding with a hot term biases the
+    feature far more than two hapax terms sharing a slot). Run this
+    over candidate ``n_buckets`` before fixing the feature width.
+
+    Same bucket function as hashed_bow (first-8-hex md5 mod dim —
+    engine-neutral), so the audit prices EXACTLY the hasher that will
+    run. One row out: ``(n_buckets, n_terms, buckets_used,
+    collided_terms, mass_total, mass_collided, mass_collided_micro)``.
+
+    Plan: vocab frame (one map-side-combined term count), bucket
+    projection, ONE bucket rollup + scalar aggregate — vocab-sized
+    exchanges only.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    terms = (
+        docs.select(F.explode(tokens_col).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % F.lit(n_buckets)
+    )
+    per_bucket = terms.select(
+        bucket.alias("__b"), F.col("__c")
+    ).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.sum("__c").cast("bigint").alias("__mass"),
+    )
+    return per_bucket.agg(
+        F.lit(int(n_buckets)).cast("bigint").alias("n_buckets"),
+        F.sum("__nt").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.sum(
+            F.when(F.col("__nt") >= 2, F.col("__nt")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("collided_terms"),
+        F.sum("__mass").cast("bigint").alias("mass_total"),
+        F.sum(
+            F.when(F.col("__nt") >= 2, F.col("__mass")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mass_collided"),
+    ).select(
+        "*",
+        F.expr("mass_collided * 1000000 DIV mass_total")
+        .cast("bigint")
+        .alias("mass_collided_micro"),
+    )
+
+
+def partition_balance(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: tuple[int, ...] = (32, 256),
+) -> DataFrame:
+    """Partition-balance audit for an md5-keyed layout: for each
+    candidate partition count P, the max/mean bucket load the scheme
+    would produce — the pre-flight check before ``repartition(P,
+    key)`` / bucketed writes at 100 TB (a 3× max/mean means the
+    biggest task runs 3× the average: straggler city). Uses the
+    engine-portable md5 bucket (NOT Spark's Murmur3, which no oracle
+    can replay — same trade as hashed_bow, and a fine proxy: both
+    are uniform on realistic keys).
+
+    Plan: ONE map-side-combined key count (corpus pruned to the key),
+    then per P a bucket rollup of the key frame — |keys|·|Ps|
+    intermediate, |Ps| output rows, all exact integers
+    (balance_micro = max·10⁶ DIV ceil-free exact mean via
+    max·P·10⁶ DIV rows).
+    """
+    if not n_partitions or any(p < 1 for p in n_partitions):
+        raise ValueError("n_partitions must be positive and non-empty")
+    keys = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    key_int = F.conv(
+        F.substring(F.md5(F.col("__k").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    fanned = keys.select(
+        "__c",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in sorted(n_partitions)])
+        ).alias("p"),
+        key_int.alias("__h"),
+    ).select("p", (F.col("__h") % F.col("p")).alias("__b"), "__c")
+    per_bucket = fanned.groupBy("p", "__b").agg(
+        F.sum("__c").cast("bigint").alias("__rows")
+    )
+    return per_bucket.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.sum("__rows").cast("bigint").alias("n_rows"),
+        F.max("__rows").cast("bigint").alias("max_rows"),
+    ).select(
+        "p",
+        "buckets_used",
+        "n_rows",
+        "max_rows",
+        # balance = max / (rows/P) exactly: max·P·10⁶ DIV rows
+        F.expr("max_rows * p * 1000000 DIV n_rows")
+        .cast("bigint")
+        .alias("balance_micro"),
+    )

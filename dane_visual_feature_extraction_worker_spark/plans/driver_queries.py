@@ -12844,3 +12844,90 @@ ORACLES["join_size_estimate"] = """
     FROM total
 """
 QUERIES["join_size_estimate"] = join_size_estimate_q
+
+
+def hashing_collisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hasher collision audit at dim 16 over the documents
+    vocabulary (operators/encoding.hashing_collisions): same md5
+    bucket as hashed_bow, token-mass-weighted collision share."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        hashing_collisions,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        _tokens,
+    )
+
+    return hashing_collisions(
+        _documents(spark, sf_dir), _tokens("text"), n_buckets=16
+    )
+
+
+ORACLES["hashing_collisions"] = rf"""
+    WITH terms AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(
+              string_split_regex(lower(coalesce(text, '')), '\s+'),
+              x -> x != '')) AS t FROM documents)
+      GROUP BY 1
+    ), keyed AS (
+      SELECT c, md5(term) AS hx FROM terms
+    ), b AS (
+      SELECT c, ({_sample_key_terms_sql()}) % 16 AS bkt FROM keyed
+    ), per_bucket AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(c) AS BIGINT) AS mass
+      FROM b GROUP BY 1
+    ), agg AS (
+      SELECT CAST(16 AS BIGINT) AS n_buckets,
+             CAST(sum(nt) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS buckets_used,
+             CAST(sum(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)
+               AS collided_terms,
+             CAST(sum(mass) AS BIGINT) AS mass_total,
+             CAST(sum(CASE WHEN nt >= 2 THEN mass ELSE 0 END)
+                  AS BIGINT) AS mass_collided
+      FROM per_bucket
+    )
+    SELECT *, CAST(mass_collided * 1000000 // mass_total AS BIGINT)
+             AS mass_collided_micro
+    FROM agg
+"""
+QUERIES["hashing_collisions"] = hashing_collisions_q
+
+
+def partition_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance pre-flight for events.user_id at P in
+    {8, 32} (operators/encoding.partition_balance): md5-bucket
+    max/mean load per candidate P, exact integers."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        partition_balance,
+    )
+
+    return partition_balance(
+        _events(spark, sf_dir), "user_id", n_partitions=(8, 32)
+    )
+
+
+ORACLES["partition_balance"] = f"""
+    WITH keys AS (
+      SELECT CAST(user_id AS VARCHAR) AS k,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), keyed AS (
+      SELECT c, md5(k) AS hx FROM keys
+    ), fanned AS (
+      SELECT p, ({_sample_key_terms_sql()}) % p AS b, c
+      FROM keyed, (SELECT unnest([8, 32]) AS p)
+    ), per_bucket AS (
+      SELECT p, b, CAST(sum(c) AS BIGINT) AS rows_
+      FROM fanned GROUP BY 1, 2
+    )
+    SELECT p,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(max(rows_) AS BIGINT) AS max_rows,
+           CAST(max(rows_) * p * 1000000 // sum(rows_) AS BIGINT)
+             AS balance_micro
+    FROM per_bucket GROUP BY p
+"""
+QUERIES["partition_balance"] = partition_balance_q
