@@ -271,6 +271,8 @@ HEADLINE = [
     "join_size_estimate",
     "hashing_collisions",
     "partition_balance",
+    "psi_sweep",
+    "comissing_matrix",
 ]
 
 

@@ -456,3 +456,77 @@ def canary_scan(
             .alias("hit_doc_micro"),
         )
     )
+
+
+def comissing_matrix(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Pairwise co-missingness matrix — the STRUCTURE view
+    ``null_profile`` (per-column rates) cannot give: features that go
+    null TOGETHER share an upstream join/outage (fix the pipe once),
+    features that never co-null fail independently (impute
+    separately). Reports, per ordered pair (a < b), both-null counts
+    and the lift over independence.
+
+    Exactness: all counts one pass; ``lift_micro`` =
+    n·n_both·10⁶ DIV (null_a·null_b) (NULL when either marginal is
+    zero — no 0/0 smoothing).
+
+    Plan: ONE aggregate computing |cols| null flags + |cols|²/2
+    both-null CASE sums map-side — zero shuffles at any corpus size
+    (the dq_expectations shape); the pair rows unpivot from the one
+    result row.
+    """
+    if len(columns) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in columns:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint"))
+            .cast("bigint")
+            .alias(f"__m_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(columns))
+        for b in sorted(columns)[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(a).isNull() & F.col(b).isNull()).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"__b_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', __m_{a}, __m_{b}, __b_{a}_{b}" for a, b in pairs
+    )
+    long = one.selectExpr(
+        f"stack({len(pairs)}, {stack})"
+        " AS (col_a, col_b, null_a, null_b, both_null)",
+        "__n",
+    )
+    return long.select(
+        "col_a",
+        "col_b",
+        F.col("__n").alias("n_rows"),
+        "null_a",
+        "null_b",
+        "both_null",
+        F.when(
+            (F.col("null_a") > 0) & (F.col("null_b") > 0),
+            # products ride decimal(38,0): n·both·10⁶ hits 10³⁰ at
+            # 10¹² rows, 10× past int64
+            F.expr(
+                "CAST(__n AS decimal(38,0))"
+                " * CAST(both_null AS decimal(38,0)) * 1000000"
+                " DIV (CAST(null_a AS decimal(38,0))"
+                "      * CAST(null_b AS decimal(38,0)))"
+            ),
+        )
+        .cast("bigint")
+        .alias("lift_micro"),
+    )

@@ -2097,3 +2097,87 @@ def slice_gap_report(
         .alias("acc_micro"),
     )
     return per.unionByName(gap)
+
+
+def psi_sweep(
+    df: DataFrame,
+    features: Mapping[str, F.Column],
+    ts: str = "ts",
+) -> DataFrame:
+    """Multi-feature PSI drift sweep in ONE corpus pass — the
+    dashboard view over ``psi_drift`` (single feature): a feature
+    store with F monitored features must NOT run F jobs; the features
+    STACK into (feature, category) long form inside the scan and the
+    whole sweep is one map-side-combined aggregate. ``features`` maps
+    output names to already-discretized (string) columns — bucket
+    numerics first (quantile_bucketize / logbucket) exactly as you
+    would for a single psi_drift.
+
+    Per (feature, category) the term math is psi_drift's, verbatim:
+    ln(p/q) as a micro-nat integer combination of four bare-integer
+    lns, (p−q) exact decimal rational, ONE double divide + 1e-6
+    floor; one-sided categories emit NULL terms (never skipped).
+    Per-feature totals ride the same |features·categories|-row frame.
+
+    Plan: narrow F-way stack projection (one corpus read, F× rows
+    into the FIRST aggregate's map side — combined before exchange),
+    one (feature, category) exchange, |features|-row totals joined
+    back. The corpus never shuffles.
+    """
+    if not features:
+        raise ValueError("features must be non-empty")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cut = df.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut")
+    )
+    stacked = df.crossJoin(F.broadcast(cut)).select(
+        F.when(us <= F.col("__cut"), 1).otherwise(0).alias("__h1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        col.cast("string").alias("category"),
+                    )
+                    for name, col in sorted(features.items())
+                ]
+            )
+        ).alias("__fc"),
+    ).select("__h1", "__fc.feature", "__fc.category")
+    counts = stacked.groupBy("feature", "category").agg(
+        F.sum("__h1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("__h1")).cast("bigint").alias("c2"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("c1").cast("bigint").alias("__n1"),
+        F.sum("c2").cast("bigint").alias("__n2"),
+    )
+    j = counts.join(F.broadcast(totals), "feature")
+
+    def _lnm(c) -> F.Column:
+        return F.floor(F.log(c.cast("double")) * 1e6).cast("bigint")
+
+    l_micro = (
+        _lnm(F.col("c1"))
+        - _lnm(F.col("__n1"))
+        - _lnm(F.col("c2"))
+        + _lnm(F.col("__n2"))
+    )
+    d38 = "decimal(38,0)"
+    num = F.col("c1").cast(d38) * F.col("__n2").cast(d38) - F.col(
+        "c2"
+    ).cast(d38) * F.col("__n1").cast(d38)
+    term = (
+        (num * l_micro.cast(d38)).cast("double")
+        / (
+            (F.col("__n1").cast("double") * F.col("__n2").cast("double"))
+            * F.lit(1e6)
+        )
+    )
+    psi = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0),
+        F.floor(term * 1e6) / 1e6,
+    )
+    return j.select(
+        "feature", "category", "c1", "c2", psi.alias("psi_term")
+    )

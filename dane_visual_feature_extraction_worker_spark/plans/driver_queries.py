@@ -12931,3 +12931,122 @@ ORACLES["partition_balance"] = f"""
     FROM per_bucket GROUP BY p
 """
 QUERIES["partition_balance"] = partition_balance_q
+
+
+def psi_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-feature PSI drift sweep in one corpus pass
+    (operators/stats.psi_sweep): event_type raw, hour-of-day, and
+    decile-floored value — stacked into one (feature, category)
+    aggregate; per-term math identical to psi_drift."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import psi_sweep
+
+    e = _events(spark, sf_dir)
+    return psi_sweep(
+        e,
+        features={
+            "etype": F.col("event_type"),
+            "hour": F.hour(F.col("ts")).cast("string"),
+            "vbucket": F.floor(F.col("value") / 10).cast("string"),
+        },
+    )
+
+
+ORACLES["psi_sweep"] = """
+    WITH cut AS (
+      SELECT CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2
+                  AS BIGINT) AS c
+      FROM events
+    ), stacked AS (
+      SELECT CASE WHEN epoch_us(ts) <= cut.c THEN 1 ELSE 0 END AS h1,
+             feature, category
+      FROM events, cut, LATERAL (
+        SELECT * FROM (VALUES
+          ('etype', event_type),
+          ('hour', CAST(hour(ts) AS VARCHAR)),
+          ('vbucket', CAST(CAST(floor(value / 10) AS BIGINT)
+                           AS VARCHAR))
+        ) AS t(feature, category))
+    ), counts AS (
+      SELECT feature, category,
+             CAST(sum(h1) AS BIGINT) AS c1,
+             CAST(sum(1 - h1) AS BIGINT) AS c2
+      FROM stacked GROUP BY 1, 2
+    ), totals AS (
+      SELECT feature,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2
+      FROM counts GROUP BY 1
+    )
+    SELECT counts.feature, category, c1, c2,
+           CASE WHEN c1 > 0 AND c2 > 0 THEN
+             floor(
+               CAST((CAST(c1 AS HUGEINT) * n2
+                     - CAST(c2 AS HUGEINT) * n1)
+                    * (CAST(floor(ln(c1) * 1e6) AS BIGINT)
+                       - CAST(floor(ln(n1) * 1e6) AS BIGINT)
+                       - CAST(floor(ln(c2) * 1e6) AS BIGINT)
+                       + CAST(floor(ln(n2) * 1e6) AS BIGINT))
+                    AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 1e6)
+               * 1e6) / 1e6
+           END AS psi_term
+    FROM counts JOIN totals ON totals.feature = counts.feature
+"""
+QUERIES["psi_sweep"] = psi_sweep_q
+
+
+def comissing_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-missingness over three derived nullable columns
+    (operators/dq.comissing_matrix): one aggregate, zero shuffles;
+    lift over independence in decimal-exact micro."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        comissing_matrix,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("value") <= 50, F.col("value")).alias("a"),
+        F.when(F.length("props") <= 9, F.col("props")).alias("b"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias(
+            "c"
+        ),
+    )
+    return comissing_matrix(e, ["a", "b", "c"])
+
+
+ORACLES["comissing_matrix"] = """
+    WITH base AS (
+      SELECT CASE WHEN value <= 50 THEN value END AS a,
+             CASE WHEN length(props) <= 9 THEN props END AS b,
+             CASE WHEN event_type != 'error' THEN event_type END AS c
+      FROM events
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ma,
+             CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mb,
+             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mc,
+             CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1
+                      ELSE 0 END) AS BIGINT) AS bab,
+             CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1
+                      ELSE 0 END) AS BIGINT) AS bac,
+             CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1
+                      ELSE 0 END) AS BIGINT) AS bbc
+      FROM base
+    ), longf AS (
+      SELECT 'a' AS col_a, 'b' AS col_b, n AS n_rows,
+             ma AS null_a, mb AS null_b, bab AS both_null FROM agg
+      UNION ALL
+      SELECT 'a', 'c', n, ma, mc, bac FROM agg
+      UNION ALL
+      SELECT 'b', 'c', n, mb, mc, bbc FROM agg
+    )
+    SELECT col_a, col_b, n_rows, null_a, null_b, both_null,
+           CASE WHEN null_a > 0 AND null_b > 0 THEN
+             CAST(CAST(n_rows AS HUGEINT) * both_null * 1000000
+                  // (CAST(null_a AS HUGEINT) * null_b) AS BIGINT)
+           END AS lift_micro
+    FROM longf
+"""
+QUERIES["comissing_matrix"] = comissing_matrix_q
