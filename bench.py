@@ -273,6 +273,8 @@ HEADLINE = [
     "partition_balance",
     "psi_sweep",
     "comissing_matrix",
+    "fano_burstiness",
+    "trending_report",
 ]
 
 

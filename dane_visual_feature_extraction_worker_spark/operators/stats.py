@@ -2181,3 +2181,128 @@ def psi_sweep(
     return j.select(
         "feature", "category", "c1", "c2", psi.alias("psi_term")
     )
+
+
+def fano_burstiness(
+    events: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-entity burstiness as the Fano factor (variance/mean) of
+    DAILY event counts — the over-dispersion screen: a Poisson-steady
+    human sits near 1, batch/bot traffic is over-dispersed (≫1),
+    metronome replays under-dispersed (≪1). Completes the
+    temporal-anomaly shelf: ``periodicity_report`` sees WHICH hours,
+    ``burst_windows`` finds WHERE the bursts are, this scores HOW
+    bursty an entity is in one number.
+
+    Exactness: over the entity's n ACTIVE days with counts x_d,
+    ``fano = var/mean = (n·Σx² − (Σx)²) / (n·Σx)`` (population
+    variance) — a single integer rational; products decimal(38,0),
+    one integer DIV, micro-scaled, numerator ≥ 0 by Cauchy-Schwarz
+    (no signed-DIV divergence). Constant daily counts give exactly
+    0; the n=1 case is degenerate (variance 0 by construction) —
+    ``n_days`` is in the output so callers can filter it.
+
+    Plan: (entity, day) map-side-combined reduce, one entity rollup —
+    the disorder/periodicity exchange shape, corpus never shuffles
+    full rows.
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts).cast("timestamp")), F.lit("1970-01-01")
+    ).cast("bigint")
+    per_day = events.select(
+        F.col(entity).alias("entity"), day.alias("__d")
+    ).groupBy("entity", "__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__x")
+    )
+    d38 = "decimal(38,0)"
+    agg = per_day.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x").cast("bigint").alias("n_events"),
+        F.sum(F.col("__x").cast(d38) * F.col("__x").cast(d38))
+        .cast(d38)
+        .alias("__sx2"),
+    )
+    return agg.select(
+        "entity",
+        "n_days",
+        "n_events",
+        F.expr(
+            "CAST((CAST(n_days AS decimal(38,0)) * __sx2"
+            " - CAST(n_events AS decimal(38,0))"
+            " * CAST(n_events AS decimal(38,0)))"
+            " * CAST(1000000 AS decimal(38,0))"
+            " DIV (CAST(n_days AS decimal(38,0))"
+            "      * CAST(n_events AS decimal(38,0))) AS BIGINT)"
+        ).alias("fano_micro"),
+    )
+
+
+def trending_report(
+    events: DataFrame,
+    category: str = "event_type",
+    ts: str = "ts",
+    k: int = 10,
+) -> DataFrame:
+    """Half-over-half trending report: each category's count and
+    dense rank in the first vs second half of the time range, with
+    the rank delta — the "what's rising / falling / newly entered"
+    dashboard next to psi_drift (which scores the SHIFT; this names
+    the movers). Categories absent from a half carry NULL rank there
+    (a NULL→rank entry IS the trend signal).
+
+    Plan: the time cut is a lazy broadcast scalar; ONE
+    map-side-combined CASE-count per category; two dense-rank windows
+    over the |categories|-row frame; top-k by best (min) rank across
+    halves, ties by category. All exact integers.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cut = events.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("bigint").alias("__cut")
+    )
+    counts = (
+        events.crossJoin(F.broadcast(cut))
+        .select(
+            F.col(category).alias("category"),
+            F.when(us <= F.col("__cut"), 1).otherwise(0).alias("__h1"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("__h1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("__h1")).cast("bigint").alias("c2"),
+        )
+    )
+    w1 = Window.orderBy(F.col("c1").desc(), F.col("category"))
+    w2 = Window.orderBy(F.col("c2").desc(), F.col("category"))
+    ranked = counts.select(
+        "category",
+        "c1",
+        "c2",
+        F.when(F.col("c1") > 0, F.dense_rank().over(w1))
+        .cast("bigint")
+        .alias("rank_before"),
+        F.when(F.col("c2") > 0, F.dense_rank().over(w2))
+        .cast("bigint")
+        .alias("rank_after"),
+    )
+    best = F.least(
+        F.coalesce(F.col("rank_before"), F.lit(1 << 62)),
+        F.coalesce(F.col("rank_after"), F.lit(1 << 62)),
+    )
+    return (
+        ranked.orderBy(best, F.col("category"))
+        .limit(k)
+        .select(
+            "category",
+            "c1",
+            "c2",
+            "rank_before",
+            "rank_after",
+            (F.col("rank_before") - F.col("rank_after")).alias(
+                "rank_delta"
+            ),
+        )
+    )

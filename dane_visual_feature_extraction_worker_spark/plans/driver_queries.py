@@ -13050,3 +13050,82 @@ ORACLES["comissing_matrix"] = """
     FROM longf
 """
 QUERIES["comissing_matrix"] = comissing_matrix_q
+
+
+def fano_burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count Fano factor per user (operators/stats.
+    fano_burstiness): the over-dispersion anomaly score; exact
+    decimal rational, two count-frame exchanges."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        fano_burstiness,
+    )
+
+    return fano_burstiness(_events(spark, sf_dir))
+
+
+ORACLES["fano_burstiness"] = """
+    WITH per_day AS (
+      SELECT user_id AS entity,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT entity,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS n_events,
+             sum(CAST(x AS HUGEINT) * x) AS sx2
+      FROM per_day GROUP BY 1
+    )
+    SELECT entity, n_days, n_events,
+           CAST((CAST(n_days AS HUGEINT) * sx2
+                 - CAST(n_events AS HUGEINT) * n_events) * 1000000
+                // (CAST(n_days AS HUGEINT) * n_events) AS BIGINT)
+             AS fano_micro
+    FROM agg
+"""
+QUERIES["fano_burstiness"] = fano_burstiness_q
+
+
+def trending_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-over-half trending categories (operators/stats.
+    trending_report): CASE-split counts, two dense-rank windows over
+    the |categories|-row frame, rank deltas."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        trending_report,
+    )
+
+    return trending_report(_events(spark, sf_dir), k=10)
+
+
+ORACLES["trending_report"] = """
+    WITH cut AS (
+      SELECT CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2
+                  AS BIGINT) AS c
+      FROM events
+    ), counts AS (
+      SELECT event_type AS category,
+             CAST(sum(CASE WHEN epoch_us(ts) <= cut.c THEN 1 ELSE 0
+                      END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(ts) <= cut.c THEN 0 ELSE 1
+                      END) AS BIGINT) AS c2
+      FROM events, cut GROUP BY 1
+    ), ranked AS (
+      SELECT category, c1, c2,
+             CASE WHEN c1 > 0 THEN
+               CAST(dense_rank() OVER (ORDER BY c1 DESC, category)
+                    AS BIGINT) END AS rank_before,
+             CASE WHEN c2 > 0 THEN
+               CAST(dense_rank() OVER (ORDER BY c2 DESC, category)
+                    AS BIGINT) END AS rank_after
+      FROM counts
+    )
+    SELECT category, c1, c2, rank_before, rank_after,
+           rank_before - rank_after AS rank_delta
+    FROM ranked
+    ORDER BY least(coalesce(rank_before, 4611686018427387904),
+                   coalesce(rank_after, 4611686018427387904)),
+             category
+    LIMIT 10
+"""
+QUERIES["trending_report"] = trending_report_q
