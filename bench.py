@@ -275,6 +275,8 @@ HEADLINE = [
     "comissing_matrix",
     "fano_burstiness",
     "trending_report",
+    "ending_profile",
+    "code_like_rate",
 ]
 
 

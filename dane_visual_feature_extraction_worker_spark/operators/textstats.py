@@ -1712,3 +1712,100 @@ def vocab_coverage(
         .cast("bigint")
         .alias("coverage_micro"),
     )
+
+
+def ending_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source response-ending profile: terminal-punctuation rate
+    (a low rate means max_tokens truncation is leaking into the
+    corpus — SFT on truncated responses TEACHES truncation),
+    ellipsis-ending rate, and question-ending rate (instruction-data
+    mining: question-heavy sources feed prompt pools). All three are
+    exact flag counts over the TRIMMED text's tail.
+
+    Plan: three codegen endswith/substring checks per row, ONE
+    map-side-combined group aggregate — |groups| rows, zero corpus
+    shuffle. Empty/null docs count in n_docs but hit no flag.
+    """
+    t = F.rtrim(F.coalesce(F.col(text_col), F.lit("")))
+    last = F.substring(t, -1, 1)
+    terminal = last.isin(".", "!", "?")
+    ellipsis = t.endswith("...")
+    question = last == "?"
+    agg = docs.select(
+        F.col(group_col).alias("grp"),
+        terminal.cast("bigint").alias("__t"),
+        ellipsis.cast("bigint").alias("__e"),
+        question.cast("bigint").alias("__q"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_terminal"),
+        F.sum("__e").cast("bigint").alias("n_ellipsis"),
+        F.sum("__q").cast("bigint").alias("n_question"),
+    )
+    share = lambda c: (  # noqa: E731
+        F.expr(f"{c} * 1000000 DIV n_docs").cast("bigint")
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_terminal",
+        share("n_terminal").alias("terminal_micro"),
+        share("n_ellipsis").alias("ellipsis_micro"),
+        share("n_question").alias("question_micro"),
+    )
+
+
+def code_like_rate(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source code-likeness rate — the code-data mining screen
+    (code corpora are curated separately from prose; a prose source
+    whose code rate spikes is mis-tagged). Three independent signals,
+    each cheap and engine-portable:
+
+      braces    — contains both '{' and '}' (plain `contains`)
+      semicolon — ≥ 2 ';' occurrences (length-difference count)
+      camel     — a lower→Upper transition ([a-z][A-Z] — the RE2-and-
+                  Java-identical character-class subset, pii_audit
+                  discipline)
+
+    A doc is code_like when ≥ 2 signals fire (majority of 3 — single
+    signals false-positive on prose: semicolons in legal text, braces
+    in templating).
+
+    Plan: per-row codegen flags, ONE map-side-combined aggregate,
+    zero corpus shuffle, integer-micro rates.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    braces = t.contains("{") & t.contains("}")
+    semis = (
+        F.length(t) - F.length(F.replace(t, F.lit(";"), F.lit("")))
+    ) >= 2
+    camel = t.rlike("[a-z][A-Z]")
+    score = (
+        braces.cast("int") + semis.cast("int") + camel.cast("int")
+    )
+    agg = docs.select(
+        F.col(group_col).alias("grp"),
+        (score >= 2).cast("bigint").alias("__c"),
+        score.cast("bigint").alias("__s"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__c").cast("bigint").alias("n_code_like"),
+        F.sum("__s").cast("bigint").alias("signal_sum"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_code_like",
+        F.expr("n_code_like * 1000000 DIV n_docs")
+        .cast("bigint")
+        .alias("code_like_micro"),
+        "signal_sum",
+    )

@@ -13129,3 +13129,73 @@ ORACLES["trending_report"] = """
     LIMIT 10
 """
 QUERIES["trending_report"] = trending_report_q
+
+
+def ending_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source response-ending profile (operators/textstats.
+    ending_profile): terminal-punct / ellipsis / question rates, one
+    map-side-combined aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        ending_profile,
+    )
+
+    return ending_profile(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["ending_profile"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             CASE WHEN t IN ('.', '!', '?') THEN 1 ELSE 0 END AS tr,
+             CASE WHEN tt LIKE '%...' THEN 1 ELSE 0 END AS el,
+             CASE WHEN t = '?' THEN 1 ELSE 0 END AS qu
+      FROM (SELECT source,
+                   rtrim(coalesce(text, '')) AS tt,
+                   substr(rtrim(coalesce(text, '')), -1, 1) AS t
+            FROM documents)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tr) AS BIGINT) AS n_terminal,
+           CAST(sum(tr) * 1000000 // count(*) AS BIGINT)
+             AS terminal_micro,
+           CAST(sum(el) * 1000000 // count(*) AS BIGINT)
+             AS ellipsis_micro,
+           CAST(sum(qu) * 1000000 // count(*) AS BIGINT)
+             AS question_micro
+    FROM per GROUP BY 1
+"""
+QUERIES["ending_profile"] = ending_profile_q
+
+
+def code_like_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source code-likeness rate (operators/textstats.
+    code_like_rate): braces/semicolon/camelCase majority vote, zero
+    corpus shuffle."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        code_like_rate,
+    )
+
+    return code_like_rate(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["code_like_rate"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             (CASE WHEN contains(t, '{') AND contains(t, '}')
+                   THEN 1 ELSE 0 END
+              + CASE WHEN length(t) - length(replace(t, ';', '')) >= 2
+                     THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '[a-z][A-Z]')
+                     THEN 1 ELSE 0 END) AS s
+      FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code_like,
+           CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS code_like_micro,
+           CAST(sum(s) AS BIGINT) AS signal_sum
+    FROM per GROUP BY 1
+"""
+QUERIES["code_like_rate"] = code_like_rate_q
