@@ -277,6 +277,8 @@ HEADLINE = [
     "trending_report",
     "ending_profile",
     "code_like_rate",
+    "watermark_sweep",
+    "len_by_lang_grid",
 ]
 
 

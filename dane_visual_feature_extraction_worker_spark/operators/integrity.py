@@ -270,3 +270,72 @@ def order_inversions(
         .cast("bigint")
         .alias("inversion_micro"),
     )
+
+
+def watermark_sweep(
+    events: DataFrame,
+    delays_seconds: tuple[int, ...],
+    entity: str = "conv_id",
+    ts: str = "ts",
+    seq: str = "turn_idx",
+) -> DataFrame:
+    """Watermark-delay pricing: for each candidate delay D, how many
+    events a streaming job with ``withWatermark(D)`` would DROP (late
+    by more than D behind the per-entity running event-time max) —
+    the companion to ``disorder_audit``: that reports the worst
+    regression (the zero-loss bound), this prices the cheaper
+    candidates a production job actually considers (a 10-minute
+    watermark that drops 0.01% may beat the zero-loss 6-hour one).
+
+    Plan: the SAME one-entity-exchange running-max window as
+    disorder_audit, then a |delays|-element explode over the flagged
+    frame and a |delays|-row rollup. Exact integer microseconds.
+    """
+    if not delays_seconds or any(d < 0 for d in delays_seconds):
+        raise ValueError("delays_seconds must be non-negative, non-empty")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("__seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        events.select(
+            F.col(entity).alias("entity"),
+            us.alias("__us"),
+            F.col(seq).alias("__seq"),
+        )
+        .withColumn("__prevmax", F.max("__us").over(w))
+        .select(
+            F.coalesce(
+                F.col("__prevmax") - F.col("__us"), F.lit(0)
+            ).alias("__lag_us")
+        )
+    )
+    fanned = flagged.select(
+        "__lag_us",
+        F.explode(
+            F.array(
+                *[F.lit(int(d)) for d in sorted(delays_seconds)]
+            )
+        ).alias("delay_s"),
+    )
+    agg = fanned.groupBy("delay_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            (
+                F.col("__lag_us")
+                > F.col("delay_s").cast("bigint") * F.lit(1_000_000)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+    return agg.select(
+        F.col("delay_s").cast("bigint").alias("delay_s"),
+        "n_events",
+        "n_dropped",
+        F.expr("n_dropped * 1000000 DIV n_events")
+        .cast("bigint")
+        .alias("drop_micro"),
+    )

@@ -1809,3 +1809,45 @@ def code_like_rate(
         .alias("code_like_micro"),
         "signal_sum",
     )
+
+
+def len_by_lang_grid(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bucket_chars: int = 100,
+    max_bucket: int = 9,
+) -> DataFrame:
+    """Length-distribution-by-language grid: per (lang, length
+    bucket) counts with the within-language share — the per-language
+    length-norm table (length filters tuned on English clip CJK
+    corpora whose chars-per-token differs 3×; this is the view that
+    sets PER-LANGUAGE bounds, next to ``tokenizer_fertility``).
+    Buckets are ``least(len DIV bucket_chars, max_bucket)`` — exact
+    integers, top bucket open-ended.
+
+    Plan: per-row bucket projection, ONE map-side-combined
+    (lang, bucket) aggregate, |langs|-row totals broadcast back.
+    """
+    if bucket_chars < 1 or max_bucket < 1:
+        raise ValueError("bucket_chars and max_bucket must be >= 1")
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    bucket = F.least(
+        F.floor(n / bucket_chars).cast("bigint"), F.lit(max_bucket)
+    )
+    counts = docs.select(
+        F.col(group_col).alias("grp"), bucket.alias("bucket")
+    ).groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("n_docs").cast("bigint").alias("__tot")
+    )
+    return counts.join(F.broadcast(totals), "grp").select(
+        "grp",
+        "bucket",
+        "n_docs",
+        F.expr("n_docs * 1000000 DIV __tot")
+        .cast("bigint")
+        .alias("lang_share_micro"),
+    )

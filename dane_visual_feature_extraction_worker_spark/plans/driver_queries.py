@@ -13199,3 +13199,73 @@ ORACLES["code_like_rate"] = """
     FROM per GROUP BY 1
 """
 QUERIES["code_like_rate"] = code_like_rate_q
+
+
+def watermark_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay pricing over events
+    (operators/integrity.watermark_sweep): drop counts at candidate
+    delays {60s, 3600s, 86400s} — same running-max pass as
+    disorder_audit plus a |delays| explode."""
+    from dane_visual_feature_extraction_worker_spark.operators.integrity import (
+        watermark_sweep,
+    )
+
+    return watermark_sweep(
+        _events(spark, sf_dir),
+        delays_seconds=(60, 3600, 86400),
+        entity="user_id", ts="ts", seq="event_id",
+    )
+
+
+ORACLES["watermark_sweep"] = """
+    WITH flagged AS (
+      SELECT coalesce(
+               max(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(ts), 0) AS lag_us
+      FROM events
+    ), fanned AS (
+      SELECT lag_us, d FROM flagged,
+             (SELECT unnest([60, 3600, 86400]) AS d)
+    )
+    SELECT CAST(d AS BIGINT) AS delay_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lag_us > CAST(d AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN lag_us > CAST(d AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS drop_micro
+    FROM fanned GROUP BY 1
+"""
+QUERIES["watermark_sweep"] = watermark_sweep_q
+
+
+def len_by_lang_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-by-language grid (operators/textstats.len_by_lang_grid):
+    exact DIV buckets, within-language shares."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        len_by_lang_grid,
+    )
+
+    return len_by_lang_grid(
+        _documents(spark, sf_dir), bucket_chars=100, max_bucket=9
+    )
+
+
+ORACLES["len_by_lang_grid"] = """
+    WITH counts AS (
+      SELECT lang AS grp,
+             least(length(coalesce(text, '')) // 100, 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), totals AS (
+      SELECT grp, CAST(sum(n_docs) AS BIGINT) AS tot
+      FROM counts GROUP BY 1
+    )
+    SELECT counts.grp, CAST(bucket AS BIGINT) AS bucket, n_docs,
+           CAST(n_docs * 1000000 // tot AS BIGINT)
+             AS lang_share_micro
+    FROM counts JOIN totals ON totals.grp = counts.grp
+"""
+QUERIES["len_by_lang_grid"] = len_by_lang_grid_q
