@@ -279,6 +279,8 @@ HEADLINE = [
     "code_like_rate",
     "watermark_sweep",
     "len_by_lang_grid",
+    "nzv_report",
+    "identical_features",
 ]
 
 

@@ -2306,3 +2306,126 @@ def trending_report(
             ),
         )
     )
+
+
+def nzv_report(
+    df: DataFrame,
+    features: Mapping[str, F.Column],
+    freq_ratio_max: int = 19,
+    unique_pct_min_micro: int = 100_000,
+) -> DataFrame:
+    """Near-zero-variance feature screen (caret's ``nearZeroVar``,
+    public R toolchain convention): a feature is NZV when its most
+    common value dominates (freq ratio top/second > ``freq_ratio_max``)
+    AND it has few distinct values (unique share below
+    ``unique_pct_min_micro``) — such columns carry no signal but cost
+    storage, shuffle bytes, and encoder cardinality. The first screen
+    a feature-store sweep runs, before correlations.
+
+    All features stack into ONE (feature, value) count pass (the
+    psi_sweep shape); per feature the top-2 value counts come from a
+    |feature·values|-frame window, never a second corpus read. Ratios
+    exact integer-micro; a single-valued feature has no second value
+    — freq_ratio NULL, flagged NZV by the distinct-share arm.
+
+    Output per feature: ``(feature, n_rows, n_distinct, top_count,
+    second_count, freq_ratio_micro, unique_micro, nzv)``.
+    """
+    if not features:
+        raise ValueError("features must be non-empty")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        col.cast("string").alias("value"),
+                    )
+                    for name, col in sorted(features.items())
+                ]
+            )
+        ).alias("__fv")
+    ).select("__fv.feature", "__fv.value")
+    counts = stacked.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.partitionBy("feature").orderBy(
+        F.col("__c").desc(), F.col("value")
+    )
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    per = ranked.groupBy("feature").agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max(F.when(F.col("__r") == 1, F.col("__c")))
+        .cast("bigint")
+        .alias("top_count"),
+        F.max(F.when(F.col("__r") == 2, F.col("__c")))
+        .cast("bigint")
+        .alias("second_count"),
+    )
+    freq_ratio = F.expr(
+        "CASE WHEN second_count IS NOT NULL"
+        " THEN top_count * 1000000 DIV second_count END"
+    ).cast("bigint")
+    unique = F.expr("n_distinct * 1000000 DIV n_rows").cast("bigint")
+    return per.select(
+        "feature",
+        "n_rows",
+        "n_distinct",
+        "top_count",
+        "second_count",
+        freq_ratio.alias("freq_ratio_micro"),
+        unique.alias("unique_micro"),
+        (
+            (
+                F.col("second_count").isNull()
+                | (freq_ratio > freq_ratio_max * 1_000_000)
+            )
+            & (unique < unique_pct_min_micro)
+        ).alias("nzv"),
+    )
+
+
+def identical_features(
+    df: DataFrame,
+    features: Mapping[str, F.Column],
+) -> DataFrame:
+    """Duplicate-column detector: for every feature pair, the exact
+    count of rows where the two (stringified, NULL-safe) values
+    differ — feature stores accumulate renamed copies of the same
+    signal, and a duplicated column costs double storage/shuffle AND
+    silently double-weights the signal in any L2-regularized model.
+    ``identical = (n_diff == 0)``.
+
+    Plan: ONE aggregate computing |pairs| NULL-safe CASE sums
+    map-side — zero shuffles at any corpus size (the comissing_matrix
+    shape); the pair rows unpivot from the single result row.
+    """
+    if len(features) < 2:
+        raise ValueError("need at least two features")
+    names = sorted(features)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        ca = features[a].cast("string")
+        cb = features[b].cast("string")
+        aggs.append(
+            F.sum((~ca.eqNullSafe(cb)).cast("bigint"))
+            .cast("bigint")
+            .alias(f"__d_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', __d_{a}_{b}" for a, b in pairs)
+    long = one.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (feat_a, feat_b, n_diff)",
+        "__n",
+    )
+    return long.select(
+        "feat_a",
+        "feat_b",
+        F.col("__n").alias("n_rows"),
+        "n_diff",
+        (F.col("n_diff") == 0).alias("identical"),
+    )

@@ -13269,3 +13269,134 @@ ORACLES["len_by_lang_grid"] = """
     FROM counts JOIN totals ON totals.grp = counts.grp
 """
 QUERIES["len_by_lang_grid"] = len_by_lang_grid_q
+
+
+def nzv_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance screen over four stacked event features
+    (operators/stats.nzv_report): event_type (healthy), a constant, a
+    near-constant (md5 1-in-50 flag), and the high-cardinality
+    event_id — exercising all three NZV arms."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import nzv_report
+
+    e = _events(spark, sf_dir)
+    hx = F.md5(
+        F.concat_ws("|", F.lit("nzv"), F.col("event_id").cast("string"))
+    )
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    return nzv_report(
+        e,
+        features={
+            "etype": F.col("event_type"),
+            "const": F.lit("x"),
+            "rare_flag": (key % 50 == 0).cast("string"),
+            "eid": F.col("event_id").cast("string"),
+        },
+    )
+
+
+ORACLES["nzv_report"] = f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             md5(concat('nzv', '|', CAST(event_id AS VARCHAR))) AS hx
+      FROM events
+    ), stacked AS (
+      SELECT feature, value FROM keyed, LATERAL (
+        SELECT * FROM (VALUES
+          ('etype', event_type),
+          ('const', 'x'),
+          ('rare_flag', CAST((({_sample_key_terms_sql()}) % 50 = 0)
+                             AS VARCHAR)),
+          ('eid', CAST(event_id AS VARCHAR))
+        ) AS t(feature, value))
+    ), counts AS (
+      SELECT feature, value, CAST(count(*) AS BIGINT) AS c
+      FROM stacked GROUP BY 1, 2
+    ), ranked AS (
+      SELECT feature, c,
+             ROW_NUMBER() OVER (PARTITION BY feature
+                                ORDER BY c DESC, value) AS r
+      FROM counts
+    ), per AS (
+      SELECT feature,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(CASE WHEN r = 1 THEN c END) AS BIGINT)
+               AS top_count,
+             CAST(max(CASE WHEN r = 2 THEN c END) AS BIGINT)
+               AS second_count
+      FROM ranked GROUP BY 1
+    )
+    SELECT feature, n_rows, n_distinct, top_count, second_count,
+           CAST(CASE WHEN second_count IS NOT NULL
+                THEN top_count * 1000000 // second_count END
+                AS BIGINT) AS freq_ratio_micro,
+           CAST(n_distinct * 1000000 // n_rows AS BIGINT)
+             AS unique_micro,
+           ((second_count IS NULL
+             OR top_count * 1000000 // second_count > 19000000)
+            AND n_distinct * 1000000 // n_rows < 100000) AS nzv
+    FROM per
+"""
+QUERIES["nzv_report"] = nzv_report_q
+
+
+def identical_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-column detector over four event projections
+    (operators/stats.identical_features): one of the pairs IS
+    identical by construction (event_type vs its copy), the rest
+    differ — one zero-shuffle aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        identical_features,
+    )
+
+    e = _events(spark, sf_dir)
+    return identical_features(
+        e,
+        features={
+            "etype": F.col("event_type"),
+            "etype_copy": F.concat(F.col("event_type"), F.lit("")),
+            "uid": F.col("user_id"),
+            "nullable": F.when(
+                F.col("value") > 50, F.col("event_type")
+            ),
+        },
+    )
+
+
+ORACLES["identical_features"] = """
+    WITH base AS (
+      SELECT event_type AS etype,
+             event_type || '' AS etype_copy,
+             CAST(user_id AS VARCHAR) AS uid,
+             CASE WHEN value > 50 THEN event_type END AS nullable
+      FROM events
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN etype IS DISTINCT FROM etype_copy
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_ec,
+             CAST(sum(CASE WHEN etype IS DISTINCT FROM nullable
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+             CAST(sum(CASE WHEN etype IS DISTINCT FROM uid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_eu,
+             CAST(sum(CASE WHEN etype_copy IS DISTINCT FROM nullable
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_cn,
+             CAST(sum(CASE WHEN etype_copy IS DISTINCT FROM uid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_cu,
+             CAST(sum(CASE WHEN nullable IS DISTINCT FROM uid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_nu
+      FROM base
+    )
+    SELECT 'etype' AS feat_a, 'etype_copy' AS feat_b, n AS n_rows,
+           d_ec AS n_diff, (d_ec = 0) AS identical FROM agg
+    UNION ALL
+    SELECT 'etype', 'nullable', n, d_en, (d_en = 0) FROM agg
+    UNION ALL
+    SELECT 'etype', 'uid', n, d_eu, (d_eu = 0) FROM agg
+    UNION ALL
+    SELECT 'etype_copy', 'nullable', n, d_cn, (d_cn = 0) FROM agg
+    UNION ALL
+    SELECT 'etype_copy', 'uid', n, d_cu, (d_cu = 0) FROM agg
+    UNION ALL
+    SELECT 'nullable', 'uid', n, d_nu, (d_nu = 0) FROM agg
+"""
+QUERIES["identical_features"] = identical_features_q
