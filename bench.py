@@ -281,6 +281,7 @@ HEADLINE = [
     "len_by_lang_grid",
     "nzv_report",
     "identical_features",
+    "peak_concurrency",
 ]
 
 

@@ -213,3 +213,112 @@ def coverage_stats(
         F.sum("__isl").cast("bigint").alias("n_islands"),
         (F.max("__e") - F.min("__s")).cast("bigint").alias("span_seconds"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    entity: str = "entity",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    pad_seconds: int = 0,
+) -> DataFrame:
+    """EXACT peak concurrency over intervals — how many are open at
+    the busiest instant, and when it first happens. THE capacity
+    number: peak simultaneous conversations sizes serving fleets, and
+    with ``pad_seconds`` = watermark delay it upper-bounds a
+    streaming job's LIVE STATE KEYS (an interval's state lives until
+    its end + the watermark). ``coverage_stats`` measures the union
+    LENGTH; this measures the DEPTH.
+
+    Plan (the sweep-line, distributed): intervals → ±1 deltas
+    (+1 at start, −1 at end+pad, ends EXCLUSIVE via +1µs so
+    back-to-back intervals don't double-count), then a running sum
+    over the global (ts, delta desc, entity) order WITHOUT a
+    single-partition window: repartitionByRange + sortWithinPartitions
+    (one range exchange of the 2·|intervals| delta frame — entity-
+    sized, never the corpus), per-partition running sums via a
+    spark_partition_id window (one pid exchange of the same small
+    frame), per-partition totals prefix-summed on the DRIVER
+    (|partitions| rows), broadcast offsets added back. The delta
+    frame is persisted between the two jobs (the global_index
+    contract: monotonic ids must not be recomputed).
+
+    Output: ONE row ``(n_intervals, peak, peak_ts)`` — peak_ts the
+    FIRST instant reaching the peak.
+    """
+    if pad_seconds < 0:
+        raise ValueError("pad_seconds must be >= 0")
+    s_us = F.unix_micros(F.col(start).cast("timestamp"))
+    e_us = (
+        F.unix_micros(F.col(end).cast("timestamp"))
+        + F.lit(int(pad_seconds) * 1_000_000 + 1)
+    )
+    base = intervals.select(
+        F.col(entity).alias("__e"), s_us.alias("__s"), e_us.alias("__x")
+    )
+    deltas = base.select(
+        F.col("__s").alias("__ts"), F.lit(1).alias("__d"), "__e"
+    ).unionByName(
+        base.select(
+            F.col("__x").alias("__ts"), F.lit(-1).alias("__d"), "__e"
+        )
+    )
+    n_parts = int(
+        intervals.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+    )
+    ranged = (
+        deltas.repartitionByRange(
+            n_parts, F.col("__ts"), F.col("__d").desc(), F.col("__e")
+        )
+        .sortWithinPartitions(
+            F.col("__ts"), F.col("__d").desc(), F.col("__e")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    try:
+        totals = (
+            ranged.groupBy("__pid")
+            .agg(F.sum("__d").cast("bigint").alias("__t"))
+            .collect()
+        )
+        offs, acc = [], 0
+        for r in sorted(totals, key=lambda r: r["__pid"]):
+            offs.append((r["__pid"], acc))
+            acc += r["__t"]
+        omap = intervals.sparkSession.createDataFrame(
+            offs, "__pid int, __off long"
+        )
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(F.col("__ts"), F.col("__d").desc(), F.col("__e"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        running = (
+            ranged.withColumn("__local", F.sum("__d").over(w))
+            .join(F.broadcast(omap), "__pid")
+            .select(
+                "__ts",
+                (F.col("__off") + F.col("__local"))
+                .cast("bigint")
+                .alias("__depth"),
+            )
+        )
+        out = running.agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+            F.max("__depth").alias("peak"),
+            F.min_by("__ts", F.struct(-F.col("__depth"), F.col("__ts")))
+            .alias("__pts"),
+        ).select(
+            "n_intervals",
+            "peak",
+            F.timestamp_micros(F.col("__pts")).alias("peak_ts"),
+        )
+        rows = out.collect()
+    finally:
+        ranged.unpersist()
+    return intervals.sparkSession.createDataFrame(
+        rows, "n_intervals bigint, peak bigint, peak_ts timestamp"
+    )

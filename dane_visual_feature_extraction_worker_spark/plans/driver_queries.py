@@ -13400,3 +13400,48 @@ ORACLES["identical_features"] = """
     SELECT 'nullable', 'uid', n, d_nu, (d_nu = 0) FROM agg
 """
 QUERIES["identical_features"] = identical_features_q
+
+
+def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous user activity spans
+    (operators/intervals.peak_concurrency): per-user [min ts, max ts]
+    intervals, exact sweep-line via the two-phase parallel running
+    sum — no single-partition window over the delta frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.intervals import (
+        peak_concurrency,
+    )
+
+    e = _events(spark, sf_dir)
+    spans = e.groupBy(F.col("user_id").alias("entity")).agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    return peak_concurrency(spans)
+
+
+ORACLES["peak_concurrency"] = """
+    WITH spans AS (
+      SELECT user_id AS e,
+             epoch_us(min(ts)) AS s,
+             epoch_us(max(ts)) + 1 AS x
+      FROM events GROUP BY 1
+    ), deltas AS (
+      SELECT s AS ts, 1 AS d, e FROM spans
+      UNION ALL
+      SELECT x AS ts, -1 AS d, e FROM spans
+    ), running AS (
+      SELECT ts,
+             CAST(sum(d) OVER (ORDER BY ts, d DESC, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS depth
+      FROM deltas
+    ), agg AS (
+      SELECT CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+             max(depth) AS peak
+      FROM running
+    )
+    SELECT n_intervals, CAST(peak AS BIGINT) AS peak,
+           make_timestamp((SELECT min(ts) FROM running, agg
+                           WHERE depth = peak)) AS peak_ts
+    FROM agg
+"""
+QUERIES["peak_concurrency"] = peak_concurrency_q
