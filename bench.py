@@ -282,6 +282,8 @@ HEADLINE = [
     "nzv_report",
     "identical_features",
     "peak_concurrency",
+    "scrub_verification",
+    "time_to_k",
 ]
 
 

@@ -530,3 +530,69 @@ def comissing_matrix(
         .cast("bigint")
         .alias("lift_micro"),
     )
+
+
+def scrub_verification(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "<scrubbed>",
+) -> DataFrame:
+    """Scrubber effectiveness gate: run the ``pii_audit`` patterns
+    over the text BEFORE and AFTER ``scrub_text``-style replacement
+    IN ONE PLAN and report the residual rate — the release check that
+    proves the scrubber actually removed what the auditor flags
+    (a scrubber regex that drifts from the audit regex leaves
+    residual hits; this catches exactly that class). Residual > 0
+    with the SAME pattern set means replacement overlapped matches —
+    surfaced, never assumed away.
+
+    Plan: per pattern, two ``regexp_extract_all`` counts per row (raw
+    and post-replacement text — both codegen, the replacement chain
+    is a narrow projection), one tagged union, ONE map-side-combined
+    aggregate. |groups|·|patterns| rows, zero corpus shuffle.
+    """
+    pats = dict(PII_PATTERNS) if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    cleaned = lowered
+    for _, rx in sorted(pats.items()):
+        cleaned = F.regexp_replace(cleaned, rx, replacement.lower())
+    parts = []
+    for name, rx in sorted(pats.items()):
+        before = F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
+        after = F.size(F.regexp_extract_all(cleaned, F.lit(rx), 0))
+        parts.append(
+            docs.select(
+                F.col(group_col).alias("grp"),
+                F.lit(name).alias("pattern"),
+                before.cast("bigint").alias("__b"),
+                after.cast("bigint").alias("__a"),
+            )
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    agg = tagged.groupBy("grp", "pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__b").cast("bigint").alias("hits_before"),
+        F.sum("__a").cast("bigint").alias("hits_after"),
+    )
+    return agg.select(
+        "grp",
+        "pattern",
+        "n_docs",
+        "hits_before",
+        "hits_after",
+        F.when(
+            F.col("hits_before") > 0,
+            F.expr(
+                "(hits_before - hits_after) * 1000000"
+                " DIV hits_before"
+            ),
+        )
+        .cast("bigint")
+        .alias("removed_micro"),
+    )

@@ -152,3 +152,41 @@ def activity_streaks(
         .cast("bigint")
         .alias("latest_streak"),
     )
+
+
+def time_to_k(
+    events: DataFrame,
+    k: int = 5,
+    entity: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Activation speed: microseconds from an entity's FIRST event to
+    its K-th — the onboarding/retention feature ("time to 5th
+    session") behind activation dashboards; NULL when the entity
+    never reached k events (surfaced via ``reached_k``, not dropped —
+    the not-yet-activated population is the point).
+
+    Plan: ONE entity exchange (collect_list + post-merge sort_array,
+    layout-independent), the k-th element read array-side — no
+    row_number window, no second pass. Exact integer microseconds.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    per = events.groupBy(F.col(entity).alias("entity")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(us.alias("__t"), F.col(tiebreak).alias("__i"))
+            )
+        ).alias("__xs")
+    )
+    n = F.size("__xs")
+    first = F.element_at("__xs", 1)["__t"]
+    kth = F.when(n >= k, F.element_at("__xs", k)["__t"])
+    return per.select(
+        "entity",
+        n.cast("bigint").alias("n_events"),
+        (n >= k).alias("reached_k"),
+        (kth - first).cast("bigint").alias("us_to_k"),
+    )

@@ -13445,3 +13445,81 @@ ORACLES["peak_concurrency"] = """
     FROM agg
 """
 QUERIES["peak_concurrency"] = peak_concurrency_q
+
+
+def scrub_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubber-effectiveness gate over documents
+    (operators/dq.scrub_verification): pii_audit patterns counted
+    before and after the replacement chain in one plan; removal
+    share exact micro."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        scrub_verification,
+    )
+
+    return scrub_verification(_documents(spark, sf_dir), group_col="source")
+
+
+ORACLES["scrub_verification"] = r"""
+    WITH base AS (
+      SELECT source AS grp, lower(coalesce(text, '')) AS t
+      FROM documents
+    ), cleaned AS (
+      SELECT grp, t,
+             regexp_replace(
+               regexp_replace(t,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                 '<scrubbed>', 'g'),
+               '[0-9]{6,}', '<scrubbed>', 'g') AS c
+      FROM base
+    ), tagged AS (
+      SELECT grp, 'email' AS pattern,
+             CAST(len(regexp_extract_all(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+               AS b,
+             CAST(len(regexp_extract_all(c,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+               AS a
+      FROM cleaned
+      UNION ALL
+      SELECT grp, 'longnum',
+             CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT),
+             CAST(len(regexp_extract_all(c, '[0-9]{6,}')) AS BIGINT)
+      FROM cleaned
+    )
+    SELECT grp, pattern,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS hits_before,
+           CAST(sum(a) AS BIGINT) AS hits_after,
+           CASE WHEN sum(b) > 0
+                THEN CAST((sum(b) - sum(a)) * 1000000 // sum(b)
+                          AS BIGINT) END AS removed_micro
+    FROM tagged GROUP BY 1, 2
+"""
+QUERIES["scrub_verification"] = scrub_verification_q
+
+
+def time_to_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-5th-event activation speed per user
+    (operators/recency.time_to_k): one entity exchange, k-th element
+    array-side, exact integer microseconds."""
+    from dane_visual_feature_extraction_worker_spark.operators.recency import (
+        time_to_k,
+    )
+
+    return time_to_k(_events(spark, sf_dir), k=5)
+
+
+ORACLES["time_to_k"] = """
+    WITH per AS (
+      SELECT user_id AS entity,
+             list(epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS xs
+      FROM events GROUP BY 1
+    )
+    SELECT entity,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           (len(xs) >= 5) AS reached_k,
+           CASE WHEN len(xs) >= 5
+                THEN CAST(xs[5] - xs[1] AS BIGINT) END AS us_to_k
+    FROM per
+"""
+QUERIES["time_to_k"] = time_to_k_q
