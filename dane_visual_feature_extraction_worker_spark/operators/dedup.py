@@ -1370,3 +1370,107 @@ def containment_pairs(
     return j.where(
         F.greatest("cont_a_micro", "cont_b_micro") >= F.lit(thr_micro)
     )
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    cos_threshold: float = 0.5,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by TERM-FREQUENCY cosine — the multiset-weighted
+    lens next to ``jaccard_pairs``' set lens: Jaccard treats a token
+    that appears 40x in both docs the same as one that appears once;
+    TF-cosine weights by count, so template docs that differ only in a
+    repeated boilerplate block separate from genuinely co-written text.
+    Reports ``cos2_micro`` = floor(cos² · 10⁶) — squaring keeps EVERY
+    operation integer (dot², ‖a‖²·‖b‖², one integer DIV): no sqrt, no
+    float, bit-identical in any engine.  cos >= t  <=>  cos² >= t².
+
+    Plan: one (doc, term) count aggregation (the only corpus-wide
+    exchange, persisted — it feeds document frequencies, norms and
+    both dot-product joins); candidate pairs from the df-capped
+    inverted index (each surviving term emits <= max_df² pairs — the
+    jaccard_pairs discipline); the EXACT dot product then comes from
+    joining the full tf table back to the bounded candidate set on
+    (doc, term) — two uniform-key equi-joins, so the df cap gates
+    candidate GENERATION only, never the cosine value.  Recall caveat
+    (documented, same as jaccard_pairs): a pair sharing ONLY hot terms
+    is skipped; near-dups share rare terms almost surely.
+
+    Headroom: products run in decimal(38,0); exact while
+    Σtf² <= 10⁹ per doc (≈ 30k repeated tokens) — raise to HUGEINT
+    territory via chunking if a corpus exceeds it.
+    """
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    if not 0.0 < cos_threshold <= 1.0:
+        raise ValueError("cos_threshold must be in (0, 1]")
+    min_micro = int((cos_threshold * cos_threshold) * 1_000_000)
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("__t")
+    ).where(F.col("__t") != "")
+    tf = scoped_persist(
+        toks.groupBy(id_col, "__t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__tf")
+        ),
+        "dedup.cosine_tf",
+    )
+    norms = tf.groupBy(id_col).agg(
+        F.sum(F.col("__tf") * F.col("__tf")).cast("decimal(38,0)").alias("__n2")
+    )
+    dfc = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    cold = tf.join(dfc.where(F.col("__df") <= max_df), "__t").select(
+        id_col, "__t"
+    )
+    cand = (
+        cold.select(F.col(id_col).alias("doc_a"), "__t")
+        .join(cold.select(F.col(id_col).alias("doc_b"), "__t"), "__t")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dot = (
+        cand.join(
+            tf.select(
+                F.col(id_col).alias("doc_a"), "__t", F.col("__tf").alias("__fa")
+            ),
+            "doc_a",
+        )
+        .join(
+            tf.select(
+                F.col(id_col).alias("doc_b"), "__t", F.col("__tf").alias("__fb")
+            ),
+            ["doc_b", "__t"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("__fa") * F.col("__fb"))
+            .cast("decimal(38,0)")
+            .alias("__dot")
+        )
+    )
+    out = (
+        dot.join(
+            norms.select(F.col(id_col).alias("doc_a"), F.col("__n2").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("doc_b"), F.col("__n2").alias("__nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))"
+                " DIV CAST(__na * __nb AS DECIMAL(38,0))"
+            )
+            .cast("bigint")
+            .alias("cos2_micro"),
+        )
+    )
+    return out.where(F.col("cos2_micro") >= min_micro)

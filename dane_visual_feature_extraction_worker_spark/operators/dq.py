@@ -596,3 +596,60 @@ def scrub_verification(
         .cast("bigint")
         .alias("removed_micro"),
     )
+
+
+def forget_audit(
+    df: DataFrame,
+    tombstones: DataFrame,
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Right-to-be-forgotten purge audit: given a (small) tombstone
+    table of entity keys that must be erased, report what a purge of
+    ``df`` would remove — requested / found / not-found entity counts,
+    rows purged vs kept, and the purged row share — BEFORE the
+    destructive delete runs.  ``entities_not_found`` > 0 is the
+    compliance signal that a deletion request names an entity the
+    table has never seen (typo'd id, already-purged user): surfaced,
+    never silently satisfied.
+
+    Plan: tombstone keys are |requests| rows by construction — they
+    broadcast; the fact table gets a narrow flag projection and ONE
+    map-side-combined global aggregate.  The |requests|-row side is
+    aggregated separately (one tiny row) and cross-joined back: two
+    single-row frames, zero fact-table shuffle.  At 10^12 rows this is
+    one scan, which is the floor for any audit that counts rows.
+    """
+    keys = tombstones.select(F.col(entity_col).alias("__forget")).distinct()
+    flagged = df.join(
+        F.broadcast(keys),
+        df[entity_col] == F.col("__forget"),
+        "left",
+    ).select(
+        F.col("__forget").isNotNull().alias("__hit"),
+        df[entity_col].alias("__e"),
+    )
+    fact = flagged.agg(
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_purged"),
+        F.sum(F.when(F.col("__hit"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("rows_kept"),
+        F.countDistinct(F.when(F.col("__hit"), F.col("__e")))
+        .cast("bigint")
+        .alias("entities_purged"),
+        F.count(F.lit(1)).cast("bigint").alias("__total"),
+    )
+    req = keys.agg(F.count(F.lit(1)).cast("bigint").alias("entities_requested"))
+    return fact.crossJoin(F.broadcast(req)).select(
+        "entities_requested",
+        "entities_purged",
+        (F.col("entities_requested") - F.col("entities_purged"))
+        .cast("bigint")
+        .alias("entities_not_found"),
+        "rows_purged",
+        "rows_kept",
+        F.expr("rows_purged * 1000000 DIV __total")
+        .cast("bigint")
+        .alias("purged_share_micro"),
+    )

@@ -164,3 +164,85 @@ def label_propagation(
         )
     finally:
         edges.unpersist()
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 2,
+    max_iters: int = 30,
+) -> DataFrame:
+    """k-core decomposition of the candidate graph by iterative
+    peeling → ``(id_col, rounds_survived, in_kcore)``: repeatedly
+    remove nodes with fewer than ``k`` neighbors among the still-alive
+    set; survivors form the k-core.  The third cohesion lens next to
+    triangles and LPA: the 2-core strips every tree/chain appendage a
+    banded LSH generator hangs off a genuine dup clique (a chain of
+    borderline pairs has NO 2-core; any cycle/clique does), and
+    ``rounds_survived`` grades how deep in the periphery a node sat
+    (0 = isolated or leaf at the first peel).
+
+    Per round: the symmetric edge list is semi-joined to the alive set
+    on BOTH endpoints (two uniform-key joins), one map-side-combined
+    degree count, one semi + one anti join against the alive spine.
+    The SHRUNKEN edge list is checkpointed and becomes next round's
+    graph — peeling is monotone, so per-round work tracks the
+    shrinking periphery, not the original corpus; rounds needed = the
+    graph's degeneracy ordering depth (single digits on near-clique
+    dup graphs).  Convergence = a round that removes nothing (one
+    scalar count per round, the connected_components discipline);
+    raises past ``max_iters`` rather than returning a partial peel.
+    Core members report ``rounds_survived`` NULL (they never fell) —
+    matching a fixed-depth SQL replay whose cap equals ``max_iters``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sym = pairs.select(
+        F.col("doc_a").alias("__s"), F.col("doc_b").alias("__t")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("__s"), F.col("doc_a").alias("__t"))
+    )
+    alive = nodes.select(F.col(id_col).alias("__node")).localCheckpoint()
+    removed_frames: list[DataFrame] = []
+    converged = False
+    for it in range(1, max_iters + 1):
+        sym = (
+            sym.join(
+                alive.select(F.col("__node").alias("__s")), "__s", "left_semi"
+            )
+            .join(
+                alive.select(F.col("__node").alias("__t")), "__t", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        deg = (
+            sym.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select(F.col("__t").alias("__node"))
+        )
+        survivors = alive.join(deg, "__node", "left_semi").localCheckpoint()
+        removed = (
+            alive.join(survivors, "__node", "left_anti")
+            .select(
+                "__node",
+                F.lit(it - 1).cast("bigint").alias("rounds_survived"),
+            )
+            .localCheckpoint()
+        )
+        alive = survivors
+        if removed.count() == 0:
+            converged = True
+            break
+        removed_frames.append(removed)
+    if not converged:
+        raise RuntimeError(f"kcore_peel did not converge in {max_iters} rounds")
+    out = alive.select(
+        "__node",
+        F.lit(None).cast("bigint").alias("rounds_survived"),
+        F.lit(True).alias("in_kcore"),
+    )
+    for r in removed_frames:
+        out = out.unionByName(r.withColumn("in_kcore", F.lit(False)))
+    return out.withColumnRenamed("__node", id_col)

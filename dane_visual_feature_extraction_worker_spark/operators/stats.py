@@ -2429,3 +2429,76 @@ def identical_features(
         "n_diff",
         (F.col("n_diff") == 0).alias("identical"),
     )
+
+
+def welch_t_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t between two named groups, from EXACT
+    moments: the A/B significance number ``ab_conversion_report``'s
+    rate deltas and ``mann_whitney_drift``'s rank statistic don't give
+    (a mean-shift test that survives unequal group variances — the
+    default recommendation over Student's t).  Reports n, exact
+    integer-micro means, the t statistic and the Welch–Satterthwaite
+    degrees of freedom.  No p-value on purpose: that needs a t CDF,
+    which neither engine computes exactly — consumers threshold on
+    |t| with df in hand.
+
+    Plan: values quantize to cents (decimal cast, the repo-wide
+    exactness contract), both groups' three moments (n, Σx, Σx²)
+    accumulate in ONE conditional map-side-combined aggregate —
+    single corpus scan, zero shuffle, one output row.  Floats appear
+    only in the final scalar formula over exact decimals, with a
+    fixed IEEE op order any engine replays bit for bit.
+
+    Headroom: |cents| ≤ 10^8 with 10^12 rows keeps Σx² ≤ 10^28 and
+    n·Σx² ≤ 10^40 — past decimal(38,0) ONLY if both bounds are hit
+    together; at the documented |value| ≤ 10^4 input contract the
+    products stay ≤ 10^36. Exact at campaign scale.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    zero = F.lit(0).cast(d38)
+    row = df.where(in_a | in_b).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast(d38).alias("__na"),
+        F.sum(F.when(in_a, cents).otherwise(zero)).alias("__sa"),
+        F.sum(F.when(in_a, cents * cents).otherwise(zero)).alias("__s2a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast(d38).alias("__nb"),
+        F.sum(F.when(in_b, cents).otherwise(zero)).alias("__sb"),
+        F.sum(F.when(in_b, cents * cents).otherwise(zero)).alias("__s2b"),
+    )
+    na, sa, s2a = F.col("__na"), F.col("__sa"), F.col("__s2a")
+    nb, sb, s2b = F.col("__nb"), F.col("__sb"), F.col("__s2b")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    va = (na * s2a - sa * sa).cast("double") / (nad * (nad - 1.0))
+    vb = (nb * s2b - sb * sb).cast("double") / (nbd * (nbd - 1.0))
+    sea, seb = va / nad, vb / nbd
+    t = (sa.cast("double") / nad - sb.cast("double") / nbd) / F.sqrt(sea + seb)
+    dfw = ((sea + seb) * (sea + seb)) / (
+        (sea * sea) / (nad - 1.0) + (seb * seb) / (nbd - 1.0)
+    )
+    ok = (na > 1) & (nb > 1)
+    return row.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.expr("CAST(__sa * 10000 AS DECIMAL(38,0)) DIV __na")
+        .cast("bigint")
+        .alias("mean_a_micro"),
+        F.expr("CAST(__sb * 10000 AS DECIMAL(38,0)) DIV __nb")
+        .cast("bigint")
+        .alias("mean_b_micro"),
+        F.when(ok, F.floor(t * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "t_micro"
+        ),
+        F.when(ok, F.floor(dfw * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "df_micro"
+        ),
+    )

@@ -1851,3 +1851,53 @@ def len_by_lang_grid(
         .cast("bigint")
         .alias("lang_share_micro"),
     )
+
+
+def revision_distance(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    near_threshold: int = 5,
+) -> DataFrame:
+    """Consecutive-turn revision distance per conversation: Levenshtein
+    between each turn's text and the SAME entity's previous turn —
+    the retry-churn detector for agent transcripts (an assistant that
+    re-emits its last message with a few tokens changed shows up as a
+    near-zero edit distance, which ``dedup_exact`` misses and
+    whole-document MinHash under-weights).  Reports, per entity:
+    ``n_pairs``, ``identical_n`` (distance 0), ``near_n`` (0 <
+    distance <= near_threshold), ``mean_lev_micro`` (exact integer
+    DIV) and ``max_lev``.
+
+    Plan: ONE per-entity exchange shared by the lag window and the
+    rollup — the same single-shuffle shape as the flagship kernel;
+    ``levenshtein`` is JVM codegen (no Python).  O(len_a * len_b) per
+    adjacent pair only — never a self-join.  Spark's levenshtein
+    counts CODEPOINTS; gates that replay it in a byte-level engine
+    must normalize to ASCII first (see the driver entry).
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lev = F.levenshtein(txt, F.lag(txt).over(w))
+    pairs = df.select(F.col(entity_col).alias("entity"), lev.alias("__lev")).where(
+        F.col("__lev").isNotNull()
+    )
+    return pairs.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("__lev") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("identical_n"),
+        F.sum(
+            F.when(
+                (F.col("__lev") > 0) & (F.col("__lev") <= near_threshold), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("near_n"),
+        F.expr("sum(__lev) * 1000000 DIV count(1)")
+        .cast("bigint")
+        .alias("mean_lev_micro"),
+        F.max("__lev").cast("bigint").alias("max_lev"),
+    )

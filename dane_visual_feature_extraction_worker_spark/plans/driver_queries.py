@@ -13523,3 +13523,264 @@ ORACLES["time_to_k"] = """
     FROM per
 """
 QUERIES["time_to_k"] = time_to_k_q
+
+
+def forget_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit (operators/dq.forget_audit):
+    tombstone keys (every user_id = 3 mod 97, plus one key the table
+    has never seen) broadcast against the fact table; one scan, one
+    global aggregate, the not-found request surfaced."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import forget_audit
+
+    e = _events(spark, sf_dir)
+    tomb = (
+        e.where(F.col("user_id") % 97 == 3)
+        .select("user_id")
+        .distinct()
+        .unionByName(
+            spark.range(1).select(F.lit(-1).cast("long").alias("user_id"))
+        )
+    )
+    return forget_audit(e, tomb, entity_col="user_id")
+
+
+ORACLES["forget_audit"] = """
+    WITH tomb AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 3
+      UNION ALL SELECT -1
+    ), flag AS (
+      SELECT e.user_id AS u, (t.k IS NOT NULL) AS hit
+      FROM events e LEFT JOIN tomb t ON t.k = e.user_id
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_purged,
+             CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+               AS rows_kept,
+             CAST(count(DISTINCT CASE WHEN hit THEN u END) AS BIGINT)
+               AS entities_purged,
+             count(*) AS total
+      FROM flag
+    ), req AS (
+      SELECT CAST(count(*) AS BIGINT) AS entities_requested FROM tomb
+    )
+    SELECT entities_requested, entities_purged,
+           CAST(entities_requested - entities_purged AS BIGINT)
+             AS entities_not_found,
+           rows_purged, rows_kept,
+           CAST(rows_purged * 1000000 // total AS BIGINT)
+             AS purged_share_micro
+    FROM agg, req
+"""
+QUERIES["forget_audit"] = forget_audit_q
+
+
+def revision_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-turn revision churn per conversation
+    (operators/textstats.revision_distance): Levenshtein between each
+    'view' turn and the same user's previous one, one entity exchange.
+    Gate projection strips non-ASCII identically on both sides —
+    Spark's levenshtein counts codepoints, DuckDB's counts BYTES, and
+    they agree exactly on the ASCII subset (é: Spark 1 edit, DuckDB
+    2); the engine operator itself runs on raw codepoints."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        revision_distance,
+    )
+
+    e = _events(spark, sf_dir)
+    tr = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("entity"),
+        "ts",
+        F.col("event_id").alias("turn_idx"),
+        F.regexp_replace(
+            F.coalesce(F.col("props"), F.lit("")), r"[^\x00-\x7F]", ""
+        ).alias("text"),
+    )
+    return revision_distance(
+        tr, entity_col="entity", ts_col="ts", order_col="turn_idx"
+    )
+
+
+ORACLES["revision_distance"] = r"""
+    WITH t AS (
+      SELECT user_id AS entity, ts, event_id,
+             regexp_replace(coalesce(props, ''), '[^\x00-\x7F]', '', 'g')
+               AS text
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT entity,
+             levenshtein(text, lag(text) OVER (PARTITION BY entity
+                                               ORDER BY ts, event_id))
+               AS lev
+      FROM t
+    )
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS identical_n,
+           CAST(sum(CASE WHEN lev > 0 AND lev <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS near_n,
+           CAST(sum(lev) * 1000000 // count(*) AS BIGINT)
+             AS mean_lev_micro,
+           CAST(max(lev) AS BIGINT) AS max_lev
+    FROM p WHERE lev IS NOT NULL GROUP BY entity
+"""
+QUERIES["revision_distance"] = revision_distance_q
+
+
+def welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between click and view purchase values
+    (operators/stats.welch_t_report): exact cent moments in ONE
+    conditional aggregate, floats only in the final scalar formula
+    with a fixed IEEE op order both engines replay bit for bit."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        welch_t_report,
+    )
+
+    return welch_t_report(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+ORACLES["welch_ttest"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+      FROM events WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS na,
+             sum(CASE WHEN event_type = 'click' THEN x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+             sum(CASE WHEN event_type = 'click' THEN x * x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS nb,
+             sum(CASE WHEN event_type = 'view' THEN x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb,
+             sum(CASE WHEN event_type = 'view' THEN x * x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2b
+      FROM c
+    ), f AS (
+      SELECT *,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(na * s2a - sa * sa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               / CAST(na AS DOUBLE) AS sea,
+             CAST(nb * s2b - sb * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+               / CAST(nb AS DOUBLE) AS seb
+      FROM m
+    )
+    SELECT 'click' AS group_a, 'view' AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(CAST(sa AS HUGEINT) * 10000 // CAST(na AS HUGEINT)
+                AS BIGINT) AS mean_a_micro,
+           CAST(CAST(sb AS HUGEINT) * 10000 // CAST(nb AS HUGEINT)
+                AS BIGINT) AS mean_b_micro,
+           CASE WHEN na > 1 AND nb > 1 THEN
+             CAST(floor((CAST(sa AS DOUBLE) / nad - CAST(sb AS DOUBLE) / nbd)
+                  / sqrt(sea + seb) * 1000000.0) AS BIGINT) END AS t_micro,
+           CASE WHEN na > 1 AND nb > 1 THEN
+             CAST(floor(((sea + seb) * (sea + seb))
+                  / ((sea * sea) / (nad - 1.0) + (seb * seb) / (nbd - 1.0))
+                  * 1000000.0) AS BIGINT) END AS df_micro
+    FROM f
+"""
+QUERIES["welch_ttest"] = welch_ttest_q
+
+
+def kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash-LSH candidate graph
+    (operators/graph.kcore_peel): iterative peeling with a shrinking
+    checkpointed edge list, gated against a fixed-depth recursive-CTE
+    replay (cap 30 = the engine's max_iters, so a pathological
+    slow peel raises engine-side rather than silently diverging).
+    triangle_count scores cohesion, near_dup_clusters reachability;
+    the 2-core strips chain appendages off dup cliques."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return kcore_peel(
+        minhash_lsh_pairs(docs), docs.select("doc_id"), k=2, max_iters=30
+    )
+
+
+ORACLES["kcore"] = (
+    ORACLES["near_dup_clusters"].split("), reach AS")[0]
+    + """), alive(it, node) AS (
+      SELECT 0, doc_id FROM documents
+      UNION ALL
+      SELECT it + 1, node FROM (
+        SELECT x.it, x.node, count(*) AS deg
+        FROM alive x
+        JOIN edges e ON e.s = x.node
+        JOIN alive y ON y.node = e.t AND y.it = x.it
+        GROUP BY 1, 2
+      ) WHERE deg >= 2 AND it < 30
+    ), last AS (
+      SELECT node, max(it) AS last FROM alive GROUP BY 1
+    )
+    SELECT node AS doc_id,
+           CASE WHEN last = 30 THEN NULL
+                ELSE CAST(last AS BIGINT) END AS rounds_survived,
+           (last = 30) AS in_kcore
+    FROM last
+"""
+)
+QUERIES["kcore"] = kcore_q
+
+
+def cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-cosine near-dup pairs >= 0.5 (operators/dedup.cosine_pairs):
+    all-integer cos² (dot², norm products, one DIV), candidates from
+    the df-capped inverted index, exact dot from the full tf table —
+    the multiset-weighted twin of dedup_jaccard."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        cosine_pairs,
+    )
+
+    return cosine_pairs(
+        _documents(spark, sf_dir), cos_threshold=0.5, max_df=1000
+    )
+
+
+ORACLES["cosine_pairs"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), n2 AS (
+      SELECT doc_id, CAST(sum(tf * tf) AS HUGEINT) AS n2
+      FROM tf GROUP BY 1
+    ), dfc AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), cold AS (
+      SELECT tf.doc_id, tf.t FROM tf JOIN dfc USING (t) WHERE df <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cold a JOIN cold b ON a.t = b.t AND a.doc_id < b.doc_id
+    ), dot AS (
+      SELECT c.doc_a, c.doc_b, CAST(sum(ta.tf * tb.tf) AS HUGEINT) AS dot
+      FROM cand c
+      JOIN tf ta ON ta.doc_id = c.doc_a
+      JOIN tf tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
+             AS cos2_micro
+    FROM dot
+    JOIN n2 na ON na.doc_id = dot.doc_a
+    JOIN n2 nb ON nb.doc_id = dot.doc_b
+    WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000
+"""
+QUERIES["cosine_pairs"] = cosine_pairs_q
