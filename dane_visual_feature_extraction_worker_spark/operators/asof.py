@@ -566,3 +566,87 @@ def asof_join_routed(
         **kw,
     ).select(*cold.columns)
     return cold.unionByName(hot)
+
+
+def resample_ffill(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: for each entity, emit
+    one row per ``step_seconds`` tick between its first and last event
+    (ticks aligned to epoch multiples of the step), carrying the latest
+    observed value at-or-before the tick — the gap-filler that turns
+    irregular event streams into the fixed-cadence matrix
+    sequence models and joins against other regular series expect.
+    The degenerate self-as-of case: every grid tick is an as-of probe
+    into the entity's own history (strict ``<=``, the zero-leakage
+    rule shared with the flagship join).
+
+    Returns ``(entity, tick, value_ffill_cents)``: tick = epoch
+    seconds (bigint, a step multiple), value forward-filled as exact
+    cents (NULL only when an entity's first tick precedes any event —
+    impossible here since ticks start at ceil(first/step), so every
+    tick has a predecessor).
+
+    Plan: per-entity bounds from ONE map-side-combined groupBy;
+    ``sequence()`` explodes the tick range NARROWLY (no shuffle — grid
+    rows are generated inside the partition holding the entity's
+    bounds row); events collapse to one value per (entity, ts) —
+    deterministic max, documented — then grid and events union and a
+    single ``last(ignorenulls)`` running window over (entity) fills
+    forward.  Two corpus-key exchanges total (bounds agg + the window
+    sort); never a range join, never a per-tick probe join.  Grid
+    size is bounded by span/step per entity — size the step so
+    span/step stays O(10⁴) per entity at the target scale (the same
+    contract a time-series store's downsampler imposes).
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    ts_l = F.floor(sec).cast("bigint")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    ev = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            ts_l.alias("__ts"),
+            cents.alias("__cents"),
+        )
+        .groupBy("entity", "__ts")
+        .agg(F.max("__cents").alias("__cents"))
+    )
+    step = F.lit(step_seconds).cast("bigint")
+    bounds = ev.groupBy("entity").agg(
+        F.min("__ts").alias("__mn"), F.max("__ts").alias("__mx")
+    )
+    first_tick = (
+        F.expr(f"(__mn + {step_seconds} - 1) DIV {step_seconds}") * step
+    ).cast("bigint")
+    last_tick = (F.expr(f"__mx DIV {step_seconds}") * step).cast("bigint")
+    grid = bounds.where(last_tick >= first_tick).select(
+        "entity",
+        F.explode(
+            F.sequence(first_tick, last_tick, step)
+        ).alias("__ts"),
+        F.lit(None).cast("bigint").alias("__cents"),
+        F.lit(1).alias("__is_grid"),
+    )
+    union = ev.withColumn("__is_grid", F.lit(0)).unionByName(grid)
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("__ts", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        union.withColumn(
+            "value_ffill_cents", F.last("__cents", ignorenulls=True).over(w)
+        )
+        .where(F.col("__is_grid") == 1)
+        .select(
+            "entity",
+            F.col("__ts").alias("tick"),
+            "value_ffill_cents",
+        )
+    )

@@ -653,3 +653,52 @@ def forget_audit(
         .cast("bigint")
         .alias("purged_share_micro"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi: dict[str, F.Column],
+    sensitive: F.Column,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the companion gate to ``k_anonymity_report``:
+    k-anonymity bounds re-identification but a class of 50 rows that
+    all share ONE sensitive value still leaks the attribute
+    (homogeneity attack); l-diversity requires every quasi-identifier
+    equivalence class to contain >= l DISTINCT sensitive values.
+
+    Output, one row per distinct diversity level: ``(sensitive_distinct,
+    n_groups, n_rows, below_l)`` — the diversity histogram of the QI
+    partition, flagging classes below ``l_threshold``.
+
+    Plan: one groupBy over (QI, sensitive) collapses duplicates
+    map-side, a second over QI counts distinct values and rows exactly
+    (two narrow re-aggregations of an already-exchanged frame — Spark
+    plans the countDistinct as a two-phase expand over ONE corpus
+    exchange), then a |distinct QI|-sized rollup.  Never a self-join,
+    all exact int64.  NULL sensitive values count as one distinct
+    level (documented: NULL is itself a leak-relevant value).
+    """
+    if not qi:
+        raise ValueError("l_diversity_report needs at least one QI column")
+    pairs = df.groupBy(
+        *[col.alias(name) for name, col in qi.items()],
+        F.coalesce(sensitive.cast("string"), F.lit("\x00NULL")).alias("__s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__rows"))
+    classes = pairs.groupBy(*qi.keys()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__l"),
+        F.sum("__rows").cast("bigint").alias("__n"),
+    )
+    return (
+        classes.groupBy(F.col("__l").alias("sensitive_distinct"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "sensitive_distinct",
+            "n_groups",
+            "n_rows",
+            (F.col("sensitive_distinct") < l_threshold).alias("below_l"),
+        )
+    )

@@ -2502,3 +2502,149 @@ def welch_t_report(
             "df_micro"
         ),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    weights: dict[str, int],
+    threshold_micro: int | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an A/B assignment: the chi-square
+    goodness-of-fit of observed variant counts against the DESIGNED
+    integer split (e.g. ``{"control": 2, "a": 1, "b": 1}`` for
+    50/25/25).  SRM is the first gate any experiment readout must pass
+    — a biased assignment (bot filtering, logging loss, redirect bugs)
+    invalidates every downstream metric, and ``welch_t_report`` /
+    ``ab_conversion_report`` happily compute nonsense on a skewed
+    split.  Flags when chi² exceeds ``threshold_micro`` (pass the
+    α=0.001 critical value for df = |variants|−1; the conventional SRM
+    alarm level).
+
+    Exactness: with D = Σw and W = Πw, chi² = Σᵢ (D·oᵢ − wᵢ·T)² /
+    (D·wᵢ·T) — the numerator Σᵢ (D·oᵢ − wᵢ·T)²·(W/wᵢ) accumulates in
+    decimal(38,0) (EXACT integers; o ≤ 10¹² with single-digit weights
+    keeps terms ≤ 10³³), and the single division by D·W·T happens once
+    at micro precision: chi2_micro = (num·10⁶) DIV (D·W·T).  No
+    floats anywhere.
+
+    Plan: one conditional map-side-combined aggregate over the corpus
+    (the count floor for any SRM check), then a one-row scalar select.
+    Rows whose variant is not in ``weights`` are counted and surfaced
+    as ``n_unassigned`` (an unknown-variant leak is itself an SRM-class
+    bug) but excluded from the chi² — matching the designed-split null.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers per variant")
+    names = sorted(weights)
+    D = sum(weights.values())
+    W = 1
+    for w in weights.values():
+        W *= w
+    d38 = "decimal(38,0)"
+    v = F.col(variant_col)
+    aggs = [
+        F.sum(F.when(v == n, 1).otherwise(0)).cast(d38).alias(f"__o_{i}")
+        for i, n in enumerate(names)
+    ]
+    aggs.append(
+        F.sum(F.when(v.isin(list(names)), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_unassigned")
+    )
+    row = df.agg(*aggs)
+    T = sum(F.col(f"__o_{i}") for i in range(len(names)))
+    num = None
+    for i, n in enumerate(names):
+        dev = F.lit(D).cast(d38) * F.col(f"__o_{i}") - F.lit(
+            weights[n]
+        ).cast(d38) * T
+        term = (dev * dev * F.lit(W // weights[n]).cast(d38)).cast(d38)
+        num = term if num is None else (num + term).cast(d38)
+    chi2 = F.expr(
+        f"CAST(__num * 1000000 AS DECIMAL(38,0))"
+        f" DIV CAST({D} * {W} AS DECIMAL(38,0)) DIV __t"
+    ).cast("bigint")
+    out = row.withColumn("__num", num).withColumn(
+        "__t", T.cast(d38)
+    ).select(
+        T.cast("bigint").alias("n_assigned"),
+        F.col("n_unassigned"),
+        F.lit(len(names) - 1).cast("bigint").alias("dof"),
+        F.when(T > 0, chi2).alias("chi2_micro"),
+        *[
+            F.col(f"__o_{i}").cast("bigint").alias(f"n_{n}")
+            for i, n in enumerate(names)
+        ],
+    )
+    if threshold_micro is not None:
+        out = out.withColumn(
+            "srm_flag",
+            F.coalesce(
+                F.col("chi2_micro") > F.lit(threshold_micro), F.lit(False)
+            ),
+        )
+    return out
+
+
+def mcc_report(
+    df: DataFrame,
+    label: F.Column,
+    pred: F.Column,
+) -> DataFrame:
+    """Binary confusion matrix + Matthews correlation coefficient: the
+    single-number classifier summary that stays honest under class
+    imbalance (accuracy saturates, F1 ignores TN; MCC uses all four
+    cells — the recommended default for imbalanced eval sets).
+    ``label`` / ``pred`` are boolean expressions.
+
+    Output (one row): tp/fp/tn/fn, exact ``accuracy_micro`` (integer
+    DIV), and ``mcc_micro`` = floor(mcc·10⁶) — NULL when any margin is
+    zero (MCC undefined).  The MCC numerator tp·tn − fp·fn accumulates
+    in decimal(38,0) (exact to 10¹⁹ rows); the denominator is computed
+    as √(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn) in a FIXED IEEE op order —
+    each margin ≤ 2⁵³ converts to double exactly, so any engine
+    replays the same bits (the welch_t_report discipline).
+
+    Plan: ONE conditional map-side-combined aggregate — single corpus
+    scan, zero shuffle, one output row.  NULL labels/preds are counted
+    into neither cell and surfaced as ``n_null``.
+    """
+    d38 = "decimal(38,0)"
+    lb, pb = label, pred
+    cell = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast(d38)  # noqa: E731
+    row = df.agg(
+        cell(lb & pb).alias("__tp"),
+        cell(~lb & pb).alias("__fp"),
+        cell(~lb & ~pb).alias("__tn"),
+        cell(lb & ~pb).alias("__fn"),
+        F.sum(F.when(lb.isNull() | pb.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    tp, fp, tn, fn = (F.col(f"__{c}") for c in ("tp", "fp", "tn", "fn"))
+    total = (tp + fp + tn + fn).cast(d38)
+    num = (tp * tn - fp * fn).cast(d38).cast("double")
+    den = (
+        F.sqrt((tp + fp).cast("double"))
+        * F.sqrt((tp + fn).cast("double"))
+        * F.sqrt((tn + fp).cast("double"))
+        * F.sqrt((tn + fn).cast("double"))
+    )
+    ok = (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0)
+    return row.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        tn.cast("bigint").alias("tn"),
+        fn.cast("bigint").alias("fn"),
+        F.col("n_null"),
+        F.when(
+            total > 0,
+            F.expr(
+                "CAST((__tp + __tn) * 1000000 AS DECIMAL(38,0))"
+                " DIV (__tp + __fp + __tn + __fn)"
+            ).cast("bigint"),
+        ).alias("accuracy_micro"),
+        F.when(ok, F.floor(num / den * F.lit(1_000_000.0)).cast("bigint"))
+        .alias("mcc_micro"),
+    )

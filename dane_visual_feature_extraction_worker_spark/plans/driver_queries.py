@@ -13784,3 +13784,204 @@ ORACLES["cosine_pairs"] = r"""
     WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000
 """
 QUERIES["cosine_pairs"] = cosine_pairs_q
+
+
+def srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/stats.srm_check) over the
+    distinct-user spine: md5-deterministic 2:1:1 assignment (no
+    rand()), one ghost variant injected (user_id % 101 == 7) to
+    exercise the unassigned-leak counter; chi² exact-integer, flagged
+    at the df=2 α=0.001 critical value 13.816."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import srm_check
+
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    hx = F.md5(F.concat_ws("|", F.lit("srm"), F.col("user_id").cast("string")))
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    assigned = users.select(
+        F.when(F.col("user_id") % 101 == 7, F.lit("ghost"))
+        .otherwise(
+            F.when(key % 4 < 2, F.lit("control"))
+            .when(key % 4 == 2, F.lit("a"))
+            .otherwise(F.lit("b"))
+        )
+        .alias("variant")
+    )
+    return srm_check(
+        assigned,
+        "variant",
+        {"control": 2, "a": 1, "b": 1},
+        threshold_micro=13_816_000,
+    )
+
+
+ORACLES["srm_check"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+      SELECT CASE WHEN user_id % 101 = 7 THEN 'ghost'
+                  WHEN CAST(('0x' || substr(md5('srm|' ||
+                       CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 4 < 2 THEN 'control'
+                  WHEN CAST(('0x' || substr(md5('srm|' ||
+                       CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 4 = 2 THEN 'a'
+                  ELSE 'b' END AS variant
+      FROM u
+    ), o AS (
+      SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS oa,
+             CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS ob,
+             CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS oc,
+             CAST(sum(CASE WHEN variant IN ('a','b','control')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_unassigned
+      FROM a
+    ), f AS (
+      SELECT *, oa + ob + oc AS t,
+             (4*oa - t) * (4*oa - t) * 2
+           + (4*ob - t) * (4*ob - t) * 2
+           + (4*oc - 2*t) * (4*oc - 2*t) AS num
+      FROM o
+    )
+    SELECT CAST(t AS BIGINT) AS n_assigned, n_unassigned,
+           CAST(2 AS BIGINT) AS dof,
+           CASE WHEN t > 0 THEN
+             CAST(num * 1000000 // 8 // t AS BIGINT) END AS chi2_micro,
+           CAST(oa AS BIGINT) AS n_a, CAST(ob AS BIGINT) AS n_b,
+           CAST(oc AS BIGINT) AS n_control,
+           coalesce(num * 1000000 // 8 // t > 13816000, false) AS srm_flag
+    FROM f
+"""
+QUERIES["srm_check"] = srm_check_q
+
+
+def mcc_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of sign(first embedding component) as a
+    detector for the label-0 class (operators/stats.mcc_report): one
+    conditional aggregate; exact decimal numerator, fixed-order
+    sqrt-product denominator both engines replay bit for bit."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import mcc_report
+
+    e = _embeddings(spark, sf_dir)
+    return mcc_report(
+        e,
+        label=F.col("label") == 0,
+        pred=F.col("embedding")[0].cast("double") > F.lit(0.0),
+    )
+
+
+ORACLES["mcc_eval"] = """
+    WITH c AS (
+      SELECT (label = 0) AS y,
+             (CAST(embedding[1] AS DOUBLE) > 0.0) AS p
+      FROM embeddings
+    ), m AS (
+      SELECT CAST(sum(CASE WHEN y AND p THEN 1 ELSE 0 END) AS HUGEINT)
+               AS tp,
+             CAST(sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS HUGEINT)
+               AS fp,
+             CAST(sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS tn,
+             CAST(sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS HUGEINT)
+               AS fn,
+             CAST(sum(CASE WHEN y IS NULL OR p IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null
+      FROM c
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn, n_null,
+           CASE WHEN tp + fp + tn + fn > 0 THEN
+             CAST((tp + tn) * 1000000 // (tp + fp + tn + fn) AS BIGINT)
+           END AS accuracy_micro,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0 THEN
+             CAST(floor(CAST(tp * tn - fp * fn AS DOUBLE)
+                  / (sqrt(CAST(tp + fp AS DOUBLE))
+                     * sqrt(CAST(tp + fn AS DOUBLE))
+                     * sqrt(CAST(tn + fp AS DOUBLE))
+                     * sqrt(CAST(tn + fn AS DOUBLE)))
+                  * 1000000.0) AS BIGINT)
+           END AS mcc_micro
+    FROM m
+"""
+QUERIES["mcc_eval"] = mcc_eval_q
+
+
+def l_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/dq.l_diversity_report): QI =
+    (lang, n_chars DIV 512), sensitive = source; diversity histogram
+    flagging homogeneous classes below l=3 — the homogeneity-attack
+    gate k_anonymity alone misses."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        l_diversity_report,
+    )
+
+    d = _documents(spark, sf_dir)
+    return l_diversity_report(
+        d,
+        {"lang": F.col("lang"), "len_bucket": F.expr("n_chars DIV 512")},
+        sensitive=F.col("source"),
+        l_threshold=3,
+    )
+
+
+ORACLES["l_diversity"] = """
+    WITH pairs AS (
+      SELECT lang, n_chars // 512 AS len_bucket,
+             coalesce(CAST(source AS VARCHAR), chr(0) || 'NULL') AS s,
+             CAST(count(*) AS BIGINT) AS r
+      FROM documents GROUP BY 1, 2, 3
+    ), classes AS (
+      SELECT lang, len_bucket,
+             CAST(count(*) AS BIGINT) AS l, CAST(sum(r) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT l AS sensitive_distinct,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           l < 3 AS below_l
+    FROM classes GROUP BY l
+"""
+QUERIES["l_diversity"] = l_diversity_q
+
+
+def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid forward fill per user (operators/asof.resample_ffill):
+    sequence()-exploded epoch-aligned ticks + ONE last(ignorenulls)
+    running window over the grid∪events union — two entity exchanges
+    total, never a per-tick probe join; gated against DuckDB's native
+    ASOF LEFT JOIN on the identical floored-seconds frame."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        resample_ffill,
+    )
+
+    return resample_ffill(
+        _events(spark, sf_dir),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+    )
+
+
+ORACLES["resample_ffill"] = """
+    WITH ev AS (
+      SELECT user_id AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT entity, min(t) AS mn, max(t) AS mx FROM ev GROUP BY 1
+    ), g AS (
+      SELECT entity,
+             unnest(generate_series((mn + 3599) // 3600 * 3600,
+                                    mx // 3600 * 3600, 3600)) AS tick
+      FROM b
+      WHERE mx // 3600 * 3600 >= (mn + 3599) // 3600 * 3600
+    )
+    SELECT g.entity, g.tick, e.cents AS value_ffill_cents
+    FROM g ASOF LEFT JOIN ev e
+      ON g.entity = e.entity AND g.tick >= e.t
+"""
+QUERIES["resample_ffill"] = resample_ffill_q
