@@ -246,3 +246,111 @@ def kcore_peel(
     for r in removed_frames:
         out = out.unionByName(r.withColumn("in_kcore", F.lit(False)))
     return out.withColumnRenamed("__node", id_col)
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected simple
+    graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the per-node
+    "how clique-like is my neighborhood" score that separates a dup
+    CLIQUE member (cc→1) from a hub that merely bridges many
+    near-cliques (high degree, low cc).  Output ``(node, degree,
+    n_triangles, cc_micro)`` for every node with degree ≥ 2 (cc is
+    undefined below); all-integer — cc_micro = (2·tri·10⁶) DIV
+    (deg·(deg−1)), no floats.
+
+    Plan: one symmetrized degree aggregate (uniform edge-key
+    exchange), ``triangle_counts`` (oriented wedge join — each
+    triangle found exactly once), one uniform left join of triangles
+    onto the degree spine (triangle-free nodes report 0).  Work is
+    bounded by the wedge count of the ORIENTED graph (Σ out-deg² with
+    out-degree capped by orientation — the standard scalable triangle
+    plan, not the naive Σ deg²).
+    """
+    deg = (
+        edges.select(F.col(src).alias("__v"))
+        .unionAll(edges.select(F.col(dst).alias("__v")))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst).select(
+        F.col("node").alias("__v"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "__v", "left")
+        .select(
+            F.col("__v").alias("node"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(coalesce(n_triangles, 0) * 2 * 1000000 AS DECIMAL(38,0))"
+                " DIV CAST(degree * (degree - 1) AS DECIMAL(38,0))"
+            )
+            .cast("bigint")
+            .alias("cc_micro"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over every edge endpoint pair
+    (each undirected edge contributes both orientations — the standard
+    Newman estimator).  Positive = hubs attach to hubs (a merged
+    template family), negative = hubs attach to leaves (a star — one
+    canonical doc with many near-copies); the single-number shape
+    summary of a dup graph that node-level metrics can't give.
+
+    Delegates the moment math to ``pearson_corr_exact`` (exact
+    decimal(38,0) sums, fixed-IEEE final formula) over the
+    degree-joined symmetric edge frame.  Output one row:
+    ``(n_endpoint_pairs, n_nodes, n_edges, assort_r)`` — r NULL for
+    degree-regular graphs (zero variance).
+
+    Plan: one degree aggregate, two uniform joins hanging degrees on
+    both endpoints (degree table is |V| rows — broadcast when small),
+    ONE moment aggregate; the edge list never self-joins.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        pearson_corr_exact,
+    )
+
+    sym = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__t")
+    ).unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__t")))
+    deg = sym.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__d")
+    )
+    # graph-size scalars ride the |V|-row degree frame (one tiny agg +
+    # broadcast cross join), NOT driver .count()s — a lazy `edges`
+    # (e.g. the LSH pair pipeline) would recompute per count otherwise
+    # (the doc_pagerank lesson); pin `edges` at the call site anyway.
+    sizes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("__d") / 2).cast("bigint").alias("n_edges"),
+    )
+    joined = (
+        sym.join(deg.withColumnRenamed("__d", "__ds"), "__s")
+        .join(
+            deg.select(
+                F.col("__s").alias("__t"), F.col("__d").alias("__dt")
+            ),
+            "__t",
+        )
+    )
+    r = pearson_corr_exact(
+        joined, {"degree": F.col("__ds")}, F.col("__dt")
+    )
+    return r.crossJoin(F.broadcast(sizes)).select(
+        F.col("n").alias("n_endpoint_pairs"),
+        "n_nodes",
+        "n_edges",
+        F.col("r").alias("assort_r"),
+    )

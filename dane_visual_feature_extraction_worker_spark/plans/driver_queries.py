@@ -13985,3 +13985,117 @@ ORACLES["resample_ffill"] = """
       ON g.entity = e.entity AND g.tick >= e.t
 """
 QUERIES["resample_ffill"] = resample_ffill_q
+
+
+def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the MinHash-LSH candidate
+    graph (operators/graph.clustering_coefficients): all-integer
+    cc_micro per node with degree >= 2; pairs pinned once
+    (localCheckpoint) so the degree spine and the wedge pipeline read
+    a materialized edge list, not three LSH replays."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    pairs = minhash_lsh_pairs(_documents(spark, sf_dir)).localCheckpoint()
+    return clustering_coefficients(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "cc_micro"
+    )
+
+
+ORACLES["clustering_coeff"] = f"""
+    WITH pairs AS ({{lsh}}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS v FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS a,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS b
+      FROM pairs p
+      JOIN deg da ON da.v = p.doc_a
+      JOIN deg db ON db.v = p.doc_b
+    ),
+    tri AS (
+      SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      FROM o e1
+      JOIN o e2 ON e2.a = e1.b
+      JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS nt FROM (
+        SELECT ta AS node FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.v AS doc_id, deg.d AS degree,
+           coalesce(tcnt.nt, 0) AS n_triangles,
+           CAST(CAST(coalesce(tcnt.nt, 0) AS HUGEINT) * 2 * 1000000
+                // (CAST(deg.d AS HUGEINT) * (deg.d - 1)) AS BIGINT)
+             AS cc_micro
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.v
+    WHERE deg.d >= 2
+""".format(lsh=ORACLES["dedup_minhash_lsh"])
+QUERIES["clustering_coeff"] = clustering_coeff_q
+
+
+def assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the MinHash-LSH candidate graph
+    (operators/graph.degree_assortativity): Newman's estimator as
+    pearson_corr_exact over the degree-joined symmetric edge frame —
+    exact decimal moments, graph-size scalars riding the |V|-row
+    degree frame (no driver counts), edges pinned once."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    pairs = minhash_lsh_pairs(_documents(spark, sf_dir)).localCheckpoint()
+    return degree_assortativity(pairs, src="doc_a", dst="doc_b")
+
+
+ORACLES["assortativity"] = f"""
+    WITH pairs AS ({{lsh}}),
+    sym AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT s AS v, CAST(count(*) AS HUGEINT) AS d FROM sym GROUP BY s
+    ),
+    j AS (
+      SELECT ds.d AS x, dt.d AS y
+      FROM sym JOIN deg ds ON ds.v = sym.s JOIN deg dt ON dt.v = sym.t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j
+    ),
+    sz AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) // 2 AS BIGINT) AS n_edges
+      FROM deg
+    )
+    SELECT CAST(n AS BIGINT) AS n_endpoint_pairs, n_nodes, n_edges,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     * 1000000.0) / 1000000.0
+                ELSE NULL END AS assort_r
+    FROM m, sz
+""".format(lsh=ORACLES["dedup_minhash_lsh"])
+QUERIES["assortativity"] = assortativity_q
