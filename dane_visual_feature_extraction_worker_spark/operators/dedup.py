@@ -1474,3 +1474,109 @@ def cosine_pairs(
         )
     )
     return out.where(F.col("cos2_micro") >= min_micro)
+
+
+def blocking_quality(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocking-quality report for a candidate-pair generator (LSH
+    bands, SimHash buckets, sorted-neighborhood — anything emitting
+    ``(doc_a, doc_b)``): the two numbers that grade an entity-
+    resolution / dedup blocking scheme BEFORE the expensive verify
+    stage runs — **reduction ratio** (1 − candidates / all-pairs: how
+    much of the N² quadrat the blocker pruned) and **pair
+    completeness** (recall of ground-truth duplicate pairs inside the
+    candidate set).  Ground truth here = EXACT text duplicates
+    (md5-equal), the label every corpus carries for free; a blocker
+    that misses exact copies misses everything.
+
+    All exact integers: truth pairs Σ g·(g−1)/2 from one hash groupBy;
+    found pairs via two uniform hash-lookup joins (doc→digest is
+    |N| rows); totals via a distinct-id count.  Ratios as micro DIVs.
+    Output one row: ``(n_docs, all_pairs, n_candidates,
+    n_truth_pairs, n_truth_found, reduction_ratio_micro,
+    pair_completeness_micro)``.
+
+    Plan: the corpus is scanned once for digests (persist the digest
+    frame if the caller reuses it); candidates are never self-joined —
+    each truth-membership check is an equi-join against the
+    |N|-row digest table (broadcast when it fits).  At 10¹² docs
+    all_pairs overflows int64 — computed in decimal(38,0).
+    """
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+
+    d38 = "decimal(38,0)"
+    dig = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"),
+        ),
+        "dedup.blocking_digests",
+    )
+    counts = dig.agg(
+        F.countDistinct("__id").cast(d38).alias("__n"),
+    )
+    truth = dig.groupBy("__h").agg(
+        F.count(F.lit(1)).cast(d38).alias("__g")
+    ).agg(
+        F.sum(F.expr("__g * (__g - 1) DIV 2").cast(d38)).alias("__t")
+    )
+    cand = candidates.select(
+        F.col("doc_a").alias("__a"), F.col("doc_b").alias("__b")
+    ).distinct()
+    cstats = (
+        cand.join(
+            dig.select(F.col("__id").alias("__a"), F.col("__h").alias("__ha")),
+            "__a",
+        )
+        .join(
+            dig.select(F.col("__id").alias("__b"), F.col("__h").alias("__hb")),
+            "__b",
+        )
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("__c"),
+            F.sum(F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0))
+            .cast(d38)
+            .alias("__f"),
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            F.col("__n").cast("bigint").alias("n_docs"),
+            F.expr("CAST(__n * (__n - 1) DIV 2 AS DECIMAL(38,0))").alias(
+                "__ap"
+            ),
+            F.col("__c").cast("bigint").alias("n_candidates"),
+            F.col("__t").cast("bigint").alias("n_truth_pairs"),
+            F.col("__f").cast("bigint").alias("n_truth_found"),
+            F.col("__c"),
+            F.col("__t"),
+            F.col("__f"),
+        )
+        .select(
+            "n_docs",
+            F.col("__ap").cast("bigint").alias("all_pairs"),
+            "n_candidates",
+            "n_truth_pairs",
+            "n_truth_found",
+            F.when(
+                F.col("__ap") > 0,
+                F.expr(
+                    "CAST((__ap - __c) * 1000000 AS DECIMAL(38,0)) DIV __ap"
+                ).cast("bigint"),
+            ).alias("reduction_ratio_micro"),
+            F.when(
+                F.col("__t") > 0,
+                F.expr(
+                    "CAST(__f * 1000000 AS DECIMAL(38,0)) DIV __t"
+                ).cast("bigint"),
+            ).alias("pair_completeness_micro"),
+        )
+    )

@@ -155,3 +155,93 @@ def lifetime_features(
         "active_days",
         "n_events",
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    campaign: F.Column | None = None,
+    lookback_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the fairness
+    counterpart to last-touch: each conversion's value splits EQUALLY
+    across every touch in its trailing ``lookback_seconds`` window,
+    so upper-funnel touches stop reading as worthless.  Conversions
+    with NO in-window touch report under campaign NULL at full value
+    (unattributed — surfaced, never dropped; the last-touch entry's
+    contract).
+
+    The plan is the algebraic inversion that avoids the touch×conv
+    range JOIN entirely: (1) per conversion, touches(p) = count of
+    touches in (p − L, p) via one trailing RANGE frame, giving the
+    per-conversion share s(p) = value·10⁶ DIV touches in exact
+    micro-cents; (2) per touch, credit = Σ s(p) over conversions in
+    (t, t + L] via one FORWARD range frame.  Two windows over the SAME
+    (entity, ts) exchange — one shuffle total, zero joins, exact
+    integers end to end (each conversion leaks < touches µ¢ to
+    flooring; deterministic in any engine since shares are
+    nonnegative).  Boundary rule: a touch at the conversion's exact
+    microsecond is in NEITHER frame (strictly-before counts the touch,
+    strictly-after credits it) — documented, symmetric.
+
+    Output per campaign: ``(campaign, n_touches, credit_microcents)``
+    plus the NULL row carrying unattributed conversions' full value.
+    """
+    if campaign is None:
+        campaign = F.lit(None).cast("bigint")
+    # exact integer microseconds (unix_micros / epoch_us) — a
+    # double-seconds roundtrip (*1e6, truncate) can flip the last
+    # digit between engines near representability boundaries
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lb = int(lookback_seconds) * 1_000_000
+    is_touch = F.col(type_col) == touch_type
+    is_conv = F.col(type_col) == conv_type
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.where(is_touch | is_conv).select(
+        F.col(entity_col).alias("__e"),
+        micros.alias("__us"),
+        (F.col(type_col) == touch_type).alias("__t"),
+        F.when(is_conv, cents).alias("__cents"),
+        F.when(is_touch, campaign).alias("campaign"),
+    )
+    order = Window.partitionBy("__e").orderBy("__us")
+    back = order.rangeBetween(-lb, -1)
+    fwd = order.rangeBetween(1, lb)
+    touches = F.sum(F.when(F.col("__t"), 1).otherwise(0)).over(back)
+    with_share = base.withColumn(
+        # empty trailing frame -> Spark sum() is NULL, not 0: coalesce,
+        # or no-touch conversions vanish instead of landing in the
+        # unattributed bucket
+        "__nt",
+        F.when(F.col("__cents").isNotNull(), F.coalesce(touches, F.lit(0))),
+    ).withColumn(
+        "__share",
+        F.when(
+            F.col("__nt") > 0,
+            F.expr(
+                "CAST(__cents AS DECIMAL(38,0)) * 1000000 DIV __nt"
+            ),
+        ).cast("bigint"),
+    )
+    credited = with_share.withColumn(
+        "__credit", F.sum("__share").over(fwd)
+    )
+    # one row stream, one final rollup: touches carry their forward
+    # credit; orphan conversions (no in-window touch) carry full value
+    # under campaign NULL with zero touch count
+    rows = credited.select(
+        F.when(F.col("__t"), F.col("campaign")).alias("campaign"),
+        F.when(F.col("__t"), 1).otherwise(0).alias("__is_touch"),
+        F.when(F.col("__t"), F.coalesce("__credit", F.lit(0)))
+        .when(F.col("__nt") == 0, F.expr("CAST(__cents AS BIGINT) * 1000000"))
+        .alias("__amt"),
+    ).where(F.col("__amt").isNotNull())
+    return rows.groupBy("campaign").agg(
+        F.sum("__is_touch").cast("bigint").alias("n_touches"),
+        F.sum("__amt").cast("bigint").alias("credit_microcents"),
+    )

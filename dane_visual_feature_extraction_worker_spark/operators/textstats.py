@@ -1901,3 +1901,59 @@ def revision_distance(
         .alias("mean_lev_micro"),
         F.max("__lev").cast("bigint").alias("max_lev"),
     )
+
+
+def encoding_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source encoding-health report — the mojibake detector run
+    before any tokenizer sees the corpus: double-encoded UTF-8 read as
+    Latin-1/cp1252 leaves unmistakable fingerprints ('Ã' + continuation
+    letter for 2-byte sequences, 'â€' for punctuation like ’ “ ”),
+    lossy decodes leave U+FFFD replacement chars, and binary spills
+    leave C0 control bytes.  A source with a high mojibake share needs
+    re-ingestion, not scrubbing — these errors are IRREVERSIBLE after
+    normalization, which is why this audit must run first.
+
+    Output per group: ``(group, n_docs, n_mojibake, n_replacement,
+    n_control, clean_share_micro)`` — doc-level flags (a doc counts
+    once per category), exact integer share.
+
+    Plan: narrow per-row flag projection (JVM regexp, no Python) +
+    ONE map-side-combined groupBy on the |sources|-key column.  Zero
+    joins; the corpus never shuffles (the exchange carries
+    |sources|·|tasks| partial rows).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # literal fingerprint panel (NOT a regex): the UTF-8-as-cp1252
+    # signatures for the high-frequency punctuation ('â€' prefixes ’ “
+    # ” … –) and European vowels.  Literal `contains` is bit-identical
+    # in every engine; a Unicode regex class here would reopen the
+    # Java-regex/RE2 \u-escape divergence the decode2d gate documented.
+    _FINGERPRINTS = ["â€", "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã ", "Â "]
+    moji = None
+    for fp in _FINGERPRINTS:
+        c = txt.contains(fp)
+        moji = c if moji is None else (moji | c)
+    repl = txt.contains("�")
+    ctrl = txt.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    flags = df.select(
+        F.col(group_col).alias("group"),
+        moji.cast("int").alias("__m"),
+        repl.cast("int").alias("__r"),
+        ctrl.cast("int").alias("__c"),
+    )
+    return flags.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__m").cast("bigint").alias("n_mojibake"),
+        F.sum("__r").cast("bigint").alias("n_replacement"),
+        F.sum("__c").cast("bigint").alias("n_control"),
+        F.expr(
+            "sum(CASE WHEN __m = 0 AND __r = 0 AND __c = 0 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("clean_share_micro"),
+    )

@@ -14099,3 +14099,167 @@ ORACLES["assortativity"] = f"""
     FROM m, sz
 """.format(lsh=ORACLES["dedup_minhash_lsh"])
 QUERIES["assortativity"] = assortativity_q
+
+
+def linear_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over a 7-day lookback
+    (operators/funnel.linear_attribution): the algebraic two-window
+    inversion — trailing RANGE frame sizes each purchase's touch set,
+    forward RANGE frame sums each click's credit — one entity
+    exchange, zero joins, exact micro-cents.  The NULL campaign row
+    carries unattributed purchases (no in-window touch) plus credit
+    of clicks without a campaign tag."""
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        linear_attribution,
+    )
+
+    return linear_attribution(
+        _events(spark, sf_dir),
+        entity_col="user_id",
+        ts_col="ts",
+        touch_type="click",
+        conv_type="purchase",
+        value_col="value",
+        campaign=F.get_json_object("props", "$.k").cast("bigint"),
+        lookback_seconds=7 * 86400,
+    )
+
+
+ORACLES["linear_attribution"] = """
+    WITH base AS (
+      SELECT user_id AS e, epoch_us(ts) AS us,
+             (event_type = 'click') AS t,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS cents,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS campaign
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), sh AS (
+      SELECT *,
+             CASE WHEN cents IS NOT NULL THEN
+               coalesce(sum(CASE WHEN t THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY e ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0)
+             END AS nt
+      FROM base
+    ), sh2 AS (
+      SELECT *,
+             CASE WHEN nt > 0
+                  THEN CAST(CAST(cents AS HUGEINT) * 1000000 // nt AS BIGINT)
+             END AS share
+      FROM sh
+    ), cr AS (
+      SELECT *,
+             sum(share) OVER (PARTITION BY e ORDER BY us
+               RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING)
+               AS credit
+      FROM sh2
+    ), amts AS (
+      SELECT CASE WHEN t THEN campaign END AS campaign,
+             CASE WHEN t THEN 1 ELSE 0 END AS is_touch,
+             CASE WHEN t THEN coalesce(credit, 0)
+                  WHEN nt = 0 THEN CAST(cents AS BIGINT) * 1000000
+             END AS amt
+      FROM cr
+    )
+    SELECT campaign, CAST(sum(is_touch) AS BIGINT) AS n_touches,
+           CAST(sum(amt) AS BIGINT) AS credit_microcents
+    FROM amts WHERE amt IS NOT NULL GROUP BY campaign
+"""
+QUERIES["linear_attribution"] = linear_attribution_q
+
+
+def blocking_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pair completeness of the MinHash-LSH blocker
+    against exact-duplicate ground truth (operators/dedup.
+    blocking_quality): one digest scan (persisted across the two
+    membership joins), truth pairs from one hash groupBy, candidates
+    never self-joined."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        blocking_quality,
+        minhash_lsh_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return blocking_quality(docs, minhash_lsh_pairs(docs))
+
+
+ORACLES["blocking_quality"] = f"""
+    WITH pairs AS ({{lsh}}),
+    dig AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS h FROM documents
+    ),
+    n AS (SELECT CAST(count(DISTINCT id) AS HUGEINT) AS n FROM dig),
+    t AS (
+      SELECT CAST(sum(g * (g - 1) // 2) AS HUGEINT) AS t FROM (
+        SELECT CAST(count(*) AS HUGEINT) AS g FROM dig GROUP BY h
+      )
+    ),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    c AS (
+      SELECT CAST(count(*) AS HUGEINT) AS c,
+             CAST(sum(CASE WHEN da.h = db.h THEN 1 ELSE 0 END) AS HUGEINT)
+               AS f
+      FROM cand
+      JOIN dig da ON da.id = cand.doc_a
+      JOIN dig db ON db.id = cand.doc_b
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS all_pairs,
+           CAST(c AS BIGINT) AS n_candidates,
+           CAST(t AS BIGINT) AS n_truth_pairs,
+           CAST(f AS BIGINT) AS n_truth_found,
+           CASE WHEN n * (n - 1) // 2 > 0 THEN
+             CAST((n * (n - 1) // 2 - c) * 1000000 // (n * (n - 1) // 2)
+                  AS BIGINT) END AS reduction_ratio_micro,
+           CASE WHEN t > 0 THEN
+             CAST(f * 1000000 // t AS BIGINT) END AS pair_completeness_micro
+    FROM n, t, c
+""".format(lsh=ORACLES["dedup_minhash_lsh"])
+QUERIES["blocking_quality"] = blocking_quality_q
+
+
+def encoding_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mojibake / replacement-char / control-byte audit
+    (operators/textstats.encoding_audit): literal fingerprint panel
+    (pure `contains`, no regex — no Java/RE2 escape divergence) +
+    one ASCII-only control-class rlike; single |sources|-key
+    groupBy, the corpus never shuffles."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        encoding_audit,
+    )
+
+    return encoding_audit(_documents(spark, sf_dir))
+
+
+ORACLES["encoding_audit"] = """
+    WITH flags AS (
+      SELECT source AS "group",
+             CASE WHEN contains(coalesce(text, ''), 'â€')
+                    OR contains(coalesce(text, ''), 'Ã©')
+                    OR contains(coalesce(text, ''), 'Ã¨')
+                    OR contains(coalesce(text, ''), 'Ã¤')
+                    OR contains(coalesce(text, ''), 'Ã¶')
+                    OR contains(coalesce(text, ''), 'Ã¼')
+                    OR contains(coalesce(text, ''), 'Ã±')
+                    OR contains(coalesce(text, ''), 'Ã ')
+                    OR contains(coalesce(text, ''), 'Â ')
+                  THEN 1 ELSE 0 END AS m,
+             CASE WHEN contains(coalesce(text, ''), '�')
+                  THEN 1 ELSE 0 END AS r,
+             CASE WHEN regexp_matches(coalesce(text, ''),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+                  THEN 1 ELSE 0 END AS c
+      FROM documents
+    )
+    SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m) AS BIGINT) AS n_mojibake,
+           CAST(sum(r) AS BIGINT) AS n_replacement,
+           CAST(sum(c) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN m = 0 AND r = 0 AND c = 0 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS clean_share_micro
+    FROM flags GROUP BY 1
+"""
+QUERIES["encoding_audit"] = encoding_audit_q
