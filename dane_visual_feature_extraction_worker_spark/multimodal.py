@@ -718,3 +718,148 @@ def synth_npz_payloads(
             )
 
     return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+_WAV_RIFF = b"RIFF"
+_WAV_WAVE = b"WAVE"
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal canonical-form WAV writer: RIFF/WAVE container, one
+    ``fmt `` chunk (PCM, mono, 16-bit) + one ``data`` chunk,
+    little-endian int16 samples — the exact subset every telephony /
+    ASR corpus ships.  Pure stdlib struct; the encode twin of
+    ``decode_wav`` (round-trip golden-tested)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, int(rate), int(rate) * 2, 2, 16)
+    body = (
+        _WAV_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """From-scratch WAV/PCM decoder: RIFF chunk walk (tolerates extra
+    chunks like LIST/INFO, honors word alignment), strict validation
+    of the fmt contract (PCM, mono, 16-bit — raise on ADPCM/float/
+    stereo rather than silently mis-parse), returns (int16 samples,
+    sample_rate).  The audio member of the decode family next to PPM/
+    PNG/NPZ/JPEG (reference keeps all media behind one decode seam,
+    data_handling.py:31-32); every step is spec-literal so the SQL
+    oracle can replay the byte math."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != _WAV_RIFF or payload[8:12] != _WAV_WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            if length < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} channels={channels} "
+            f"bits={bits} (PCM mono 16-bit only)"
+        )
+    if len(data) % 2:
+        data = data[:-1]
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def synth_wav_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-WAV fixture payloads: the text's UTF-8 byte
+    pairs reinterpreted as little-endian int16 samples (trailing odd
+    byte dropped; fewer than 2 bytes -> one zero sample) at sample
+    rate 8000·(1 + id%3) — the audio twin of synth_png_payloads.
+    Spark-side (mapInPandas), scales with the corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                bs = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                )
+                ns = bs.size // 2
+                if ns == 0:
+                    samples = np.zeros(1, dtype="<i2")
+                else:
+                    samples = bs[: ns * 2].view("<i2")
+                payloads.append(
+                    encode_wav(samples, 8000 * (1 + int(doc_id) % 3))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def decode_audio_features(mm: DataFrame, decode=decode_wav) -> DataFrame:
+    """Decode → per-clip audio summary over binary payloads, one
+    mapInPandas stage (decoder initialized once per task): sample
+    count, rate, exact integer duration (µs DIV), peak amplitude,
+    energy Σs² and mean |s| in micro units — the stats an ASR-corpus
+    intake computes before any resampler runs.  ALL-integer outputs so
+    the gate needs no float tolerance; the waveform itself never
+    leaves the stage (the decode_transform_2d discipline — at 100 TB
+    you don't shuffle PCM)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = decode
+        for pdf in batches:
+            ns_l, rate_l, dur_l, peak_l, en_l, ma_l = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                s, rate = codec(bytes(payload) if payload is not None else b"")
+                a = s.astype(np.int64)
+                ns = int(a.size)
+                ns_l.append(ns)
+                rate_l.append(rate)
+                dur_l.append(ns * 1_000_000 // rate)
+                peak_l.append(int(np.abs(a).max()) if ns else 0)
+                en_l.append(int((a * a).sum()))
+                ma_l.append(
+                    int(np.abs(a).sum()) * 1_000_000 // ns if ns else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.Series(ns_l, dtype="int64"),
+                    "sample_rate": pd.Series(rate_l, dtype="int64"),
+                    "duration_us": pd.Series(dur_l, dtype="int64"),
+                    "peak": pd.Series(peak_l, dtype="int64"),
+                    "energy": pd.Series(en_l, dtype="int64"),
+                    "mean_abs_micro": pd.Series(ma_l, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_samples bigint, sample_rate bigint, "
+            "duration_us bigint, peak bigint, energy bigint, "
+            "mean_abs_micro bigint"
+        ),
+    )

@@ -14263,3 +14263,60 @@ ORACLES["encoding_audit"] = """
     FROM flags GROUP BY 1
 """
 QUERIES["encoding_audit"] = encoding_audit_q
+
+
+def multimodal_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the gate: deterministic RIFF/WAVE PCM
+    payloads (multimodal.encode_wav — the text's UTF-8 byte pairs as
+    little-endian int16 samples) synthesized Spark-side, decoded with
+    the from-scratch chunk-walking decoder (decode_wav: RIFF walk,
+    word alignment, strict PCM-mono-16 validation), summarized to
+    ALL-integer per-clip stats in one mapInPandas stage.  The oracle
+    replays the byte-pair sign math over hex(text) — encode→decode is
+    lossless so byte identity is what the gate checks.  Closes the
+    audio modality next to PPM/PNG/NPZ/JPEG."""
+    from dane_visual_feature_extraction_worker_spark.multimodal import (
+        decode_audio_features,
+        synth_wav_payloads,
+    )
+
+    mm = synth_wav_payloads(_documents(spark, sf_dir))
+    return decode_audio_features(mm)
+
+
+ORACLES["multimodal_decode_wav"] = """
+    WITH base AS (
+      SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+             octet_length(encode(coalesce(text, ''))) AS n,
+             CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate
+      FROM documents
+    ), s AS (
+      SELECT doc_id, rate,
+             CASE WHEN n >= 2 THEN n // 2 ELSE 1 END AS ns,
+             CASE WHEN n >= 2 THEN
+               list_transform(range(0, n // 2), k ->
+                 CASE WHEN CAST(('0x' || substr(hx, k * 4 + 3, 2))
+                           AS BIGINT) >= 128
+                      THEN CAST(('0x' || substr(hx, k * 4 + 3, 2))
+                           AS BIGINT) * 256
+                         + CAST(('0x' || substr(hx, k * 4 + 1, 2))
+                           AS BIGINT) - 65536
+                      ELSE CAST(('0x' || substr(hx, k * 4 + 3, 2))
+                           AS BIGINT) * 256
+                         + CAST(('0x' || substr(hx, k * 4 + 1, 2))
+                           AS BIGINT)
+                 END)
+             ELSE [CAST(0 AS BIGINT)] END AS smp
+      FROM base
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_samples, rate AS sample_rate,
+           CAST(ns * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+             AS peak,
+           CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT)
+             AS energy,
+           CAST(list_sum(list_transform(smp, x -> abs(x))) * 1000000 // ns
+                AS BIGINT) AS mean_abs_micro
+    FROM s
+"""
+QUERIES["multimodal_decode_wav"] = multimodal_decode_wav_q
