@@ -702,3 +702,60 @@ def l_diversity_report(
             (F.col("sensitive_distinct") < l_threshold).alias("below_l"),
         )
     )
+
+
+def cold_start_report(
+    df: DataFrame,
+    split_ts,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cold-start coverage audit for a temporal train/serve split: of
+    the entities active AFTER ``split_ts``, how many have NO history
+    before it?  A feature store backfilled to the split serves those
+    entities all-NULL/default features — a silent quality cliff the
+    usual row-count checks never see.  Reports entity and event-level
+    exposure: ``(n_entities_post, n_cold_entities,
+    cold_entity_share_micro, n_events_post, n_events_cold,
+    cold_event_share_micro)``.
+
+    Plan: ONE conditional per-entity aggregate (min ts + post-split
+    event count — the single entity-key exchange), then a one-row
+    rollup.  Zero joins, exact integer shares; the corpus is scanned
+    once, which is the floor for any coverage audit.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    split = F.lit(split_ts).cast("timestamp")
+    per = df.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.min(ts).alias("__first"),
+        F.sum(F.when(ts >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__post"),
+    )
+    return per.where(F.col("__post") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities_post"),
+        F.sum(F.when(F.col("__first") >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cold_entities"),
+        F.sum("__post").cast("bigint").alias("n_events_post"),
+        F.sum(F.when(F.col("__first") >= split, F.col("__post")).otherwise(0))
+        .cast("bigint")
+        .alias("n_events_cold"),
+    ).select(
+        "n_entities_post",
+        "n_cold_entities",
+        F.when(
+            F.col("n_entities_post") > 0,
+            F.expr("n_cold_entities * 1000000 DIV n_entities_post"),
+        )
+        .cast("bigint")
+        .alias("cold_entity_share_micro"),
+        "n_events_post",
+        "n_events_cold",
+        F.when(
+            F.col("n_events_post") > 0,
+            F.expr("n_events_cold * 1000000 DIV n_events_post"),
+        )
+        .cast("bigint")
+        .alias("cold_event_share_micro"),
+    )

@@ -14320,3 +14320,99 @@ ORACLES["multimodal_decode_wav"] = """
     FROM s
 """
 QUERIES["multimodal_decode_wav"] = multimodal_decode_wav_q
+
+
+def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen spend trend over daily cent totals
+    (operators/stats.theil_sen_trend): robust median-of-pairwise-
+    slopes — signed integer division truncates toward zero in BOTH
+    engines (Spark DIV and DuckDB //), so negative slopes replay
+    exactly; bounded k(k-1)/2 pair fan-out per entity (k <= 31 days
+    here), lazy in-plan max_points guard."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        theil_sen_trend,
+    )
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return theil_sen_trend(
+        daily, entity_col="user_id", x_col="day", y_col="cents"
+    ).withColumnRenamed("entity", "user_id")
+
+
+ORACLES["theil_sen"] = """
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), pts AS (
+      SELECT user_id AS entity, day AS x, max(cents) AS y
+      FROM daily GROUP BY 1, 2
+    ), np AS (
+      SELECT entity, CAST(count(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY 1
+    ), slopes AS (
+      SELECT a.entity,
+             CAST(((b.y - a.y) * 1000000) // (b.x - a.x) AS BIGINT) AS s
+      FROM pts a JOIN pts b ON a.entity = b.entity AND a.x < b.x
+    ), ranked AS (
+      SELECT entity, s,
+             row_number() OVER (PARTITION BY entity ORDER BY s) AS rn,
+             CAST(count(*) OVER (PARTITION BY entity) AS BIGINT) AS npair
+      FROM slopes
+    )
+    SELECT r.entity AS user_id, np.n_points, r.npair AS n_pairs,
+           r.s AS slope_micro
+    FROM ranked r JOIN np ON np.entity = r.entity
+    WHERE r.rn = (r.npair + 1) // 2
+"""
+QUERIES["theil_sen"] = theil_sen_q
+
+
+def cold_start_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start coverage at a 2024-01-20 train/serve split
+    (operators/dq.cold_start_report): one conditional entity
+    aggregate + one-row rollup, zero joins — the share of post-split
+    entities (and their events) a split-backfilled feature store
+    would serve featureless."""
+    from dane_visual_feature_extraction_worker_spark.operators.dq import (
+        cold_start_report,
+    )
+
+    return cold_start_report(
+        _events(spark, sf_dir), split_ts="2024-01-20 00:00:00"
+    )
+
+
+ORACLES["cold_start"] = """
+    WITH per AS (
+      SELECT user_id, min(ts) AS first_ts,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY 1
+    ), f AS (SELECT * FROM per WHERE post > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_entities_post,
+           CAST(sum(CASE WHEN first_ts >= TIMESTAMP '2024-01-20 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_entities,
+           CAST(sum(CASE WHEN first_ts >= TIMESTAMP '2024-01-20 00:00:00'
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS cold_entity_share_micro,
+           CAST(sum(post) AS BIGINT) AS n_events_post,
+           CAST(sum(CASE WHEN first_ts >= TIMESTAMP '2024-01-20 00:00:00'
+                         THEN post ELSE 0 END) AS BIGINT) AS n_events_cold,
+           CAST(sum(CASE WHEN first_ts >= TIMESTAMP '2024-01-20 00:00:00'
+                         THEN post ELSE 0 END) * 1000000 // sum(post)
+                AS BIGINT) AS cold_event_share_micro
+    FROM f
+"""
+QUERIES["cold_start"] = cold_start_q
