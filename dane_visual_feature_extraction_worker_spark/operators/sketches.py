@@ -406,3 +406,103 @@ def logbucket_quantiles(
         lo.alias("lo_cents"),
         hi.alias("hi_cents"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    value: str,
+    in_a: F.Column,
+    in_b: F.Column,
+    k: int = 256,
+    salt: str = "kmvj",
+) -> DataFrame:
+    """KMV set-OVERLAP sketch between two predicate-defined sets over
+    one column: per-set distinct estimates, the union estimate, the
+    KMV Jaccard (share of common elements among the k smallest UNION
+    hashes — the classic bottom-k coordinated-sample estimator) and
+    the derived intersection estimate.  The question audiences ask of
+    two sources ("how much do their user bases overlap?") at sketch
+    cost: exact distinct-intersection needs a shuffle of BOTH full
+    key sets; this reads k rows three times.
+
+    Same determinism contract as ``kmv_distinct``: 32-bit md5 hashes,
+    all-integer estimates ((k−1)·2³² DIV h_k; exact counts below k),
+    jaccard_micro = common·10⁶ DIV n_union_kept — SQL-replayable, no
+    engine-internal register layout.
+
+    Plan: ONE distinct-hash exchange builds (hash, in_a, in_b)
+    membership flags (max-combined map-side); the three k-smallest
+    reads are TakeOrderedAndProject passes over that persisted frame —
+    per-partition top-k then a k·p driver merge, never an
+    unpartitioned window sort.  Output is one row.
+    """
+    from dane_visual_feature_extraction_worker_spark.functions.cacheutil import (
+        scoped_persist,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        SAMPLE_SPACE,
+        sample_key,
+    )
+
+    base = df.select(
+        sample_key(F.col(value), salt=salt).alias("__h"),
+        in_a.cast("int").alias("__a"),
+        in_b.cast("int").alias("__b"),
+    ).where((F.col("__a") == 1) | (F.col("__b") == 1))
+    hk = scoped_persist(
+        base.groupBy("__h").agg(
+            F.max("__a").alias("__a"), F.max("__b").alias("__b")
+        ),
+        "sketches.kmv_overlap",
+    )
+
+    def _est(n_col: str, hk_col: str) -> F.Column:
+        return (
+            F.when(F.col(n_col) < k, F.col(n_col))
+            .when(F.col(hk_col) <= 0, F.col(n_col))
+            .otherwise(
+                F.floor(
+                    (F.lit(k - 1) * F.lit(SAMPLE_SPACE)).cast("double")
+                    / F.col(hk_col).cast("double")
+                ).cast("bigint")
+            )
+        )
+
+    def _topk(frame: DataFrame, tag: str) -> DataFrame:
+        return (
+            frame.orderBy("__h")
+            .limit(k)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"__n_{tag}"),
+                F.max("__h").cast("bigint").alias(f"__hk_{tag}"),
+                F.sum(
+                    F.when((F.col("__a") == 1) & (F.col("__b") == 1), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__c_{tag}"),
+            )
+        )
+
+    u = _topk(hk, "u")
+    a = _topk(hk.where(F.col("__a") == 1), "a")
+    b = _topk(hk.where(F.col("__b") == 1), "b")
+    out = u.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).select(
+        F.col("__n_a").alias("n_kept_a"),
+        _est("__n_a", "__hk_a").alias("est_a"),
+        F.col("__n_b").alias("n_kept_b"),
+        _est("__n_b", "__hk_b").alias("est_b"),
+        F.col("__n_u").alias("n_kept_union"),
+        _est("__n_u", "__hk_u").alias("est_union"),
+        F.when(
+            F.col("__n_u") > 0,
+            F.expr("__c_u * 1000000 DIV __n_u"),
+        )
+        .cast("bigint")
+        .alias("jaccard_micro"),
+        F.col("__c_u").alias("n_common_in_k"),
+    )
+    return out.withColumn(
+        "est_intersection",
+        F.expr("jaccard_micro * est_union DIV 1000000").cast("bigint"),
+    )

@@ -2734,3 +2734,58 @@ def theil_sen_trend(
     return med.join(counts, "entity").select(
         "entity", "n_points", "n_pairs", "slope_micro"
     )
+
+
+def wilson_lower_bounds(
+    df: DataFrame,
+    group_col: str,
+    success: F.Column,
+    trial: F.Column,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group Wilson-score LOWER confidence bound on a rate — the
+    small-sample-honest ranking statistic: a 2/2 campaign beats a
+    180/200 campaign on raw rate but loses (correctly) on the Wilson
+    bound, which shrinks toward zero as n shrinks.  The standard sort
+    key for "best performing X" dashboards and bandit cold-starts.
+
+    ``success`` / ``trial`` are boolean row predicates counted in ONE
+    conditional map-side-combined aggregate (single corpus scan, the
+    |groups|-key exchange).  Rates and the bound are formed from the
+    exact integer counts with a FIXED IEEE op order (the welch /
+    pearson discipline) and floor-truncated to micro; p̂ is clamped to
+    [0, 1] so disjoint success/trial definitions can't produce a
+    negative radicand.  Emits ``(group, n_trials, n_successes,
+    rate_micro, wilson_lb_micro)``; groups with zero trials report
+    NULL bounds (surfaced, not dropped).
+    """
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.when(trial, 1).otherwise(0)).cast("bigint").alias("n_trials"),
+        F.sum(F.when(success, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_successes"),
+    )
+    n = F.col("n_trials").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.col("n_successes").cast("double") / n,
+    )
+    z2 = z * z
+    lb = (
+        p
+        + F.lit(z2) / (2.0 * n)
+        - F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+    ) / (1.0 + F.lit(z2) / n)
+    ok = F.col("n_trials") > 0
+    return g.select(
+        "group",
+        "n_trials",
+        "n_successes",
+        F.when(ok, F.expr("n_successes * 1000000 DIV n_trials"))
+        .cast("bigint")
+        .alias("rate_micro"),
+        F.when(ok, F.floor(lb * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "wilson_lb_micro"
+        ),
+    )

@@ -14416,3 +14416,130 @@ ORACLES["cold_start"] = """
     FROM f
 """
 QUERIES["cold_start"] = cold_start_q
+
+
+def wilson_ctr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign click-through Wilson lower bound
+    (operators/stats.wilson_lower_bounds): clicks over views by
+    props.k in ONE conditional aggregate; the small-n-honest ranking
+    statistic with fixed-IEEE-order bound math."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        wilson_lower_bounds,
+    )
+
+    e = _events(spark, sf_dir).withColumn(
+        "campaign", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return wilson_lower_bounds(
+        e,
+        "campaign",
+        success=F.col("event_type") == "click",
+        trial=F.col("event_type") == "view",
+    ).withColumnRenamed("group", "campaign")
+
+
+ORACLES["wilson_ctr"] = """
+    WITH g AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_trials,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_successes
+      FROM events GROUP BY 1
+    ), f AS (
+      SELECT *, CAST(n_trials AS DOUBLE) AS n,
+             least(1.0, CAST(n_successes AS DOUBLE)
+                        / CAST(n_trials AS DOUBLE)) AS p
+      FROM g
+    )
+    SELECT campaign, n_trials, n_successes,
+           CASE WHEN n_trials > 0
+                THEN CAST(n_successes * 1000000 // n_trials AS BIGINT)
+           END AS rate_micro,
+           CASE WHEN n_trials > 0 THEN
+             CAST(floor(
+               (p + 3.841458820694124 / (2.0 * n)
+                  - 1.959963984540054
+                    * sqrt(p * (1.0 - p) / n
+                           + 3.841458820694124 / (4.0 * n * n)))
+               / (1.0 + 3.841458820694124 / n) * 1000000.0) AS BIGINT)
+           END AS wilson_lb_micro
+    FROM f
+"""
+QUERIES["wilson_ctr"] = wilson_ctr_q
+
+
+def kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV overlap sketch between clicker and viewer user sets
+    (operators/sketches.kmv_overlap, k=64): one distinct-hash
+    exchange with max-combined membership flags, three
+    TakeOrderedAndProject k-smallest reads — per-set estimates, union
+    estimate, bottom-k Jaccard, derived intersection."""
+    from dane_visual_feature_extraction_worker_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    e = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return kmv_overlap(
+        e,
+        "user_id",
+        in_a=F.col("event_type") == "click",
+        in_b=F.col("event_type") == "view",
+        k=64,
+    )
+
+
+ORACLES["kmv_overlap"] = (
+    r"""
+    WITH hx0 AS (
+      SELECT md5('kmvj|' || CAST(user_id AS VARCHAR)) AS hx,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    d AS (
+      SELECT ("""
+    + _sample_key_terms_sql()
+    + r""") AS h, max(a) AS a, max(b) AS b
+      FROM hx0 GROUP BY 1
+    ),
+    ru AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM d),
+    ra AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM d
+           WHERE a = 1),
+    rb AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM d
+           WHERE b = 1),
+    u AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(h) AS BIGINT) AS hk,
+                 CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM ru WHERE rn <= 64),
+    aa AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(h) AS BIGINT) AS hk
+           FROM ra WHERE rn <= 64),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(h) AS BIGINT) AS hk
+           FROM rb WHERE rn <= 64),
+    est AS (
+      SELECT aa.n AS n_kept_a,
+             CASE WHEN aa.n < 64 OR aa.hk <= 0 THEN aa.n
+                  ELSE CAST(floor(CAST(270582939648 AS DOUBLE)
+                       / CAST(aa.hk AS DOUBLE)) AS BIGINT) END AS est_a,
+             bb.n AS n_kept_b,
+             CASE WHEN bb.n < 64 OR bb.hk <= 0 THEN bb.n
+                  ELSE CAST(floor(CAST(270582939648 AS DOUBLE)
+                       / CAST(bb.hk AS DOUBLE)) AS BIGINT) END AS est_b,
+             u.n AS n_kept_union,
+             CASE WHEN u.n < 64 OR u.hk <= 0 THEN u.n
+                  ELSE CAST(floor(CAST(270582939648 AS DOUBLE)
+                       / CAST(u.hk AS DOUBLE)) AS BIGINT) END AS est_union,
+             CASE WHEN u.n > 0
+                  THEN CAST(u.c * 1000000 // u.n AS BIGINT)
+             END AS jaccard_micro,
+             u.c AS n_common_in_k
+      FROM u, aa, bb
+    )
+    SELECT *, CAST(jaccard_micro * est_union // 1000000 AS BIGINT)
+              AS est_intersection
+    FROM est
+"""
+)
+QUERIES["kmv_overlap"] = kmv_overlap_q
