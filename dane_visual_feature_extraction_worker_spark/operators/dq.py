@@ -613,11 +613,14 @@ def forget_audit(
     never silently satisfied.
 
     Plan: tombstone keys are |requests| rows by construction — they
-    broadcast; the fact table gets a narrow flag projection and ONE
-    map-side-combined global aggregate.  The |requests|-row side is
-    aggregated separately (one tiny row) and cross-joined back: two
-    single-row frames, zero fact-table shuffle.  At 10^12 rows this is
-    one scan, which is the floor for any audit that counts rows.
+    broadcast; the fact table gets a narrow flag projection and one
+    conditional global aggregate.  The only hash exchanges are
+    tombstone-sized (the key distinct, twice) and the
+    ``entities_purged`` count-distinct, whose partial aggregate
+    dedups entity keys MAP-SIDE first — that exchange carries at most
+    |hit entities| keys per task, never fact rows.  At 10^12 rows
+    this is one fact scan, which is the floor for any audit that
+    counts rows.
     """
     keys = tombstones.select(F.col(entity_col).alias("__forget")).distinct()
     flagged = df.join(
