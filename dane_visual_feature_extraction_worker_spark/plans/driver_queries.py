@@ -14458,11 +14458,11 @@ ORACLES["wilson_ctr"] = """
            END AS rate_micro,
            CASE WHEN n_trials > 0 THEN
              CAST(floor(
-               (p + 3.841458820694124 / (2.0 * n)
+               (p + 3.8414588206941254 / (2.0 * n)
                   - 1.959963984540054
                     * sqrt(p * (1.0 - p) / n
-                           + 3.841458820694124 / (4.0 * n * n)))
-               / (1.0 + 3.841458820694124 / n) * 1000000.0) AS BIGINT)
+                           + 3.8414588206941254 / (4.0 * n * n)))
+               / (1.0 + 3.8414588206941254 / n) * 1000000.0) AS BIGINT)
            END AS wilson_lb_micro
     FROM f
 """
