@@ -2789,3 +2789,202 @@ def wilson_lower_bounds(
             "wilson_lb_micro"
         ),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated: F.Column,
+    post: F.Column,
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2×2 design
+    (treated × post): DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre) — the parallel-trends causal readout
+    when assignment wasn't randomized (a feature shipped to one cohort
+    at a known date), complementing ``welch_t_report`` (randomized) and
+    ``cuped_ab`` (variance-reduced).  ``treated`` / ``post`` are
+    boolean row expressions.
+
+    All four cell sums and counts accumulate exactly in ONE
+    conditional map-side-combined aggregate (single scan, zero
+    shuffle); each cell mean is the floored integer micro-cent
+    (S·10⁶ DIV n — deterministic in any engine), and the DiD is the
+    exact integer combination of the four floored means (±2 µ¢
+    flooring slack per difference, documented).  Emits the four cell
+    (n, mean) pairs plus ``did_micro``; NULL when any cell is empty
+    (the design degenerates — surfaced, not zero-filled).
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    cells = {
+        "tp": treated & post,
+        "tq": treated & ~post,
+        "cp": ~treated & post,
+        "cq": ~treated & ~post,
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast(d38).alias(f"__n_{tag}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, cents).otherwise(F.lit(0).cast(d38)))
+            .alias(f"__s_{tag}")
+        )
+    row = df.agg(*aggs)
+    means = {
+        tag: F.expr(
+            f"CAST(__s_{tag} * 10000 AS DECIMAL(38,0)) DIV __n_{tag}"
+        ).cast("bigint")
+        for tag in cells
+    }
+    ok = None
+    for tag in cells:
+        c = F.col(f"__n_{tag}") > 0
+        ok = c if ok is None else (ok & c)
+    out_cols = []
+    for tag, name in (("tp", "treat_post"), ("tq", "treat_pre"),
+                      ("cp", "ctrl_post"), ("cq", "ctrl_pre")):
+        out_cols.append(
+            F.col(f"__n_{tag}").cast("bigint").alias(f"n_{name}")
+        )
+        out_cols.append(
+            F.when(F.col(f"__n_{tag}") > 0, means[tag]).alias(
+                f"mean_{name}_micro"
+            )
+        )
+    did = (means["tp"] - means["tq"]) - (means["cp"] - means["cq"])
+    return row.select(*out_cols, F.when(ok, did).alias("did_micro"))
+
+
+def mde_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect for the two-sample mean test at the
+    OBSERVED sample sizes and variance — the power-analysis readout
+    run BEFORE believing a null result: a "no significant difference"
+    with an MDE of 40% of the mean is an underpowered shrug, not
+    evidence.  MDE = (z_{α/2} + z_β) · √(s²_a/n_a + s²_b/n_b), the
+    standard two-sample formula at α=0.05 two-sided / 80% power by
+    default.
+
+    Moments accumulate exactly (the ``welch_t_report`` plan: ONE
+    conditional map-side-combined aggregate, decimal(38,0), single
+    scan); the MDE forms from the exact scalars in a fixed IEEE op
+    order, floored to micro-cents.  Also emits the observed means and
+    the MDE as a share of the pooled mean (``mde_rel_micro``) — the
+    number a reviewer actually asks for.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    zero = F.lit(0).cast(d38)
+    row = df.where(in_a | in_b).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast(d38).alias("__na"),
+        F.sum(F.when(in_a, cents).otherwise(zero)).alias("__sa"),
+        F.sum(F.when(in_a, cents * cents).otherwise(zero)).alias("__s2a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast(d38).alias("__nb"),
+        F.sum(F.when(in_b, cents).otherwise(zero)).alias("__sb"),
+        F.sum(F.when(in_b, cents * cents).otherwise(zero)).alias("__s2b"),
+    )
+    na, sa, s2a = F.col("__na"), F.col("__sa"), F.col("__s2a")
+    nb, sb, s2b = F.col("__nb"), F.col("__sb"), F.col("__s2b")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    va = (na * s2a - sa * sa).cast("double") / (nad * (nad - 1.0))
+    vb = (nb * s2b - sb * sb).cast("double") / (nbd * (nbd - 1.0))
+    zsum = z_alpha + z_beta
+    mde = F.lit(zsum) * F.sqrt(va / nad + vb / nbd)
+    pooled_mean = (sa + sb).cast("double") / (na + nb).cast("double")
+    ok = (na > 1) & (nb > 1)
+    return row.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.expr("CAST(__sa * 10000 AS DECIMAL(38,0)) DIV __na")
+        .cast("bigint")
+        .alias("mean_a_micro"),
+        F.expr("CAST(__sb * 10000 AS DECIMAL(38,0)) DIV __nb")
+        .cast("bigint")
+        .alias("mean_b_micro"),
+        F.when(ok, F.floor(mde * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "mde_microcents"
+        ),
+        F.when(
+            ok & (pooled_mean != 0.0),
+            F.floor(mde / pooled_mean * F.lit(1_000_000.0)).cast("bigint"),
+        ).alias("mde_rel_micro"),
+    )
+
+
+def anova_eta_squared(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way ANOVA effect size η² = SS_between / SS_total over a
+    categorical factor — "how much of the value's variance does this
+    grouping explain?", the seasonality-strength / segmentation-power
+    number (η² of day-of-week ≈ 0 means don't bother with dow
+    features).  Exact: per-group (n, Σx) and the global Σx² accumulate
+    in ONE map-side-combined groupBy (the only exchange, |groups|
+    keys); SS terms form from exact decimals, η² is one fixed-order
+    double division floored to micro.  Emits one row: n, k groups,
+    ss_between/ss_total (micro-cents², floored) and eta2_micro.
+
+    Headroom: S_g²·10⁶ must fit decimal(38,0) — exact while each
+    group's |Σcents| ≤ 3·10¹⁵ (3·10¹³ currency units); past that,
+    pre-center values (subtract a global anchor mean) before calling,
+    which leaves η² unchanged and shrinks the sums.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(cents).alias("__s"),
+        F.sum(cents * cents).alias("__s2"),
+    )
+    # SS_between = Σ_g (S_g²/n_g) − S²/N ; SS_total = Σx² − S²/N.
+    # Keep everything rational: scale by N·Πn? — instead form the two
+    # SS terms as exact decimals divided ONCE each (micro precision).
+    tot = g.agg(
+        F.sum("__n").alias("__N"),
+        F.sum("__s").alias("__S"),
+        F.sum("__s2").alias("__S2"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum(
+            F.expr("CAST(__s * __s * 1000000 AS DECIMAL(38,0)) DIV __n")
+        ).alias("__sg2n"),
+    )
+    ssb = (
+        F.col("__sg2n")
+        - F.expr("CAST(__S * __S * 1000000 AS DECIMAL(38,0)) DIV __N")
+    ).cast(d38)
+    sst = (
+        F.col("__S2").cast(d38) * F.lit(1_000_000).cast(d38)
+        - F.expr("CAST(__S * __S * 1000000 AS DECIMAL(38,0)) DIV __N")
+    ).cast(d38)
+    return tot.select(
+        F.col("__N").cast("bigint").alias("n"),
+        "k_groups",
+        ssb.cast("double").alias("__ssbd"),
+        sst.cast("double").alias("__sstd"),
+    ).select(
+        "n",
+        "k_groups",
+        F.floor(F.col("__ssbd")).cast("bigint").alias("ss_between_micro"),
+        F.floor(F.col("__sstd")).cast("bigint").alias("ss_total_micro"),
+        F.when(
+            F.col("__sstd") > 0,
+            F.floor(
+                F.col("__ssbd") / F.col("__sstd") * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        ).alias("eta2_micro"),
+    )

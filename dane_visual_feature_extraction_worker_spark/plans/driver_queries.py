@@ -14543,3 +14543,170 @@ ORACLES["kmv_overlap"] = (
 """
 )
 QUERIES["kmv_overlap"] = kmv_overlap_q
+
+
+def diff_in_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences on purchase value
+    (operators/stats.diff_in_diff): md5-deterministic treatment
+    cohort x 2024-01-15 cutover, four exact cell moments in ONE
+    conditional aggregate, DiD from floored micro-cent means."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        diff_in_diff,
+    )
+
+    e = _events(spark, sf_dir)
+    hx = F.md5(F.concat_ws("|", F.lit("did"), F.col("user_id").cast("string")))
+    treated = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % 2 == 0
+    post = F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return diff_in_diff(e, treated=treated, post=post, value_col="value")
+
+
+ORACLES["diff_in_diff"] = """
+    WITH base AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c,
+             (CAST(('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 2 = 0) AS t,
+             (ts >= TIMESTAMP '2024-01-15 00:00:00') AS p
+      FROM events
+    ), m AS (
+      SELECT
+        CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS ntp,
+        sum(CASE WHEN t AND p THEN c ELSE 0 END) AS stp,
+        CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS ntq,
+        sum(CASE WHEN t AND NOT p THEN c ELSE 0 END) AS stq,
+        CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS ncp,
+        sum(CASE WHEN NOT t AND p THEN c ELSE 0 END) AS scp,
+        CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT)
+          AS ncq,
+        sum(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END) AS scq
+      FROM base
+    )
+    SELECT CAST(ntp AS BIGINT) AS n_treat_post,
+           CASE WHEN ntp > 0 THEN CAST(stp * 10000 // ntp AS BIGINT) END
+             AS mean_treat_post_micro,
+           CAST(ntq AS BIGINT) AS n_treat_pre,
+           CASE WHEN ntq > 0 THEN CAST(stq * 10000 // ntq AS BIGINT) END
+             AS mean_treat_pre_micro,
+           CAST(ncp AS BIGINT) AS n_ctrl_post,
+           CASE WHEN ncp > 0 THEN CAST(scp * 10000 // ncp AS BIGINT) END
+             AS mean_ctrl_post_micro,
+           CAST(ncq AS BIGINT) AS n_ctrl_pre,
+           CASE WHEN ncq > 0 THEN CAST(scq * 10000 // ncq AS BIGINT) END
+             AS mean_ctrl_pre_micro,
+           CASE WHEN ntp > 0 AND ntq > 0 AND ncp > 0 AND ncq > 0 THEN
+             CAST((stp * 10000 // ntp - stq * 10000 // ntq)
+                - (scp * 10000 // ncp - scq * 10000 // ncq) AS BIGINT)
+           END AS did_micro
+    FROM m
+"""
+QUERIES["diff_in_diff"] = diff_in_diff_q
+
+
+def mde_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-power MDE for click-vs-view value
+    (operators/stats.mde_report): exact cent moments, fixed-IEEE
+    two-sample MDE at alpha=0.05 / 80% power, absolute and relative."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        mde_report,
+    )
+
+    return mde_report(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+ORACLES["mde_report"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+      FROM events WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS na,
+             sum(CASE WHEN event_type = 'click' THEN x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+             sum(CASE WHEN event_type = 'click' THEN x * x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS nb,
+             sum(CASE WHEN event_type = 'view' THEN x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb,
+             sum(CASE WHEN event_type = 'view' THEN x * x
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2b
+      FROM c
+    ), f AS (
+      SELECT *,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(na * s2a - sa * sa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+             CAST(nb * s2b - sb * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+      FROM m
+    )
+    SELECT 'click' AS group_a, 'view' AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(CAST(sa AS HUGEINT) * 10000 // CAST(na AS HUGEINT)
+                AS BIGINT) AS mean_a_micro,
+           CAST(CAST(sb AS HUGEINT) * 10000 // CAST(nb AS HUGEINT)
+                AS BIGINT) AS mean_b_micro,
+           CASE WHEN na > 1 AND nb > 1 THEN
+             CAST(floor(2.8015852181129683 * sqrt(va / nad + vb / nbd)
+                        * 1000000.0) AS BIGINT) END AS mde_microcents,
+           CASE WHEN na > 1 AND nb > 1
+                 AND CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                     <> 0.0 THEN
+             CAST(floor(2.8015852181129683 * sqrt(va / nad + vb / nbd)
+                        / (CAST(sa + sb AS DOUBLE)
+                           / CAST(na + nb AS DOUBLE))
+                        * 1000000.0) AS BIGINT) END AS mde_rel_micro
+    FROM f
+"""
+QUERIES["mde_report"] = mde_report_q
+
+
+def anova_eta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength of event value
+    (operators/stats.anova_eta_squared): eta-squared over the
+    calendar-free dow = (epoch_days + 4) % 7 factor (both engines
+    compute the grouping from epoch integers — no locale/week-start
+    divergence); one |groups|-key exchange."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        anova_eta_squared,
+    )
+
+    e = _events(spark, sf_dir).withColumn(
+        "dow",
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 + 4) % 7"),
+    )
+    return anova_eta_squared(e, "dow", value_col="value")
+
+
+ORACLES["anova_eta"] = """
+    WITH base AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+      FROM events
+    ), per AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             sum(c) AS s, sum(c * c) AS s2
+      FROM base GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn, sum(s) AS ss, sum(s2) AS ss2,
+             CAST(count(*) AS BIGINT) AS k_groups,
+             sum(s * s * 1000000 // n) AS sg2n
+      FROM per
+    ), f AS (
+      SELECT nn, k_groups,
+             CAST(sg2n - ss * ss * 1000000 // nn AS DOUBLE) AS ssbd,
+             CAST(ss2 * 1000000 - ss * ss * 1000000 // nn AS DOUBLE) AS sstd
+      FROM tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n, k_groups,
+           CAST(floor(ssbd) AS BIGINT) AS ss_between_micro,
+           CAST(floor(sstd) AS BIGINT) AS ss_total_micro,
+           CASE WHEN sstd > 0
+                THEN CAST(floor(ssbd / sstd * 1000000.0) AS BIGINT)
+           END AS eta2_micro
+    FROM f
+"""
+QUERIES["anova_eta"] = anova_eta_q
