@@ -1580,3 +1580,70 @@ def blocking_quality(
             ).alias("pair_completeness_micro"),
         )
     )
+
+
+def dedup_strategy_diff(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-set DIFF between two dedup strategies — exact (md5-group,
+    keep min id) vs near-dup (connected components over the candidate
+    pair graph, keep the component representative): the go/no-go
+    report before swapping a pipeline's dedup stage.  ``only_near_cut``
+    counts docs the near-dup strategy removes that exact dedup keeps
+    (the aggressive tail — near-dup clusters spanning non-identical
+    texts); ``only_exact_cut`` counts the reverse (possible only when
+    the pair generator MISSES exact copies — a recall red flag worth
+    alarming on, same signal as ``blocking_quality``'s completeness).
+
+    Output one row: ``(n_docs, kept_exact, kept_near, kept_both,
+    only_exact_cut, only_near_cut, agree_share_micro)``.
+
+    Plan: exact keep = one md5 groupBy (min id back-joined on the
+    |groups|-row frame); near keep = ``connected_components`` (one
+    uniform join + groupBy per round, lineage-truncated) with keep =
+    (id == cluster representative); the two boolean flags meet in ONE
+    |N|-row join and a single rollup.  The corpus text is scanned
+    once; everything after is id-width.
+    """
+    d38 = "decimal(38,0)"
+    dig = docs.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"),
+    )
+    exact_keep = dig.groupBy("__h").agg(F.min("__id").alias("__keep"))
+    exact = dig.join(exact_keep, "__h").select(
+        "__id", (F.col("__id") == F.col("__keep")).alias("__ke")
+    )
+    cc = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    near = cc.select(
+        F.col(id_col).alias("__id"),
+        (F.col(id_col) == F.col("cluster_id")).alias("__kn"),
+    )
+    flags = exact.join(near, "__id")
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("__ke"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_exact"),
+        F.sum(F.when(F.col("__kn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_near"),
+        F.sum(F.when(F.col("__ke") & F.col("__kn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_both"),
+        F.sum(F.when(F.col("__ke") & ~F.col("__kn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_near_cut"),
+        F.sum(F.when(~F.col("__ke") & F.col("__kn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_exact_cut"),
+        F.expr(
+            "sum(CASE WHEN __ke = __kn THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("agree_share_micro"),
+    )

@@ -245,3 +245,58 @@ def linear_attribution(
         F.sum("__is_touch").cast("bigint").alias("n_touches"),
         F.sum("__amt").cast("bigint").alias("credit_microcents"),
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    category_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise audience overlap between categories: for every
+    category pair (a < b), the exact count of entities active in BOTH
+    plus the Jaccard — "do clickers and purchasers overlap, or are
+    they disjoint populations?", the |C|² matrix every campaign /
+    channel review asks for.  Complements ``kmv_overlap`` (two sets,
+    sketched) with the exact all-pairs small-|C| case.
+
+    Plan: ONE distinct pass collapses the corpus to (entity,
+    category) memberships (the only corpus-width exchange); per-
+    category sizes ride a |C|-row aggregate; the pair counts come
+    from the membership self-join ON THE ENTITY KEY — fan-out
+    ≤ |C|² per entity (|C| = categories, single digits), never
+    corpus × corpus.  Output ≤ |C|² rows: ``(cat_a, cat_b, n_a, n_b,
+    n_both, jaccard_micro)``.
+    """
+    m = df.select(
+        F.col(entity_col).alias("__e"), F.col(category_col).alias("__c")
+    ).distinct()
+    sizes = m.groupBy("__c").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    both = (
+        m.alias("a")
+        .join(m.alias("b"), "__e")
+        .where(F.col("a.__c") < F.col("b.__c"))
+        .groupBy(
+            F.col("a.__c").alias("cat_a"), F.col("b.__c").alias("cat_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        both.join(
+            sizes.select(F.col("__c").alias("cat_a"), F.col("__n").alias("n_a")),
+            "cat_a",
+        )
+        .join(
+            sizes.select(F.col("__c").alias("cat_b"), F.col("__n").alias("n_b")),
+            "cat_b",
+        )
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

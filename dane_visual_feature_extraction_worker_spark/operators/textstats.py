@@ -1957,3 +1957,56 @@ def encoding_audit(
         .cast("bigint")
         .alias("clean_share_micro"),
     )
+
+
+def gibberish_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    run_len: int = 5,
+    min_letters: int = 20,
+    vowel_floor_pct: int = 15,
+) -> DataFrame:
+    """Per-source keyboard-mash / gibberish screen: docs flagged when
+    they contain a ``run_len``-long ASCII consonant run (qwerty mash,
+    base64 spills, minified blobs) OR their vowel share among letters
+    falls below ``vowel_floor_pct``% with at least ``min_letters``
+    letters (every natural Latin-script language sits well above 30%
+    vowels; hashes and key material don't).  The cheap lexical cousin
+    of ``lm_perplexity`` filtering — no model, pure codegen, and it
+    catches exactly the strings a unigram LM scores as merely "rare".
+
+    ASCII-only character classes on purpose: identical semantics in
+    Java regex and RE2 (the encoding_audit discipline — no \\u-escape
+    divergence).  Output per group: ``(group, n_docs, n_consonant_run,
+    n_low_vowel, n_gibberish, gibberish_share_micro)``.
+
+    Plan: narrow flag projection + ONE |groups|-key map-side-combined
+    aggregate; zero joins, the corpus never shuffles.
+    """
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    run = txt.rlike("[bcdfghjklmnpqrstvwxz]{%d,}" % run_len)
+    letters = F.length(F.regexp_replace(txt, "[^a-z]", ""))
+    vowels = F.length(F.regexp_replace(txt, "[^aeiou]", ""))
+    low_vowel = (letters >= min_letters) & (
+        vowels * 100 < letters * vowel_floor_pct
+    )
+    flags = df.select(
+        F.col(group_col).alias("group"),
+        run.cast("int").alias("__r"),
+        low_vowel.cast("int").alias("__v"),
+    )
+    return flags.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__r").cast("bigint").alias("n_consonant_run"),
+        F.sum("__v").cast("bigint").alias("n_low_vowel"),
+        F.sum(F.when((F.col("__r") == 1) | (F.col("__v") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gibberish"),
+        F.expr(
+            "sum(CASE WHEN __r = 1 OR __v = 1 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("gibberish_share_micro"),
+    )

@@ -14710,3 +14710,122 @@ ORACLES["anova_eta"] = """
     FROM f
 """
 QUERIES["anova_eta"] = anova_eta_q
+
+
+def dedup_strategy_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-set diff: exact md5 dedup vs MinHash-LSH + connected
+    components (operators/dedup.dedup_strategy_diff) — the go/no-go
+    report for swapping dedup stages; only_exact_cut > 0 would mean
+    the blocker misses exact copies (the blocking_quality recall
+    alarm, cross-checked here from the keep-set side)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        dedup_strategy_diff,
+        minhash_lsh_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return dedup_strategy_diff(
+        docs, minhash_lsh_pairs(docs).localCheckpoint()
+    )
+
+
+ORACLES["dedup_strategy_diff"] = ORACLES["near_dup_clusters"].rsplit(
+    "SELECT node", 1
+)[0] + """, cl AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node
+    ), dig AS (
+      SELECT doc_id AS id, md5(coalesce(text, '')) AS h FROM documents
+    ), ek AS (
+      SELECT h, min(id) AS keep FROM dig GROUP BY h
+    ), ex AS (
+      SELECT id, (id = keep) AS ke FROM dig JOIN ek USING (h)
+    ), nr AS (
+      SELECT doc_id AS id, (doc_id = cluster_id) AS kn FROM cl
+    ), fl AS (
+      SELECT ex.id, ke, kn FROM ex JOIN nr USING (id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ke THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_exact,
+           CAST(sum(CASE WHEN kn THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_near,
+           CAST(sum(CASE WHEN ke AND kn THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_both,
+           CAST(sum(CASE WHEN ke AND NOT kn THEN 1 ELSE 0 END) AS BIGINT)
+             AS only_near_cut,
+           CAST(sum(CASE WHEN kn AND NOT ke THEN 1 ELSE 0 END) AS BIGINT)
+             AS only_exact_cut,
+           CAST(sum(CASE WHEN ke = kn THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS agree_share_micro
+    FROM fl
+"""
+QUERIES["dedup_strategy_diff"] = dedup_strategy_diff_q
+
+
+def gibberish_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gibberish screen (operators/textstats.
+    gibberish_report): ASCII consonant-run + vowel-floor flags, pure
+    codegen, one |sources|-key exchange — the model-free cousin of
+    perplexity filtering."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        gibberish_report,
+    )
+
+    return gibberish_report(_documents(spark, sf_dir))
+
+
+ORACLES["gibberish_rate"] = r"""
+    WITH f AS (
+      SELECT source AS "group",
+             CASE WHEN regexp_matches(lower(coalesce(text, '')),
+                       '[bcdfghjklmnpqrstvwxz]{5,}') THEN 1 ELSE 0 END AS r,
+             length(regexp_replace(lower(coalesce(text, '')),
+                    '[^a-z]', '', 'g')) AS letters,
+             length(regexp_replace(lower(coalesce(text, '')),
+                    '[^aeiou]', '', 'g')) AS vowels
+      FROM documents
+    ), g AS (
+      SELECT "group", r,
+             CASE WHEN letters >= 20 AND vowels * 100 < letters * 15
+                  THEN 1 ELSE 0 END AS v
+      FROM f
+    )
+    SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r) AS BIGINT) AS n_consonant_run,
+           CAST(sum(v) AS BIGINT) AS n_low_vowel,
+           CAST(sum(CASE WHEN r = 1 OR v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gibberish,
+           CAST(sum(CASE WHEN r = 1 OR v = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS gibberish_share_micro
+    FROM g GROUP BY 1
+"""
+QUERIES["gibberish_rate"] = gibberish_rate_q
+
+
+def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap across event types
+    (operators/funnel.audience_overlap): one distinct membership pass,
+    |C|-row size aggregate, entity-key self-join bounded at |C|² per
+    entity — exact Jaccard for every category pair."""
+    from dane_visual_feature_extraction_worker_spark.operators.funnel import (
+        audience_overlap,
+    )
+
+    return audience_overlap(_events(spark, sf_dir))
+
+
+ORACLES["audience_overlap"] = """
+    WITH m AS (SELECT DISTINCT user_id AS e, event_type AS c FROM events),
+    s AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+    b AS (
+      SELECT a.c AS cat_a, bb.c AS cat_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM m a JOIN m bb ON a.e = bb.e AND a.c < bb.c
+      GROUP BY 1, 2
+    )
+    SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT)
+             AS jaccard_micro
+    FROM b JOIN s sa ON sa.c = b.cat_a JOIN s sb ON sb.c = b.cat_b
+"""
+QUERIES["audience_overlap"] = audience_overlap_q
