@@ -354,3 +354,66 @@ def degree_assortativity(
         "n_edges",
         F.col("r").alias("assort_r"),
     )
+
+
+def link_prediction_scores(
+    pairs: DataFrame,
+    id_col_a: str = "doc_a",
+    id_col_b: str = "doc_b",
+    max_hub_degree: int = 1000,
+) -> DataFrame:
+    """Link-prediction features for NON-edges at distance 2: common-
+    neighbor count and the resource-allocation index Σ_b 1/deg(b)
+    over shared neighbors b — the standard "should these two nodes be
+    connected?" scores (RA beats raw common-neighbors because a
+    shared neighbor that touches everything is weak evidence).  On a
+    dup-candidate graph this surfaces PAIRS THE BLOCKER MISSED: two
+    docs sharing several near-dup neighbors but no direct edge are
+    the transitive near-dups banding recall dropped.
+
+    All-integer: RA accumulates floor(10⁶ / deg(b)) per wedge (each
+    term exact, deterministic in any engine).  Output per candidate
+    non-edge: ``(doc_a, doc_b, common_neighbors, ra_score_micro)``
+    with doc_a < doc_b.
+
+    Plan: degree aggregate, one wedge equi-join through the middle
+    vertex (the only quadratic surface — bounded by Σ deg², with hubs
+    above ``max_hub_degree`` EXCLUDED from the middle role, the
+    standard RA hub cut that also caps wedge fan-out), one (a, c)
+    groupBy, one left-anti join against the existing edge list.
+    Never a cartesian product.
+    """
+    sym = pairs.select(
+        F.col(id_col_a).alias("__s"), F.col(id_col_b).alias("__t")
+    ).unionAll(
+        pairs.select(F.col(id_col_b).alias("__s"), F.col(id_col_a).alias("__t"))
+    )
+    deg = sym.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__d")
+    )
+    mid = deg.where(F.col("__d") <= max_hub_degree)
+    wedges = (
+        sym.alias("e1")
+        .join(mid.select(F.col("__t"), F.col("__d")), "__t")
+        .join(
+            sym.alias("e2").select(
+                F.col("__s").alias("__t"), F.col("__t").alias("__c")
+            ),
+            "__t",
+        )
+        .where(F.col("__s") < F.col("__c"))
+        .select(
+            F.col("__s").alias("doc_a"),
+            F.col("__c").alias("doc_b"),
+            F.expr("1000000 DIV __d").cast("bigint").alias("__ra"),
+        )
+    )
+    scored = wedges.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("__ra").cast("bigint").alias("ra_score_micro"),
+    )
+    existing = pairs.select(
+        F.least(id_col_a, id_col_b).alias("doc_a"),
+        F.greatest(id_col_a, id_col_b).alias("doc_b"),
+    )
+    return scored.join(existing, ["doc_a", "doc_b"], "left_anti")

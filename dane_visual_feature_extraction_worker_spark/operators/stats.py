@@ -2988,3 +2988,87 @@ def anova_eta_squared(
             ).cast("bigint"),
         ).alias("eta2_micro"),
     )
+
+
+def median_of_means(
+    df: DataFrame,
+    value_col: str,
+    key: F.Column,
+    shards: int = 32,
+    salt: str = "mom",
+) -> DataFrame:
+    """Median-of-means robust mean estimator: hash rows into
+    ``shards`` deterministic buckets, take each bucket's exact mean,
+    report the (lower) median of the bucket means — the estimator
+    whose error concentrates even under heavy-tailed values, where
+    the plain mean is hostage to the single largest outlier (a
+    corrupted revenue row moves the mean by x/N but at most ONE
+    bucket's mean, which the median ignores).  Emits both so the gap
+    itself is the outlier diagnostic: ``(n, n_shards, mean_micro,
+    mom_micro, gap_micro)``.
+
+    Exactness: per-shard (n, Σcents) accumulate in ONE map-side-
+    combined |shards|-key aggregate (the only exchange; md5 sharding
+    via the repo's sample_key primitive, no rand()); shard means and
+    the global mean are floored integer micro (S·10⁴ DIV n); the
+    median is picked by rank over the |shards|-row frame — a bounded
+    single-partition sort of 32 rows, not a corpus sort.
+    """
+    from dane_visual_feature_extraction_worker_spark.operators.sampling import (
+        sample_key,
+    )
+
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    per = df.select(
+        (sample_key(key, salt=salt) % shards).alias("__shard"),
+        cents.alias("__c"),
+    ).groupBy("__shard").agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum("__c").alias("__s"),
+    )
+    means = per.select(
+        F.col("__n"),
+        F.col("__s"),
+        F.expr("CAST(__s * 10000 AS DECIMAL(38,0)) DIV __n")
+        .cast("bigint")
+        .alias("__m"),
+    )
+    w = Window.orderBy("__m")
+    ranked = means.select(
+        "__n",
+        "__s",
+        "__m",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__k"),
+        F.sum("__n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__nt"),
+        F.sum("__s").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__st"),
+    )
+    return ranked.where(F.col("__rn") == F.expr("(__k + 1) DIV 2")).select(
+        F.col("__nt").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("n_shards"),
+        F.expr("CAST(__st * 10000 AS DECIMAL(38,0)) DIV __nt")
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.col("__m").alias("mom_micro"),
+        (
+            F.expr("CAST(__st * 10000 AS DECIMAL(38,0)) DIV __nt").cast(
+                "bigint"
+            )
+            - F.col("__m")
+        ).alias("gap_micro"),
+    )

@@ -14829,3 +14829,114 @@ ORACLES["audience_overlap"] = """
     FROM b JOIN s sa ON sa.c = b.cat_a JOIN s sb ON sb.c = b.cat_b
 """
 QUERIES["audience_overlap"] = audience_overlap_q
+
+
+def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor + resource-allocation scores for non-edges of
+    the MinHash-LSH graph (operators/graph.link_prediction_scores):
+    the transitive near-dups banding recall missed, ranked; hub cut
+    at degree 1000, one wedge join, left-anti against the edge list.
+    The gate graph is the LSH pair set DETERMINISTICALLY THINNED
+    (every (a+b)%3==0 edge dropped) — the operator's exact use case,
+    a blocker with a recall gap, which also keeps the sf0.01 gate
+    non-trivial (the unthinned LSH graph is transitively closed near-
+    cliques with zero distance-2 non-edges at that SF; 82 at sf0.1)."""
+    from dane_visual_feature_extraction_worker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dane_visual_feature_extraction_worker_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = (
+        minhash_lsh_pairs(_documents(spark, sf_dir))
+        .where((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
+        .localCheckpoint()
+    )
+    return link_prediction_scores(pairs)
+
+
+ORACLES["link_prediction"] = f"""
+    WITH pairs0 AS ({{lsh}}),
+    pairs AS (
+      SELECT * FROM pairs0 WHERE (doc_a + doc_b) % 3 <> 0
+    ),
+    sym AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT t AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    mid AS (SELECT v, d FROM deg WHERE d <= 1000),
+    w AS (
+      SELECT e1.s AS a, e2.t AS c, m.d
+      FROM sym e1
+      JOIN mid m ON m.v = e1.t
+      JOIN sym e2 ON e2.s = e1.t
+      WHERE e1.s < e2.t
+    ),
+    sc AS (
+      SELECT a AS doc_a, c AS doc_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(1000000 // d) AS BIGINT) AS ra_score_micro
+      FROM w GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs
+    )
+    SELECT sc.doc_a, sc.doc_b, sc.common_neighbors, sc.ra_score_micro
+    FROM sc LEFT JOIN ex ON ex.a = sc.doc_a AND ex.b = sc.doc_b
+    WHERE ex.a IS NULL
+""".format(lsh=ORACLES["dedup_minhash_lsh"])
+QUERIES["link_prediction"] = link_prediction_q
+
+
+def median_of_means_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean of event value, 32 md5 shards
+    (operators/stats.median_of_means): one |shards|-key exchange, the
+    median picked over the 32-row bounded frame; the mean-vs-MoM gap
+    is the heavy-tail diagnostic."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        median_of_means,
+    )
+
+    return median_of_means(
+        _events(spark, sf_dir), "value", key=F.col("event_id"), shards=32
+    )
+
+
+ORACLES["median_of_means"] = (
+    r"""
+    WITH hx0 AS (
+      SELECT md5('mom|' || CAST(event_id AS VARCHAR)) AS hx,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+      FROM events
+    ),
+    sh AS (
+      SELECT ("""
+    + _sample_key_terms_sql()
+    + r""") % 32 AS shard, c FROM hx0
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS HUGEINT) AS n, sum(c) AS s
+      FROM sh GROUP BY 1
+    ),
+    means AS (
+      SELECT n, s, CAST(s * 10000 // n AS BIGINT) AS m FROM per
+    ),
+    ranked AS (
+      SELECT m,
+             row_number() OVER (ORDER BY m) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS k,
+             CAST(sum(n) OVER () AS HUGEINT) AS nt,
+             sum(s) OVER () AS st
+      FROM means
+    )
+    SELECT CAST(nt AS BIGINT) AS n, k AS n_shards,
+           CAST(st * 10000 // nt AS BIGINT) AS mean_micro,
+           m AS mom_micro,
+           CAST(st * 10000 // nt - m AS BIGINT) AS gap_micro
+    FROM ranked WHERE rn = (k + 1) // 2
+"""
+)
+QUERIES["median_of_means"] = median_of_means_q
