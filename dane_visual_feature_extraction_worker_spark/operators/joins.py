@@ -252,3 +252,68 @@ def join_size_estimate(
         F.lit(1_000_000).cast("bigint").alias("share_micro"),
     )
     return top.unionByName(tot_row)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_val: F.Column,
+    right_val: F.Column,
+    eps: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Numeric band join: pairs with |left_val − right_val| <= eps
+    (exact integers — quantize to cents at the call site), optionally
+    co-keyed on ``on`` equality columns.  The reconciliation join
+    ("find the ledger entry within 5 cents of this payment") that a
+    naive engine plans as a THETA join — quadratic per key group and
+    unshufflable.
+
+    Plan — the standard bucketed band decomposition: left rows
+    replicate into the 3 buckets {b−1, b, b+1} with b = val DIV eps
+    (a 3× narrow explode, no data-dependent fan-out); right rows keep
+    their single bucket; the join is a pure EQUI-join on
+    (on…, bucket) — hash-partitionable, AQE-skew-splittable — and the
+    exact |Δ| <= eps filter runs post-join.  Every qualifying pair
+    matches in EXACTLY one bucket (the right row's own), so no dedup
+    pass is needed.  Work is |left|·3 + matches; the theta plan's
+    per-group quadrat never materializes.  DIV truncation makes the
+    near-zero bucket twice as wide — a performance detail only, the
+    filter is exact.
+    """
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    lv = left_val.cast("bigint")
+    rv = right_val.cast("bigint")
+    l = left.select(
+        *[F.col(c) for c in on],
+        *[F.col(c) for c in left_cols],
+        lv.alias("__lv"),
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.expr(f"__lv DIV {eps} - 1"),
+                F.expr(f"__lv DIV {eps}"),
+                F.expr(f"__lv DIV {eps} + 1"),
+            )
+        ),
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        *[F.col(c) for c in right_cols],
+        rv.alias("__rv"),
+    ).withColumn("__bucket", F.expr(f"__rv DIV {eps}"))
+    j = l.join(r, [*on, "__bucket"])
+    return j.where(
+        F.abs(F.col("__lv") - F.col("__rv")) <= eps
+    ).select(
+        *on,
+        *left_cols,
+        *right_cols,
+        F.col("__lv").alias("left_val"),
+        F.col("__rv").alias("right_val"),
+        (F.col("__lv") - F.col("__rv")).alias("diff"),
+    )

@@ -2010,3 +2010,59 @@ def gibberish_report(
         .cast("bigint")
         .alias("gibberish_share_micro"),
     )
+
+
+def template_contamination(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source chat/instruction-template contamination audit: docs
+    carrying the serialization markers of SFT formats — ChatML
+    ``<|im_start|>``, Llama ``[INST]``, Alpaca ``### Instruction``,
+    plain ``Human:``/``Assistant:`` turn prefixes — inside a
+    PRETRAINING corpus.  Template-formatted text in pretraining data
+    teaches the base model to emit control tokens and leaks eval
+    formats; this is the intake gate that catches a crawled SFT dump
+    before it trains.  (The reverse check — SFT data MISSING its
+    template — is the same report read for zero.)
+
+    Literal `contains` panel per marker family (the encoding_audit
+    discipline: no regex, no engine divergence).  Output per group:
+    per-family doc counts, total flagged, share.
+
+    Plan: narrow flag projection + ONE |sources|-key map-side-combined
+    aggregate; zero joins, the corpus never shuffles.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    fams = {
+        "chatml": ["<|im_start|>", "<|im_end|>"],
+        "inst": ["[INST]", "[/INST]"],
+        "alpaca": ["### Instruction", "### Response"],
+        "turns": ["Human:", "Assistant:"],
+    }
+    flags = []
+    for name, markers in fams.items():
+        c = None
+        for mk in markers:
+            t = txt.contains(mk)
+            c = t if c is None else (c | t)
+        flags.append(c.cast("int").alias(f"__{name}"))
+    base = df.select(F.col(group_col).alias("group"), *flags)
+    any_flag = None
+    for name in fams:
+        c = F.col(f"__{name}") == 1
+        any_flag = c if any_flag is None else (any_flag | c)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for name in fams:
+        aggs.append(F.sum(f"__{name}").cast("bigint").alias(f"n_{name}"))
+    aggs.append(
+        F.sum(F.when(any_flag, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated")
+    )
+    out = base.groupBy("group").agg(*aggs)
+    return out.withColumn(
+        "contaminated_share_micro",
+        F.expr("n_contaminated * 1000000 DIV n_docs").cast("bigint"),
+    )

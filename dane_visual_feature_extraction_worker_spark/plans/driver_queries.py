@@ -14940,3 +14940,104 @@ ORACLES["median_of_means"] = (
 """
 )
 QUERIES["median_of_means"] = median_of_means_q
+
+
+def band_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join (operators/joins.band_join): click values
+    matched to same-user purchase values within 5.00 — the bucketed
+    equi-join decomposition (3x narrow explode + exact post-filter),
+    never the quadratic theta join DuckDB's oracle runs; rollup to
+    per-user match stats so the gate frame stays bounded."""
+    from dane_visual_feature_extraction_worker_spark.operators.joins import (
+        band_join,
+    )
+
+    e = _events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", cents.alias("cv")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", cents.alias("pv")
+    )
+    pairs = band_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_val=F.col("cv"),
+        right_val=F.col("pv"),
+        eps=500,
+        left_cols=[],
+        right_cols=[],
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum(F.abs("diff")).cast("bigint").alias("sum_abs_diff"),
+        F.max(F.abs("diff")).cast("bigint").alias("max_abs_diff"),
+    )
+
+
+ORACLES["band_join"] = """
+    WITH c AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS pv
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.user_id, c.cv - p.pv AS d
+      FROM c JOIN p ON c.user_id = p.user_id AND abs(c.cv - p.pv) <= 500
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(abs(d)) AS BIGINT) AS sum_abs_diff,
+           CAST(max(abs(d)) AS BIGINT) AS max_abs_diff
+    FROM m GROUP BY user_id
+"""
+QUERIES["band_join"] = band_join_q
+
+
+def template_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT-template contamination audit per source
+    (operators/textstats.template_contamination): literal marker
+    panel (ChatML / [INST] / Alpaca / turn prefixes), one
+    |sources|-key exchange, zero joins."""
+    from dane_visual_feature_extraction_worker_spark.operators.textstats import (
+        template_contamination,
+    )
+
+    return template_contamination(_documents(spark, sf_dir))
+
+
+ORACLES["template_contamination"] = """
+    WITH f AS (
+      SELECT source AS "group",
+             CASE WHEN contains(coalesce(text,''), '<|im_start|>')
+                    OR contains(coalesce(text,''), '<|im_end|>')
+                  THEN 1 ELSE 0 END AS chatml,
+             CASE WHEN contains(coalesce(text,''), '[INST]')
+                    OR contains(coalesce(text,''), '[/INST]')
+                  THEN 1 ELSE 0 END AS inst,
+             CASE WHEN contains(coalesce(text,''), '### Instruction')
+                    OR contains(coalesce(text,''), '### Response')
+                  THEN 1 ELSE 0 END AS alpaca,
+             CASE WHEN contains(coalesce(text,''), 'Human:')
+                    OR contains(coalesce(text,''), 'Assistant:')
+                  THEN 1 ELSE 0 END AS turns
+      FROM documents
+    )
+    SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chatml) AS BIGINT) AS n_chatml,
+           CAST(sum(inst) AS BIGINT) AS n_inst,
+           CAST(sum(alpaca) AS BIGINT) AS n_alpaca,
+           CAST(sum(turns) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN chatml = 1 OR inst = 1 OR alpaca = 1
+                          OR turns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN chatml = 1 OR inst = 1 OR alpaca = 1
+                          OR turns = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS contaminated_share_micro
+    FROM f GROUP BY 1
+"""
+QUERIES["template_contamination"] = template_contamination_q
