@@ -241,3 +241,104 @@ def cluster_silhouette(
         .otherwise(F.lit(0.0))
         .alias("silhouette"),
     )
+
+
+def power_iteration_top(
+    emb: DataFrame,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal-component summary by EXACT-INTEGER power
+    iteration over the gated Gramian — "how one-dimensional is this
+    embedding space?": ``explained_share_micro`` = λ₁/trace(G) is the
+    collapse diagnostic (≈1 means every vector points one way — a
+    degenerate encoder; ≈1/d means isotropic).  Runs entirely in
+    integer arithmetic so any engine replays it bit for bit: v₀ =
+    10⁶·e_{argmax diag}, each round v ← (G·v)·10⁶ DIV max|G·v|
+    (truncating division — verified identical in Spark DIV and
+    DuckDB //), fixed ``iters`` rounds (the LPA discipline: a
+    deterministic round budget, not a float convergence test), then
+    the integer Rayleigh quotient λ = (vᵀGv) DIV (vᵀv).
+
+    Plan: ``gram_matrix`` is the one corpus pass (Arrow int64 einsum
+    partials, d(d+1)/2-row exchange); the iteration loop runs on the
+    d²-row G frame — join + groupBy + 1-row max per round on frames
+    that never exceed d² — with G localCheckpoint-pinned once (the
+    Lloyd/doc_pagerank lesson).  d = 64 here; the same plan holds to
+    d ~ 10⁴ (10⁸-row G) where a driver-side eigensolve stops fitting.
+
+    Output one row: ``(d, iters, lambda_q (decimal string, Gram
+    units), explained_share_micro, top_axis)``.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d38 = "decimal(38,0)"
+    g0 = gram_matrix(emb, vec_col=vec_col).select(
+        "i", "j", F.col("gram").cast(d38).alias("val")
+    )
+    full = g0.unionByName(
+        g0.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "val"
+        )
+    ).localCheckpoint()
+    start = (
+        full.where(F.col("i") == F.col("j"))
+        .orderBy(F.col("val").desc(), F.col("i").asc())
+        .limit(1)
+        .select(F.col("i").alias("j"), F.lit(1_000_000).cast("bigint").alias("val"))
+    )
+    v = start.localCheckpoint()
+    for _ in range(iters):
+        # v's value column renamed before the join: G carries 'val' too
+        raw = (
+            full.join(v.withColumnRenamed("val", "__vv"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("val") * F.col("__vv")).cast(d38).alias("raw"))
+        )
+        mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("__mx"))
+        v = (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.when(
+                    F.col("__mx") > 0,
+                    F.expr("CAST(raw * 1000000 AS DECIMAL(38,0)) DIV __mx"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("val"),
+            )
+            .localCheckpoint()
+        )
+    gv = (
+        full.join(v.withColumnRenamed("val", "__vv"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("val") * F.col("__vv")).cast(d38).alias("raw"))
+    )
+    paired = v.join(gv.withColumnRenamed("i", "j"), "j")
+    scal = paired.agg(
+        F.sum(F.col("val").cast(d38) * F.col("raw")).cast(d38).alias("__num"),
+        F.sum(F.col("val").cast(d38) * F.col("val").cast(d38))
+        .cast(d38)
+        .alias("__den"),
+        F.max(F.struct(F.abs("val").alias("a"), F.col("j").alias("j")))
+        .alias("__top"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    trace = full.where(F.col("i") == F.col("j")).agg(
+        F.sum("val").cast(d38).alias("__tr")
+    )
+    return scal.crossJoin(F.broadcast(trace)).select(
+        "d",
+        F.lit(iters).cast("bigint").alias("iters"),
+        F.expr("CAST(__num DIV __den AS DECIMAL(38,0))")
+        .cast("string")
+        .alias("lambda_q"),
+        F.expr(
+            "CAST(__num * 1000000 AS DECIMAL(38,0))"
+            " DIV CAST(__den * __tr AS DECIMAL(38,0))"
+        )
+        .cast("bigint")
+        .alias("explained_share_micro"),
+        F.col("__top.j").cast("int").alias("top_axis"),
+    )

@@ -15041,3 +15041,80 @@ ORACLES["template_contamination"] = """
     FROM f GROUP BY 1
 """
 QUERIES["template_contamination"] = template_contamination_q
+
+
+def _power_iter_sql(iters: int) -> str:
+    """Unrolled fixed-iteration power-method oracle over the
+    embedding_gram CTE (the LPA unrolled-rounds discipline): every
+    round is exact HUGEINT arithmetic with the same truncating
+    division the Spark operator uses.  MATERIALIZED is load-bearing:
+    DuckDB inlines plain CTEs per reference, and the round chain
+    references each frame twice — unmaterialized, the Gram scan
+    re-derives 2^rounds times and the oracle never finishes."""
+    parts = [f"WITH g0 AS MATERIALIZED ({ORACLES['embedding_gram']}),"]
+    parts.append("""
+    fullg AS MATERIALIZED (
+      SELECT i, j, CAST(gram AS HUGEINT) AS val FROM g0
+      UNION ALL
+      SELECT j, i, CAST(gram AS HUGEINT) FROM g0 WHERE i <> j
+    ),
+    v0 AS (
+      SELECT i AS j, CAST(1000000 AS BIGINT) AS val
+      FROM (SELECT i FROM fullg WHERE i = j
+            ORDER BY val DESC, i ASC LIMIT 1)
+    )""")
+    for k in range(iters):
+        parts.append(f""",
+    raw{k} AS MATERIALIZED (
+      SELECT f.i, CAST(sum(f.val * v.val) AS HUGEINT) AS raw
+      FROM fullg f JOIN v{k} v ON v.j = f.j GROUP BY f.i
+    ),
+    mx{k} AS (SELECT max(abs(raw)) AS m FROM raw{k}),
+    v{k + 1} AS MATERIALIZED (
+      SELECT i AS j,
+             CASE WHEN m > 0 THEN CAST(raw * 1000000 // m AS BIGINT)
+                  ELSE 0 END AS val
+      FROM raw{k}, mx{k}
+    )""")
+    k = iters
+    parts.append(f""",
+    gv AS (
+      SELECT f.i, CAST(sum(f.val * v.val) AS HUGEINT) AS raw
+      FROM fullg f JOIN v{k} v ON v.j = f.j GROUP BY f.i
+    ),
+    paired AS (
+      SELECT v.j, v.val, gv.raw FROM v{k} v JOIN gv ON gv.i = v.j
+    ),
+    scal AS (
+      SELECT CAST(sum(CAST(val AS HUGEINT) * raw) AS HUGEINT) AS num,
+             CAST(sum(CAST(val AS HUGEINT) * val) AS HUGEINT) AS den,
+             CAST(count(*) AS BIGINT) AS d
+      FROM paired
+    ),
+    topax AS (SELECT j FROM paired ORDER BY abs(val) DESC, j DESC LIMIT 1),
+    tr AS (SELECT CAST(sum(val) AS HUGEINT) AS t FROM fullg WHERE i = j)
+    SELECT d, CAST({k} AS BIGINT) AS iters,
+           CAST(num // den AS VARCHAR) AS lambda_q,
+           CAST(num * 1000000 // (den * t) AS BIGINT)
+             AS explained_share_micro,
+           CAST((SELECT j FROM topax) AS INT) AS top_axis
+    FROM scal, tr""")
+    return "".join(parts)
+
+
+def pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PC collapse diagnostic by exact-integer power iteration
+    (operators/linalg.power_iteration_top, 8 rounds): the Gramian is
+    the one corpus pass; the iteration runs on the pinned d^2-row G
+    frame with truncating-division rescaling both engines replay bit
+    for bit; gated against an unrolled 8-round HUGEINT oracle."""
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import (
+        power_iteration_top,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    return power_iteration_top(emb, iters=8)
+
+
+ORACLES["pca_power"] = _power_iter_sql(8)
+QUERIES["pca_power"] = pca_power_q
