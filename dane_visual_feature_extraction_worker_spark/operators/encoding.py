@@ -567,3 +567,63 @@ def partition_balance(
         .cast("bigint")
         .alias("balance_micro"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    id_cols: list[str],
+    prior_weight: int = 10,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category encodes as
+    the mean label of all OTHER rows in its category (smoothed toward
+    the global mean with ``prior_weight`` pseudo-counts) — the
+    standard fix for the self-leak in naive target encoding, where a
+    row sees its own label and a high-cardinality category memorizes
+    the target (``target_encode_pit`` guards the temporal axis; this
+    guards the self axis — production uses both).
+
+    enc(row) = (S_c − y_row + w·ȳ_global·) / (n_c − 1 + w), all in
+    exact cents: enc_micro = (S_c·10⁴ − y·10⁴ + w·gsum·10⁴ DIV gn)
+    DIV (n_c − 1 + w) — the global-mean term is itself a floored
+    integer micro (documented ±1µ leak), every division truncating
+    and engine-portable.  Singleton categories (n_c = 1) fall back to
+    the pure smoothed prior.
+
+    Plan: one |categories|-key aggregate, one broadcast 1-row global
+    frame, one join of the per-category sums back (broadcast when
+    |C| is small, hash otherwise — left to AQE); the label column is
+    read once.  Output: id_cols + (category, enc_micro).
+    """
+    d38 = "decimal(38,0)"
+    y = (F.col(label_col).cast("decimal(18,2)") * 100).cast(d38)
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        F.col(cat_col).alias("category"),
+        y.alias("__y"),
+    )
+    per_cat = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast(d38).alias("__nc"),
+        F.sum("__y").alias("__sc"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("__gn"),
+        F.sum("__y").alias("__gs"),
+    ).select(
+        F.expr("CAST(__gs * 10000 AS DECIMAL(38,0)) DIV __gn").alias(
+            "__gmean_micro"
+        )
+    )
+    w = int(prior_weight)
+    joined = base.join(per_cat, "category").crossJoin(F.broadcast(glob))
+    return joined.select(
+        *id_cols,
+        "category",
+        F.expr(
+            f"CAST((__sc - __y) * 10000 + {w} * __gmean_micro"
+            f" AS DECIMAL(38,0)) DIV CAST(__nc - 1 + {w} AS DECIMAL(38,0))"
+        )
+        .cast("bigint")
+        .alias("enc_micro"),
+    )

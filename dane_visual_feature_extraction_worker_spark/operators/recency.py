@@ -190,3 +190,67 @@ def time_to_k(
         (n >= k).alias("reached_k"),
         (kth - first).cast("bigint").alias("us_to_k"),
     )
+
+
+def activity_bitmap(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch_day0: int = 19723,
+    horizon_days: int = 31,
+) -> DataFrame:
+    """Per-entity day-activity BITMAP features: pack a
+    ``horizon_days``-day window into one int64 (bit k = active on
+    day0+k), then read active-day count, longest consecutive streak
+    and run count as PURE BIT ARITHMETIC — the zero-window twin of
+    ``activity_streaks``: that operator sorts each entity's rows
+    through a window exchange; this one needs ONE map-side-combined
+    ``bit_or`` groupBy and a narrow select, because popcount, the
+    trailing-ones identity (ones(x) = popcount(x ⊕ (x+1)) − 1, so
+    longest run = max over shifts s of ones(mask >> s) — a LINEAR
+    62-term greatest(), each term reading mask once; the naive smear
+    chain mₖ = mₖ₋₁ & (mₖ₋₁<<1) doubles its expression tree per
+    level and blows Catalyst up) and runs = popcount(m) −
+    popcount(m & (m<<1)) are row-local integer ops.  The classic
+    roaring-bitmap trick at the 64-bit scale a monthly window needs.
+
+    Output: ``(entity, day_mask, active_days, longest_streak,
+    n_runs)``.  Events outside [day0, day0 + horizon) are ignored
+    (documented; widen the horizon or shard by month for longer
+    spans — at 64+ days pack multiple masks).  ``horizon_days`` ≤ 62
+    keeps every smear shift inside int64.
+    """
+    if not 1 <= horizon_days <= 62:
+        raise ValueError("horizon_days must be in [1, 62]")
+    off = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
+        f" - {epoch_day0}"
+    )
+    bits = df.select(
+        F.col(entity_col).alias("entity"), off.alias("__o")
+    ).where(
+        (F.col("__o") >= 0) & (F.col("__o") < horizon_days)
+    ).select(
+        "entity", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__o AS INT))").alias("__b")
+    )
+    masks = bits.groupBy("entity").agg(
+        F.expr("bit_or(__b)").cast("bigint").alias("day_mask")
+    )
+    terms = [
+        f"(bit_count(shiftright(day_mask, {s})"
+        f" ^ (shiftright(day_mask, {s}) + 1)) - 1)"
+        for s in range(horizon_days)
+    ]
+    longest = f"greatest({', '.join(terms)})" if len(terms) > 1 else terms[0]
+    return masks.select(
+        "entity",
+        "day_mask",
+        F.expr("bit_count(day_mask)").cast("bigint").alias("active_days"),
+        F.expr(longest).cast("bigint").alias("longest_streak"),
+        F.expr(
+            "bit_count(day_mask) - bit_count(day_mask &"
+            " shiftleft(day_mask, 1))"
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )

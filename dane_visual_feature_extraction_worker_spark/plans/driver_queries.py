@@ -15118,3 +15118,83 @@ def pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["pca_power"] = _power_iter_sql(8)
 QUERIES["pca_power"] = pca_power_q
+
+
+def activity_bitmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-activity bitmap features for Jan 2024 (operators/recency.
+    activity_bitmap): one bit_or groupBy + row-local bit arithmetic —
+    popcount, 31-term trailing-ones greatest() for the longest
+    streak, run count — the zero-window twin of activity_streaks."""
+    from dane_visual_feature_extraction_worker_spark.operators.recency import (
+        activity_bitmap,
+    )
+
+    return activity_bitmap(
+        _events(spark, sf_dir), epoch_day0=19723, horizon_days=31
+    )
+
+
+ORACLES["activity_bitmap"] = """
+    WITH b AS (
+      SELECT user_id AS entity,
+             epoch_us(ts) // 86400000000 - 19723 AS o
+      FROM events
+    ), f AS (
+      SELECT entity, (CAST(1 AS BIGINT) << CAST(o AS INT)) AS bit
+      FROM b WHERE o >= 0 AND o < 31
+    ), m AS (
+      SELECT entity, CAST(bit_or(bit) AS BIGINT) AS day_mask
+      FROM f GROUP BY 1
+    )
+    SELECT entity, day_mask,
+           CAST(bit_count(day_mask) AS BIGINT) AS active_days,
+           CAST(greatest({terms}) AS BIGINT) AS longest_streak,
+           CAST(bit_count(day_mask)
+                - bit_count(day_mask & (day_mask << 1)) AS BIGINT)
+             AS n_runs
+    FROM m
+""".format(
+    terms=", ".join(
+        f"(bit_count(xor(day_mask >> {s}, (day_mask >> {s}) + 1)) - 1)"
+        for s in range(31)
+    )
+)
+QUERIES["activity_bitmap"] = activity_bitmap_q
+
+
+def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of event_type against
+    value (operators/encoding.target_encode_loo, prior weight 10):
+    one |categories|-key aggregate + broadcast global mean; the
+    self-leak fix alongside target_encode_pit's temporal guard."""
+    from dane_visual_feature_extraction_worker_spark.operators.encoding import (
+        target_encode_loo,
+    )
+
+    return target_encode_loo(
+        _events(spark, sf_dir),
+        cat_col="event_type",
+        label_col="value",
+        id_cols=["event_id"],
+        prior_weight=10,
+    )
+
+
+ORACLES["target_encode_loo"] = """
+    WITH base AS (
+      SELECT event_id, event_type AS category,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      FROM events
+    ), pc AS (
+      SELECT category, CAST(count(*) AS HUGEINT) AS nc, sum(y) AS sc
+      FROM base GROUP BY 1
+    ), g AS (
+      SELECT CAST(sum(y) * 10000 // count(*) AS HUGEINT) AS gmean
+      FROM base
+    )
+    SELECT b.event_id, b.category,
+           CAST(((pc.sc - b.y) * 10000 + 10 * g.gmean)
+                // (pc.nc - 1 + 10) AS BIGINT) AS enc_micro
+    FROM base b JOIN pc USING (category), g
+"""
+QUERIES["target_encode_loo"] = target_encode_loo_q
