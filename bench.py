@@ -284,6 +284,39 @@ HEADLINE = [
     "peak_concurrency",
     "scrub_verification",
     "time_to_k",
+    # r5 seventieth-wave additions
+    "forget_audit",
+    "revision_distance",
+    "welch_ttest",
+    "kcore",
+    "cosine_pairs",
+    "srm_check",
+    "mcc_eval",
+    "l_diversity",
+    "resample_ffill",
+    "clustering_coeff",
+    "assortativity",
+    "linear_attribution",
+    "blocking_quality",
+    "encoding_audit",
+    "multimodal_decode_wav",
+    "theil_sen",
+    "cold_start",
+    "wilson_ctr",
+    "kmv_overlap",
+    "diff_in_diff",
+    "mde_report",
+    "anova_eta",
+    "dedup_strategy_diff",
+    "gibberish_rate",
+    "audience_overlap",
+    "link_prediction",
+    "median_of_means",
+    "band_join",
+    "template_contamination",
+    "pca_power",
+    "activity_bitmap",
+    "target_encode_loo",
 ]
 
 

@@ -342,3 +342,82 @@ def power_iteration_top(
         .alias("explained_share_micro"),
         F.col("__top.j").cast("int").alias("top_axis"),
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    in_a: F.Column,
+    in_b: F.Column,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid drift between two embedding cohorts (model versions,
+    time slices, label splits): the cosine between the two MEAN
+    vectors plus their norm ratio — the two numbers that catch an
+    encoder swap or feature-pipeline drift before any ANN index
+    degrades (direction rotates → cosine drops; scale changes → norm
+    ratio leaves 1).  Complements ``embedding_gram``'s second-moment
+    view with the first-moment one.
+
+    Exactness: components quantize to 2⁻²⁴ ints (the gram_matrix
+    convention); per-cohort component sums S_j and squared-sum norms
+    accumulate EXACTLY in one (cohort, position) aggregate; the final
+    cosine/ratio form from those exact decimals in a fixed IEEE op
+    order (cast, multiply-sum already exact, one sqrt each) — floored
+    micro, engine-replayable.
+
+    Plan: one posexplode projection (narrow, 64× row fan-out of a
+    vector column the scan already reads) + ONE map-side-combined
+    128-key aggregate + a 64-row self-join on position; the corpus
+    never shuffles.  Output one row: ``(n_a, n_b, cos_micro,
+    norm_ratio_micro)`` — NULL when either cohort is empty or
+    zero-vector.
+    """
+    d38 = "decimal(38,0)"
+    scale = float(1 << _SCALE_BITS)
+    base = emb.select(
+        in_a.cast("int").alias("__a"),
+        in_b.cast("int").alias("__b"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__x"),
+    ).where((F.col("__a") == 1) | (F.col("__b") == 1))
+    q = F.floor(F.col("__x").cast("double") * F.lit(scale)).cast(d38)
+    per = base.groupBy("__p").agg(
+        F.sum(F.when(F.col("__a") == 1, q).otherwise(F.lit(0).cast(d38)))
+        .alias("__sa"),
+        F.sum(F.when(F.col("__b") == 1, q).otherwise(F.lit(0).cast(d38)))
+        .alias("__sb"),
+    )
+    counts = emb.agg(
+        F.sum(in_a.cast("int")).cast("bigint").alias("n_a"),
+        F.sum(in_b.cast("int")).cast("bigint").alias("n_b"),
+    )
+    moments = per.agg(
+        F.sum(F.col("__sa") * F.col("__sb")).cast(d38).alias("__dot"),
+        F.sum(F.col("__sa") * F.col("__sa")).cast(d38).alias("__na2"),
+        F.sum(F.col("__sb") * F.col("__sb")).cast(d38).alias("__nb2"),
+    )
+    j = counts.crossJoin(F.broadcast(moments))
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("__na2") > 0)
+        & (F.col("__nb2") > 0)
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na2").cast("double"))
+        * F.sqrt(F.col("__nb2").cast("double"))
+    )
+    ratio = (
+        F.sqrt(F.col("__na2").cast("double")) * F.col("n_b").cast("double")
+    ) / (
+        F.sqrt(F.col("__nb2").cast("double")) * F.col("n_a").cast("double")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.floor(cos * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "cos_micro"
+        ),
+        F.when(ok, F.floor(ratio * F.lit(1_000_000.0)).cast("bigint")).alias(
+            "norm_ratio_micro"
+        ),
+    )

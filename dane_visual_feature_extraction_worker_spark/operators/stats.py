@@ -3072,3 +3072,83 @@ def median_of_means(
             - F.col("__m")
         ).alias("gap_micro"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    sum_col: str,
+    count_col: str,
+    max_bins: int = 100_000,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration by pool-adjacent-
+    violators over PRE-AGGREGATED bins: input rows are
+    ``(group, x, sum_cents, n)`` — e.g. score-bucket rollups from
+    ``calibration_bins`` — and the output maps every x to the PAV-
+    pooled mean, the classic post-hoc calibrator when Platt's sigmoid
+    shape doesn't fit.  PAV is inherently sequential in x, so this is
+    a legitimate ``applyInPandas`` stage (the asof_join_pandas
+    precedent): per-GROUP sequential, across-group parallel, with the
+    bin rollup having already collapsed the corpus — the Python path
+    touches |bins| rows, never events.
+
+    Exact: pooling adds integer (sum, n) pairs; violator comparison
+    is cross-multiplied integers (sum_i·n_j vs sum_j·n_i — no float
+    mean anywhere); only the FINAL fitted value floors to micro.
+    Deterministic on any engine/partitioning.  No SQL oracle — PAV's
+    data-dependent pooling is the textbook non-SQL-expressible
+    recursion; correctness is pinned by brute-force parity tests.
+
+    Output: ``(group, x, n, fitted_micro)`` with fitted_micro
+    non-decreasing in x within every group.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, x bigint, n bigint, fitted_micro bigint"
+    )
+
+    def pav(key, pdf):
+        if len(pdf) > max_bins:
+            raise ValueError(
+                f"isotonic_calibration: group {key} has {len(pdf)} bins"
+                f" > max_bins={max_bins}; coarsen the binning first"
+            )
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        # blocks of (sum, n, span) pooled left-to-right
+        blocks: list[list[int]] = []
+        for s, n in zip(pdf[sum_col].astype(int), pdf[count_col].astype(int)):
+            blocks.append([int(s), int(n), 1])
+            # pool while mean(prev) > mean(curr): cross-multiplied ints
+            while (
+                len(blocks) >= 2
+                and blocks[-2][0] * blocks[-1][1]
+                > blocks[-1][0] * blocks[-2][1]
+            ):
+                s2, n2, c2 = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += n2
+                blocks[-1][2] += c2
+        fitted = []
+        ns = []
+        for s, n, span in blocks:
+            f_micro = (s * 10_000) // n if n > 0 else 0
+            fitted.extend([f_micro] * span)
+        ns = pdf[count_col].astype(int).tolist()
+        return pd.DataFrame(
+            {
+                group_col: [str(key[0])] * len(pdf),
+                "x": pdf["x"].astype(int),
+                "n": ns,
+                "fitted_micro": fitted,
+            }
+        )
+
+    binned = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(sum_col).cast("bigint").alias(sum_col),
+        F.col(count_col).cast("bigint").alias(count_col),
+    )
+    return binned.groupBy(group_col).applyInPandas(pav, schema=out_schema)

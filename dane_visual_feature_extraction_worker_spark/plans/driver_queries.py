@@ -15198,3 +15198,90 @@ ORACLES["target_encode_loo"] = """
     FROM base b JOIN pc USING (category), g
 """
 QUERIES["target_encode_loo"] = target_encode_loo_q
+
+
+def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift between the label<5 and label>=5 embedding
+    cohorts (operators/linalg.centroid_drift): exact 2^-24-quantized
+    component sums in one 128-key aggregate; cosine + norm ratio from
+    the exact decimals in fixed IEEE order — the encoder-swap tripwire
+    next to embedding_gram's second-moment view."""
+    from dane_visual_feature_extraction_worker_spark.operators.linalg import (
+        centroid_drift,
+    )
+
+    return centroid_drift(
+        _embeddings(spark, sf_dir),
+        in_a=F.col("label") < 5,
+        in_b=F.col("label") >= 5,
+    )
+
+
+ORACLES["centroid_drift"] = """
+    WITH base AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS a,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS b,
+             unnest(generate_series(0, len(embedding) - 1)) AS p,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0)
+                  AS HUGEINT) AS q
+      FROM embeddings
+    ), per AS (
+      SELECT p,
+             sum(CASE WHEN a = 1 THEN q ELSE CAST(0 AS HUGEINT) END) AS sa,
+             sum(CASE WHEN b = 1 THEN q ELSE CAST(0 AS HUGEINT) END) AS sb
+      FROM base GROUP BY 1
+    ), mom AS (
+      SELECT sum(sa * sb) AS dot, sum(sa * sa) AS na2, sum(sb * sb) AS nb2
+      FROM per
+    ), cnt AS (
+      SELECT CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM embeddings
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND na2 > 0 AND nb2 > 0 THEN
+             CAST(floor(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) END AS cos_micro,
+           CASE WHEN n_a > 0 AND n_b > 0 AND na2 > 0 AND nb2 > 0 THEN
+             CAST(floor((sqrt(CAST(na2 AS DOUBLE)) * CAST(n_b AS DOUBLE))
+                  / (sqrt(CAST(nb2 AS DOUBLE)) * CAST(n_a AS DOUBLE))
+                  * 1000000.0) AS BIGINT) END AS norm_ratio_micro
+    FROM cnt, mom
+"""
+QUERIES["centroid_drift"] = centroid_drift_q
+
+
+def isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of purchase share against value
+    buckets (operators/stats.isotonic_calibration): the corpus
+    collapses to |bins| rows in one rollup, then PAV runs per group
+    in an applyInPandas stage — sequential in x by nature, which is
+    why this key is rows-only (no SQL oracle; brute-force parity
+    pinned in tests/test_drift_isotonic.py)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        isotonic_calibration,
+    )
+
+    e = _events(spark, sf_dir)
+    bins = e.groupBy(
+        F.lit("all").alias("model"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 1000"
+        ).alias("x"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 100).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return isotonic_calibration(
+        bins, group_col="model", x_col="x", sum_col="s", count_col="n"
+    )
+
+
+QUERIES["isotonic_calibration"] = isotonic_calibration_q
