@@ -650,3 +650,102 @@ def resample_ffill(
             "value_ffill_cents",
         )
     )
+
+
+def resample_linear(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid LINEAR-interpolation resampler — the smooth twin
+    of ``resample_ffill``: each epoch-aligned tick carries
+    v_prev + (v_next − v_prev)·(t − t_prev) DIV (t_next − t_prev),
+    the straight line between the surrounding observations.  Forward
+    fill is right for state-like series (last price holds); linear is
+    right for flow-like ones (cumulative counters, sensor levels)
+    where a step function fabricates plateaus.  Ticks exactly on an
+    observation return it unchanged; the interpolation is EXACT
+    integer arithmetic (cents·µs products, one truncating DIV per
+    tick — engine-portable, ±1 cent flooring documented).
+
+    Plan: identical shape to resample_ffill — bounds agg, narrow
+    ``sequence()`` grid, grid∪events union — plus ONE extra pair of
+    running windows (backward last + forward first, both ignorenulls,
+    over the SAME entity exchange; Catalyst shares the sort).  Two
+    entity exchanges total, zero joins, never a per-tick probe.
+    Interior ticks only by construction (first tick ≥ first event,
+    last tick ≤ last event), so both neighbors always exist.
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    ts_l = F.floor(sec).cast("bigint")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    ev = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            ts_l.alias("__ts"),
+            cents.alias("__cents"),
+        )
+        .groupBy("entity", "__ts")
+        .agg(F.max("__cents").alias("__cents"))
+    )
+    step = F.lit(step_seconds).cast("bigint")
+    bounds = ev.groupBy("entity").agg(
+        F.min("__ts").alias("__mn"), F.max("__ts").alias("__mx")
+    )
+    first_tick = (
+        F.expr(f"(__mn + {step_seconds} - 1) DIV {step_seconds}") * step
+    ).cast("bigint")
+    last_tick = (F.expr(f"__mx DIV {step_seconds}") * step).cast("bigint")
+    grid = bounds.where(last_tick >= first_tick).select(
+        "entity",
+        F.explode(F.sequence(first_tick, last_tick, step)).alias("__ts"),
+        F.lit(None).cast("bigint").alias("__cents"),
+        F.lit(1).alias("__is_grid"),
+    )
+    union = ev.withColumn("__is_grid", F.lit(0)).unionByName(grid)
+    back = (
+        Window.partitionBy("entity")
+        .orderBy("__ts", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("entity")
+        .orderBy("__ts", "__is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    annotated = (
+        union.withColumn("__pv", F.last("__cents", ignorenulls=True).over(back))
+        .withColumn(
+            "__pt",
+            F.last(
+                F.when(F.col("__cents").isNotNull(), F.col("__ts")),
+                ignorenulls=True,
+            ).over(back),
+        )
+        .withColumn("__nv", F.first("__cents", ignorenulls=True).over(fwd))
+        .withColumn(
+            "__nt",
+            F.first(
+                F.when(F.col("__cents").isNotNull(), F.col("__ts")),
+                ignorenulls=True,
+            ).over(fwd),
+        )
+    )
+    interp = F.when(F.col("__nt") == F.col("__pt"), F.col("__pv")).otherwise(
+        F.expr(
+            "CAST(__pv + (__nv - __pv) * (__ts - __pt)"
+            " DIV (__nt - __pt) AS BIGINT)"
+        )
+    )
+    return (
+        annotated.where(F.col("__is_grid") == 1)
+        .select(
+            "entity",
+            F.col("__ts").alias("tick"),
+            interp.cast("bigint").alias("value_interp_cents"),
+        )
+    )

@@ -3152,3 +3152,53 @@ def isotonic_calibration(
         F.col(count_col).cast("bigint").alias(count_col),
     )
     return binned.groupBy(group_col).applyInPandas(pav, schema=out_schema)
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    value_col: str,
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (entity, day)
+    value with the SAME entity's value ``season_days`` earlier and
+    report per-entity MAE and signed bias — the sanity baseline every
+    forecasting feature must beat ("is your model better than 'same
+    as last Tuesday'?"), and a drift alarm when a previously stable
+    entity's naive error jumps.  Days with no t−7 observation are
+    excluded (n_pairs counts scored days; never zero-filled).
+
+    Exact integers end to end: values are cents, errors are cent
+    differences, MAE/bias are truncating micro DIVs.
+
+    Plan: the daily frame self-joins ON THE ENTITY+day−season EQUI key
+    (one uniform shuffle pair, AQE-splittable — never a range join),
+    then ONE per-entity rollup.  Input is the |entity×day| rollup, so
+    the corpus-sized table never enters the join.
+    """
+    if season_days < 1:
+        raise ValueError("season_days must be >= 1")
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(day_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    )
+    prev = base.select(
+        "entity",
+        (F.col("__d") + season_days).alias("__d"),
+        F.col("__v").alias("__pv"),
+    )
+    scored = base.join(prev, ["entity", "__d"]).select(
+        "entity", (F.col("__v") - F.col("__pv")).alias("__err")
+    )
+    return scored.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("sum(abs(__err)) * 1000000 DIV count(1)")
+        .cast("bigint")
+        .alias("mae_micro"),
+        F.expr("sum(__err) * 1000000 DIV count(1)")
+        .cast("bigint")
+        .alias("bias_micro"),
+        F.max(F.abs("__err")).cast("bigint").alias("max_abs_err"),
+    )

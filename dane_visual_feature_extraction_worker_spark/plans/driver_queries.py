@@ -15285,3 +15285,110 @@ def isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["isotonic_calibration"] = isotonic_calibration_q
+
+
+def resample_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid linear interpolation per user (operators/asof.
+    resample_linear): the flow-series twin of resample_ffill — same
+    two-entity-exchange grid∪events shape plus a backward/forward
+    ignorenulls window pair sharing one sort; exact integer
+    interpolation (cents·µs products, one truncating DIV)."""
+    from dane_visual_feature_extraction_worker_spark.operators.asof import (
+        resample_linear,
+    )
+
+    return resample_linear(
+        _events(spark, sf_dir),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+    )
+
+
+ORACLES["resample_linear"] = """
+    WITH ev AS (
+      SELECT user_id AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT entity, min(t) AS mn, max(t) AS mx FROM ev GROUP BY 1
+    ), g AS (
+      SELECT entity,
+             unnest(generate_series((mn + 3599) // 3600 * 3600,
+                                    mx // 3600 * 3600, 3600)) AS t,
+             CAST(NULL AS BIGINT) AS cents, 1 AS isg
+      FROM b
+      WHERE mx // 3600 * 3600 >= (mn + 3599) // 3600 * 3600
+    ), u AS (
+      SELECT entity, t, cents, 0 AS isg FROM ev
+      UNION ALL SELECT * FROM g
+    ), ann AS (
+      SELECT entity, t, cents, isg,
+             last_value(cents IGNORE NULLS) OVER w_back AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN t END
+                        IGNORE NULLS) OVER w_back AS pt,
+             first_value(cents IGNORE NULLS) OVER w_fwd AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN t END
+                         IGNORE NULLS) OVER w_fwd AS nt
+      FROM u
+      WINDOW w_back AS (PARTITION BY entity ORDER BY t, isg
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY entity ORDER BY t, isg
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT entity, t AS tick,
+           CASE WHEN nt = pt THEN pv
+                ELSE CAST(pv + ((nv - pv) * (t - pt)) // (nt - pt)
+                     AS BIGINT) END AS value_interp_cents
+    FROM ann WHERE isg = 1
+"""
+QUERIES["resample_linear"] = resample_linear_q
+
+
+def seasonal_naive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day seasonal-naive backtest over daily cent totals
+    (operators/stats.seasonal_naive_error): the 'same as last Tuesday'
+    baseline every forecast feature must beat — one equi self-join of
+    the daily rollup on (entity, day-7) + one entity rollup, exact
+    integer MAE/bias."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        seasonal_naive_error,
+    )
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("user_id").alias("entity"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+        .alias("day"),
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return seasonal_naive_error(
+        daily, entity_col="entity", day_col="day", value_col="cents",
+        season_days=7,
+    )
+
+
+ORACLES["seasonal_naive"] = """
+    WITH daily AS (
+      SELECT user_id AS entity, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT a.entity, a.cents - b.cents AS err
+      FROM daily a JOIN daily b
+        ON a.entity = b.entity AND a.day = b.day + 7
+    )
+    SELECT entity, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(err)) * 1000000 // count(*) AS BIGINT) AS mae_micro,
+           CAST(sum(err) * 1000000 // count(*) AS BIGINT) AS bias_micro,
+           CAST(max(abs(err)) AS BIGINT) AS max_abs_err
+    FROM scored GROUP BY entity
+"""
+QUERIES["seasonal_naive"] = seasonal_naive_q
