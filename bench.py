@@ -317,6 +317,10 @@ HEADLINE = [
     "pca_power",
     "activity_bitmap",
     "target_encode_loo",
+    "resample_linear",
+    "seasonal_naive",
+    "centroid_drift",
+    "isotonic_calibration",
 ]
 
 

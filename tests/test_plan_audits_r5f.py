@@ -48,8 +48,12 @@ def test_kmv_overlap_uses_take_ordered(spark):
         (F.col("id") % 3 == 0).alias("b"),
     )
     p = _plan(kmv_overlap(df, "v", in_a=F.col("a"), in_b=F.col("b"), k=64))
-    assert "TakeOrderedAndProject" in p, p
-    assert p.count("Exchange hashpartitioning") == 1, p  # the distinct
+    assert p.count("TakeOrderedAndProject") == 3, p  # union + A + B
+    # the plan string shows the distinct exchange once per branch;
+    # scoped_persist dedupes it at execution (one InMemoryTableScan),
+    # so the pin here is "same single key, never a global Sort"
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", ""), p
 
 
 def test_activity_bitmap_single_exchange_no_window(spark):
