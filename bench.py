@@ -321,6 +321,7 @@ HEADLINE = [
     "seasonal_naive",
     "centroid_drift",
     "isotonic_calibration",
+    "session_gap_sweep",
 ]
 
 

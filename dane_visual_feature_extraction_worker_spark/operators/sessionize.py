@@ -192,3 +192,67 @@ def session_paths(
         .orderBy(F.desc("n"), F.col("path"))
         .limit(k)
     )
+
+
+def session_gap_sweep(
+    df: DataFrame,
+    gaps_seconds: list[int],
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session-gap PRICING: how many sessions (and what mean session
+    span) each candidate inactivity threshold produces — the decision
+    table behind ``sessionize_gaps``' fixed 30-minute constant, the
+    sessionize twin of ``watermark_sweep``: pick the knee where the
+    session count stops falling instead of cargo-culting 30 min.
+
+    For threshold g: a session STARTS at every first event and every
+    event whose gap from the previous exceeds g, so n_sessions =
+    n_entities + Σ[gap > g] — one number per threshold from the SAME
+    single lag pass, no re-sessionization per candidate.  Mean span =
+    (total span − Σ gaps that split) / n_sessions, again exact from
+    the one pass: every split removes exactly its gap from covered
+    time.  All integer µs; one µs-precision DIV per threshold.
+
+    Plan: ONE entity exchange (the lag window), a narrow
+    |thresholds| explode, ONE |thresholds|-key rollup.  The corpus
+    shuffles once regardless of candidate count.
+    """
+    if not gaps_seconds or any(g <= 0 for g in gaps_seconds):
+        raise ValueError("gaps_seconds must be non-empty positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(entity_col).orderBy(us)
+    lagged = df.select(
+        F.col(entity_col).alias("__e"),
+        us.alias("__us"),
+        (us - F.lag(us).over(w)).alias("__gap"),
+    )
+    cand = F.array(*[F.lit(int(g) * 1_000_000) for g in gaps_seconds])
+    exploded = lagged.select(
+        "__e",
+        "__us",
+        "__gap",
+        F.explode(cand).alias("gap_us"),
+    )
+    per = exploded.groupBy("gap_us").agg(
+        F.countDistinct("__e").cast("bigint").alias("__ne"),
+        F.sum(F.when(F.col("__gap") > F.col("gap_us"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__splits"),
+        F.sum(
+            F.when(F.col("__gap") > F.col("gap_us"), F.col("__gap")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("__cut_us"),
+        F.sum(F.coalesce("__gap", F.lit(0))).cast("bigint").alias("__tot_gap"),
+    )
+    return per.select(
+        (F.col("gap_us") / 1_000_000).cast("bigint").alias("gap_seconds"),
+        (F.col("__ne") + F.col("__splits")).alias("n_sessions"),
+        F.col("__splits").alias("n_splits"),
+        F.expr("(__tot_gap - __cut_us) DIV (__ne + __splits)")
+        .cast("bigint")
+        .alias("mean_session_span_us"),
+    )

@@ -15392,3 +15392,51 @@ ORACLES["seasonal_naive"] = """
     FROM scored GROUP BY entity
 """
 QUERIES["seasonal_naive"] = seasonal_naive_q
+
+
+def session_gap_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap decision table at 5m/15m/30m/1h/4h candidates
+    (operators/sessionize.session_gap_sweep): session counts + mean
+    covered span per threshold from ONE lag pass — no
+    re-sessionization per candidate; the sessionize twin of
+    watermark_sweep."""
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_gap_sweep,
+    )
+
+    return session_gap_sweep(
+        _events(spark, sf_dir),
+        gaps_seconds=[300, 900, 1800, 3600, 14400],
+        entity_col="user_id",
+        ts_col="ts",
+    )
+
+
+ORACLES["session_gap_sweep"] = """
+    WITH lagged AS (
+      SELECT user_id AS e, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+      FROM events
+    ), x AS (
+      SELECT e, gap, CAST(unnest([300, 900, 1800, 3600, 14400]) AS BIGINT) * 1000000
+               AS gap_us
+      FROM lagged
+    ), per AS (
+      SELECT gap_us,
+             CAST(count(DISTINCT e) AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN gap > gap_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS splits,
+             CAST(sum(CASE WHEN gap > gap_us THEN gap ELSE 0 END)
+                  AS BIGINT) AS cut_us,
+             CAST(sum(coalesce(gap, 0)) AS BIGINT) AS tot_gap
+      FROM x GROUP BY 1
+    )
+    SELECT CAST(gap_us // 1000000 AS BIGINT) AS gap_seconds,
+           CAST(ne + splits AS BIGINT) AS n_sessions,
+           splits AS n_splits,
+           CAST((tot_gap - cut_us) // (ne + splits) AS BIGINT)
+             AS mean_session_span_us
+    FROM per
+"""
+QUERIES["session_gap_sweep"] = session_gap_sweep_q
