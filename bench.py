@@ -322,6 +322,9 @@ HEADLINE = [
     "centroid_drift",
     "isotonic_calibration",
     "session_gap_sweep",
+    "bh_fdr",
+    "ipw_ate",
+    "conformal_intervals",
 ]
 
 

@@ -3202,3 +3202,305 @@ def seasonal_naive_error(
         .alias("bias_micro"),
         F.max(F.abs("__err")).cast("bigint").alias("max_abs_err"),
     )
+
+
+def bh_fdr_report(
+    df: DataFrame,
+    slice_col,
+    success_expr: F.Column,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over per-slice rate anomalies:
+    scanning m slices (hours, regions, cohorts) for "is this slice's
+    success rate different?" runs m hypothesis tests at once, and
+    thresholding each at alpha alone yields ~m*alpha false alarms —
+    the standard multiple-testing failure of per-slice dashboards.
+    BH bounds the FALSE DISCOVERY RATE at alpha: sort p ascending,
+    find the largest k with p_(k) <= k*alpha/m, reject exactly the k
+    smallest.
+
+    Per-slice statistic: the 2x2 chi-square (slice vs rest, success
+    vs not) — one conditional aggregate over the corpus.  The p-value
+    uses the Markov bound P(chi2_1 >= t) <= E[chi2_1]/t = 1/t, which
+    is a VALID (conservative) p-value requiring no CDF — both engines
+    replay the closed form bit-for-bit, where an erf/igamma-based
+    exact p would diverge between engines in the last ulp.  The BH
+    condition p_(i) <= i*alpha/m is evaluated as
+    chi2_(i) * i * alpha_num >= m * alpha_den (equivalent for p < 1;
+    p = 1 slices can never satisfy i*alpha/m < 1).
+
+    Plan: ONE map-side-combined aggregate corpus scan at slice
+    granularity (m rows out), then rank + running-max windows over
+    the m-row table — the windows are over slices, never corpus rows,
+    so the single-partition window is O(m) at any corpus scale.
+    Floats appear only in the chi-square scalar formula over exact
+    counts, fixed IEEE op order.
+    """
+    scol = F.col(slice_col) if isinstance(slice_col, str) else slice_col
+    per = df.groupBy(scol.alias("slice_key")).agg(
+        F.count(F.lit(1)).alias("__n1"),
+        F.sum(F.when(success_expr, 1).otherwise(0)).alias("__s1"),
+    )
+    tot = per.agg(
+        F.sum("__n1").alias("__nt"), F.sum("__s1").alias("__st")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n1, s1 = F.col("__n1").cast("double"), F.col("__s1").cast("double")
+    n0 = (F.col("__nt") - F.col("__n1")).cast("double")
+    s0 = (F.col("__st") - F.col("__s1")).cast("double")
+    nt, st = F.col("__nt").cast("double"), F.col("__st").cast("double")
+    ft = nt - st
+    # 2x2 chi-square: N*(ad-bc)^2 / (row1*row2*col1*col2); guard the
+    # degenerate margins (all-success / no-success corpus) to chi2=0
+    num = nt * (s1 * (n0 - s0) - s0 * (n1 - s1)) * (
+        s1 * (n0 - s0) - s0 * (n1 - s1)
+    )
+    den = n1 * n0 * st * ft
+    chi2 = F.when(F.lit(True), num / den)
+    stat = j.select(
+        "slice_key",
+        F.col("__n1").alias("n"),
+        F.col("__s1").alias("successes"),
+        F.when(den > 0.0, chi2).otherwise(F.lit(0.0)).alias("__chi2"),
+    )
+    w = Window.orderBy(F.col("__chi2").desc(), F.col("slice_key").asc())
+    ranked = stat.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+    )
+    cond = (
+        F.col("__chi2")
+        * F.col("rank").cast("double")
+        * F.lit(float(alpha_num))
+        >= F.col("m").cast("double") * F.lit(float(alpha_den))
+    )
+    kstar = F.max(F.when(cond, F.col("rank"))).over(Window.partitionBy())
+    return ranked.select(
+        "slice_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("successes").cast("bigint").alias("successes"),
+        F.floor(F.col("__chi2") * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("chi2_micro"),
+        # chi2 = 0 ⇒ the Markov bound is vacuous (p = 1); guard the
+        # division explicitly — ANSI mode raises on 1.0/0.0
+        F.when(
+            F.col("__chi2") > 0.0,
+            F.floor(
+                F.least(F.lit(1.0), F.lit(1.0) / F.col("__chi2"))
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(1_000_000).cast("bigint"))
+        .alias("p_bound_micro"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.coalesce(kstar, F.lit(0)).cast("bigint").alias("k_star"),
+        (F.col("rank") <= F.coalesce(kstar, F.lit(0)))
+        .cast("bigint")
+        .alias("rejected"),
+    )
+
+
+def ipw_ate_report(
+    df: DataFrame,
+    treat_expr: F.Column,
+    control_expr: F.Column,
+    value_col: str,
+    stratum_expr: F.Column,
+) -> DataFrame:
+    """Stratified inverse-propensity-weighted average treatment effect:
+    with a DISCRETE propensity stratum, the Horvitz–Thompson IPW
+    estimator collapses exactly to direct standardization — per
+    stratum s, weight the within-stratum treated/control mean gap by
+    the stratum's population share n_s/N.  This is the confounding
+    adjustment the naive treated-vs-control mean gap lacks (strata
+    where treatment is over-assigned no longer dominate).
+
+    Positivity: strata with no treated or no control rows cannot be
+    standardized (propensity 0 or 1); they are dropped and COUNTED in
+    the report rather than silently absorbed.
+
+    Exactness: values quantize to cents; per-stratum means truncate
+    at integer micro (S*10^4 DIV n over cents) and the weighted
+    combination Σ n_s*diff_micro DIV Σ n_s is pure bigint — no float
+    aggregation across strata, so engines agree bit-for-bit
+    regardless of summation order.  Quantization bias is < 1 micro
+    per stratum, documented, and identical on both sides.
+
+    Plan: ONE conditional map-side-combined aggregate at stratum
+    granularity (the only shuffle, m rows out), then a single-row
+    final aggregate over the m strata.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    zero = F.lit(0).cast(d38)
+    per = (
+        df.where(treat_expr | control_expr)
+        .groupBy(stratum_expr.alias("__stratum"))
+        .agg(
+            F.sum(F.when(treat_expr, 1).otherwise(0)).alias("__n1"),
+            F.sum(F.when(treat_expr, cents).otherwise(zero)).alias("__s1"),
+            F.sum(F.when(control_expr, 1).otherwise(0)).alias("__n0"),
+            F.sum(F.when(control_expr, cents).otherwise(zero)).alias("__s0"),
+        )
+    )
+    ok = (F.col("__n1") > 0) & (F.col("__n0") > 0)
+    diff = (
+        F.expr("CAST(__s1 * 10000 AS DECIMAL(38,0)) DIV __n1")
+        - F.expr("CAST(__s0 * 10000 AS DECIMAL(38,0)) DIV __n0")
+    ).cast("bigint")
+    scored = per.select(
+        "*",
+        ok.alias("__ok"),
+        F.when(ok, diff).alias("__diff_micro"),
+        (F.col("__n1") + F.col("__n0")).alias("__ns"),
+    )
+    return scored.agg(
+        F.sum("__n1").cast("bigint").alias("n_treat"),
+        F.sum("__n0").cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_strata_used"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_strata_dropped"),
+        (
+            F.expr(
+                "CAST(sum(__s1) * 10000 AS DECIMAL(38,0)) DIV sum(__n1)"
+            )
+            - F.expr(
+                "CAST(sum(__s0) * 10000 AS DECIMAL(38,0)) DIV sum(__n0)"
+            )
+        )
+        .cast("bigint")
+        .alias("naive_diff_micro"),
+        F.expr(
+            "sum(CASE WHEN __ok THEN CAST(__ns AS DECIMAL(38,0))"
+            " * __diff_micro END)"
+            " DIV sum(CASE WHEN __ok THEN __ns END)"
+        )
+        .cast("bigint")
+        .alias("ate_micro"),
+    )
+
+
+def conformal_interval_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    level_num: int = 9,
+    level_den: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group, with holdout
+    coverage: calibrate |y - yhat| residual quantiles on one half of
+    the data and the interval yhat ± qhat then covers a fresh point
+    with probability >= level, DISTRIBUTION-FREE (Vovk; Lei et al.) —
+    the finite-sample guarantee a plain residual quantile lacks.
+    qhat is the k-th smallest calibration residual with
+    k = ceil((n_calib+1) * level), the split-conformal rank.
+
+    The "model" here is the calibration-half group mean (the operator
+    is model-agnostic: any per-group yhat column works); the split is
+    deterministic by id parity so both engines and re-runs agree.
+
+    Exactness: integer micro throughout — yhat truncates at micro
+    (cents * 10^4 DIV n), residuals are exact bigints, and the k-th
+    order statistic comes from a VALUE-HISTOGRAM cumulative window
+    (groupBy (group, residual) then cum-count over distinct residual
+    values), never a per-row rank: the window input is bounded by
+    distinct cent values (~10^6), not corpus rows, so the per-group
+    sort stays O(distinct) at 10^12-row scale where a row-level
+    row_number() over 5 groups would funnel the corpus through 5
+    partitions.  Coverage on the held-out half is an exact integer
+    share.  k > n_calib (tiny calibration sets) yields a NULL qhat —
+    the honest "interval is infinite" signal — rather than clamping.
+
+    Plan: one scan for per-group calibration moments (broadcast out),
+    one scan each for the residual histogram and the holdout coverage
+    aggregate; the only corpus-keyed shuffle is the histogram's
+    (group, residual) groupBy, which map-side combines.
+    """
+    calib = F.col(id_col) % 2 == 0
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        calib.alias("__calib"),
+        (cents * 10_000).cast("bigint").alias("__y_micro"),
+    )
+    moments = (
+        base.where(F.col("__calib"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_calib"),
+            F.expr(
+                "sum(CAST(__y_micro AS DECIMAL(38,0))) DIV count(1)"
+            )
+            .cast("bigint")
+            .alias("yhat_micro"),
+            F.expr(
+                f"CAST((count(1) + 1) * {int(level_num)}"
+                f" + {int(level_den) - 1} AS BIGINT)"
+                f" DIV {int(level_den)}"
+            ).alias("__k"),
+        )
+    )
+    withres = base.join(F.broadcast(moments), "grp").select(
+        "grp",
+        "__calib",
+        "__k",
+        "n_calib",
+        "yhat_micro",
+        F.abs(F.col("__y_micro") - F.col("yhat_micro")).alias("__r"),
+    )
+    hist = (
+        withres.where(F.col("__calib"))
+        .groupBy("grp", "__k", "__r")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = hist.select(
+        "*",
+        F.sum("__c")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy("__r")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("__cum"),
+    )
+    qhat = (
+        cum.where(F.col("__cum") - F.col("__c") < F.col("__k"))
+        .where(F.col("__cum") >= F.col("__k"))
+        .groupBy("grp")
+        .agg(F.min("__r").alias("qhat_micro"))
+    )
+    scored = withres.where(~F.col("__calib")).join(
+        F.broadcast(qhat), "grp", "left"
+    )
+    return (
+        scored.groupBy("grp", "n_calib", "yhat_micro", "qhat_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("__r") <= F.col("qhat_micro"), 1).otherwise(0)
+            ).alias("__cov"),
+        )
+        .select(
+            "grp",
+            F.col("n_calib").cast("bigint").alias("n_calib"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            "yhat_micro",
+            F.col("qhat_micro").cast("bigint").alias("qhat_micro"),
+            F.when(
+                F.col("qhat_micro").isNotNull(),
+                F.expr(
+                    "CAST(__cov * 1000000 AS DECIMAL(38,0)) DIV n_test"
+                ).cast("bigint"),
+            ).alias("coverage_micro"),
+        )
+    )

@@ -15440,3 +15440,190 @@ ORACLES["session_gap_sweep"] = """
     FROM per
 """
 QUERIES["session_gap_sweep"] = session_gap_sweep_q
+
+
+def bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR over 24 hour-of-day purchase-rate
+    anomaly tests (operators/stats.bh_fdr_report): the multiple-
+    testing control a per-slice dashboard needs.  Chi-square scalar
+    in doubles with a fixed IEEE op order; the p-value is the CDF-free
+    Markov bound 1/chi2 (valid, conservative), so neither engine
+    touches erf/igamma.  chi2 = 0 slices take an explicit p = 1
+    branch on BOTH sides (Spark ANSI raises on 1.0/0.0; DuckDB
+    yields NULL — neither is the cap the math wants)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import bh_fdr_report
+
+    return bh_fdr_report(
+        _events(spark, sf_dir),
+        F.hour("ts").cast("bigint"),
+        F.col("event_type") == "purchase",
+    )
+
+
+ORACLES["bh_fdr"] = """
+    WITH per AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS slice_key,
+             CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s1
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT sum(n1) AS ntt, sum(s1) AS stt FROM per
+    ), st AS (
+      SELECT slice_key, n1, s1,
+             CASE WHEN CAST(n1 AS DOUBLE) * CAST(ntt - n1 AS DOUBLE)
+                       * CAST(stt AS DOUBLE)
+                       * (CAST(ntt AS DOUBLE) - CAST(stt AS DOUBLE)) > 0.0
+               THEN CAST(ntt AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) * (CAST(ntt - n1 AS DOUBLE)
+                                             - CAST(stt - s1 AS DOUBLE))
+                       - CAST(stt - s1 AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) - CAST(s1 AS DOUBLE)))
+                    * (CAST(s1 AS DOUBLE) * (CAST(ntt - n1 AS DOUBLE)
+                                             - CAST(stt - s1 AS DOUBLE))
+                       - CAST(stt - s1 AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) - CAST(s1 AS DOUBLE)))
+                    / (CAST(n1 AS DOUBLE) * CAST(ntt - n1 AS DOUBLE)
+                       * CAST(stt AS DOUBLE)
+                       * (CAST(ntt AS DOUBLE) - CAST(stt AS DOUBLE)))
+               ELSE 0.0 END AS chi2
+      FROM per, tot
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY chi2 DESC, slice_key ASC)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM st
+    ), flagged AS (
+      SELECT *,
+             max(CASE WHEN chi2 * CAST(rnk AS DOUBLE) * 1.0
+                           >= CAST(m AS DOUBLE) * 20.0
+                      THEN rnk END) OVER () AS kst
+      FROM ranked
+    )
+    SELECT slice_key, n1 AS n, s1 AS successes,
+           CAST(floor(chi2 * 1000000.0) AS BIGINT) AS chi2_micro,
+           CASE WHEN chi2 > 0.0
+             THEN CAST(floor(least(1.0, 1.0 / chi2) * 1000000.0) AS BIGINT)
+             ELSE CAST(1000000 AS BIGINT) END AS p_bound_micro,
+           rnk AS rank,
+           CAST(coalesce(kst, 0) AS BIGINT) AS k_star,
+           CAST(CASE WHEN rnk <= coalesce(kst, 0) THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM flagged
+"""
+QUERIES["bh_fdr"] = bh_fdr_q
+
+
+def ipw_ate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day-stratified IPW/standardized treatment effect of
+    click vs view on value (operators/stats.ipw_ate_report), next to
+    the naive gap it corrects.  All-integer: per-stratum micro means
+    via decimal DIV, bigint weighted combine — no float aggregation,
+    so engine summation order cannot matter."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import ipw_ate_report
+
+    return ipw_ate_report(
+        _events(spark, sf_dir),
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        "value",
+        F.hour("ts").cast("bigint"),
+    )
+
+
+ORACLES["ipw_ate"] = """
+    WITH c AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS stratum,
+             event_type = 'click' AS is_t,
+             event_type = 'view' AS is_c,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+      FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+             sum(CASE WHEN is_t THEN x ELSE CAST(0 AS HUGEINT) END) AS s1,
+             CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+             sum(CASE WHEN is_c THEN x ELSE CAST(0 AS HUGEINT) END) AS s0
+      FROM c GROUP BY 1
+    ), sc AS (
+      SELECT *, (n1 > 0 AND n0 > 0) AS ok,
+             CASE WHEN n1 > 0 AND n0 > 0
+               THEN CAST(s1 * 10000 // n1 - s0 * 10000 // n0 AS BIGINT)
+             END AS dm,
+             n1 + n0 AS ns
+      FROM per
+    )
+    SELECT CAST(sum(n1) AS BIGINT) AS n_treat,
+           CAST(sum(n0) AS BIGINT) AS n_ctrl,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_strata_used,
+           CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_strata_dropped,
+           CAST(sum(s1) * 10000 // sum(n1)
+                - sum(s0) * 10000 // sum(n0) AS BIGINT)
+             AS naive_diff_micro,
+           CAST(sum(CASE WHEN ok THEN ns * dm END)
+                // sum(CASE WHEN ok THEN ns END) AS BIGINT) AS ate_micro
+    FROM sc
+"""
+QUERIES["ipw_ate"] = ipw_ate_q
+
+
+def conformal_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal ±qhat intervals per event_type with holdout
+    coverage (operators/stats.conformal_interval_report): calibrate on
+    even event_ids, verify coverage >= 90% on odd.  Exact integer
+    micro residuals; the order statistic comes from a value-histogram
+    cumulative window (O(distinct cents), never a corpus-row rank)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        conformal_interval_report,
+    )
+
+    return conformal_interval_report(
+        _events(spark, sf_dir), "event_type", "value", "event_id", 9, 10
+    )
+
+
+ORACLES["conformal_intervals"] = """
+    WITH base AS (
+      SELECT event_type AS grp, event_id % 2 = 0 AS cal,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                  * 10000 AS BIGINT) AS y
+      FROM events
+    ), mom AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_calib,
+             CAST(CAST(sum(y) AS HUGEINT) // count(*) AS BIGINT)
+               AS yhat_micro,
+             CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+      FROM base WHERE cal GROUP BY grp
+    ), res AS (
+      SELECT b.grp, b.cal, m.k, m.n_calib, m.yhat_micro,
+             abs(b.y - m.yhat_micro) AS r
+      FROM base b JOIN mom m ON b.grp = m.grp
+    ), hist AS (
+      SELECT grp, k, r, count(*) AS c
+      FROM res WHERE cal GROUP BY grp, k, r
+    ), cum AS (
+      SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY r
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cr
+      FROM hist
+    ), q AS (
+      SELECT grp, min(r) AS qhat_micro
+      FROM cum WHERE cr - c < k AND cr >= k GROUP BY grp
+    )
+    SELECT res.grp, res.n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           res.yhat_micro,
+           CAST(q.qhat_micro AS BIGINT) AS qhat_micro,
+           CASE WHEN q.qhat_micro IS NOT NULL THEN
+             CAST(CAST(sum(CASE WHEN res.r <= q.qhat_micro
+                               THEN 1 ELSE 0 END) AS HUGEINT)
+                  * 1000000 // count(*) AS BIGINT)
+           END AS coverage_micro
+    FROM res LEFT JOIN q ON res.grp = q.grp
+    WHERE NOT res.cal
+    GROUP BY res.grp, res.n_calib, res.yhat_micro, q.qhat_micro
+"""
+QUERIES["conformal_intervals"] = conformal_intervals_q
