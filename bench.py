@@ -325,6 +325,9 @@ HEADLINE = [
     "bh_fdr",
     "ipw_ate",
     "conformal_intervals",
+    "moment_profile",
+    "first_touch_attribution",
+    "activity_grid",
 ]
 
 

@@ -3504,3 +3504,82 @@ def conformal_interval_report(
             ).alias("coverage_micro"),
         )
     )
+
+
+def moment_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group distribution-shape profile: exact mean plus skewness
+    (g1) and EXCESS kurtosis (g2) from the first four raw power sums.
+
+    Third/fourth moments are the screening signal the second-moment
+    operators (`welch_t_report`, `anova_eta_squared`) can't see: a
+    metric whose mean and variance hold steady while its tail fattens
+    (kurtosis up) or its asymmetry flips (skew sign) is drifting in a
+    way that breaks winsorization thresholds and z-score monitors
+    downstream — this is the one-pass report that catches it.
+
+    Exactness: values quantize to cents (decimal(18,2) cast — the
+    repo-wide contract) and the four power sums n, Σc, Σc², Σc³, Σc⁴
+    accumulate as EXACT decimal(38,0) integers — order-independent, so
+    Spark's map-side partial aggregation and any SQL engine agree bit
+    for bit.  Floats appear only in the final O(|groups|)-sized scalar
+    formula, every operand a correctly-rounded decimal→double cast and
+    the op order fixed (left-associative products, sqrt for the 3/2
+    power), so both engines replay identical IEEE arithmetic:
+
+        m2 = r2 - r1*r1                       (rk = Σc^k / n)
+        m3 = r3 - 3*r1*r2 + 2*r1*r1*r1
+        m4 = r4 - 4*r1*r3 + 6*r1*r1*r2 - 3*r1^4
+        g1 = m3 / (m2 * sqrt(m2));  g2 = m4 / (m2*m2) - 3
+
+    Headroom: |cents| ≤ 10^6 (the |value| ≤ 10^4 input contract) keeps
+    c⁴ ≤ 10^24 and Σc⁴ ≤ 10^36 at 10^12 rows — inside decimal(38,0)
+    and int128 alike.  Exact at campaign scale.
+
+    Plan: ONE map-side-combined conditional-free aggregate over the
+    corpus — a single |groups|-key exchange, no window, no join; the
+    value column never shuffles (only the five per-partition partials
+    do).  Degenerate groups report NULL: skew/kurtosis need n > 1 and
+    m2 > 0 (a constant group has no shape).
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    c2 = cents * cents
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(cents).cast(d38).alias("__s1"),
+        F.sum(c2).cast(d38).alias("__s2"),
+        F.sum(c2 * cents).cast(d38).alias("__s3"),
+        F.sum(c2 * c2).cast(d38).alias("__s4"),
+    )
+    nd = F.col("__n").cast("double")
+    r1 = F.col("__s1").cast("double") / nd
+    r2 = F.col("__s2").cast("double") / nd
+    r3 = F.col("__s3").cast("double") / nd
+    r4 = F.col("__s4").cast("double") / nd
+    m2 = r2 - r1 * r1
+    m3 = r3 - F.lit(3.0) * r1 * r2 + F.lit(2.0) * r1 * r1 * r1
+    m4 = (
+        r4
+        - F.lit(4.0) * r1 * r3
+        + F.lit(6.0) * r1 * r1 * r2
+        - F.lit(3.0) * r1 * r1 * r1 * r1
+    )
+    ok = (F.col("__n") > 1) & (m2 > 0.0)
+    mil = F.lit(1_000_000.0)
+    return per.select(
+        "grp",
+        F.col("__n").cast("bigint").alias("n"),
+        F.expr("CAST(__s1 * 10000 AS DECIMAL(38,0)) DIV __n")
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.when(
+            ok, F.floor(m3 / (m2 * F.sqrt(m2)) * mil).cast("bigint")
+        ).alias("skew_micro"),
+        F.when(
+            ok, F.floor((m4 / (m2 * m2) - F.lit(3.0)) * mil).cast("bigint")
+        ).alias("kurtosis_micro"),
+    )

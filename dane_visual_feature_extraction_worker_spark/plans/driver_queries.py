@@ -15627,3 +15627,167 @@ ORACLES["conformal_intervals"] = """
     GROUP BY res.grp, res.n_calib, res.yhat_micro, q.qhat_micro
 """
 QUERIES["conformal_intervals"] = conformal_intervals_q
+
+
+def moment_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type skewness + excess kurtosis from exact power sums
+    (operators/stats.moment_profile): the tail-shape drift report the
+    second-moment operators can't see.  One conditional-free
+    map-side-combined aggregate — a single |types|-key exchange, floats
+    only in the final 5-row formula with fixed IEEE op order."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        moment_profile,
+    )
+
+    return moment_profile(_events(spark, sf_dir), "event_type", "value")
+
+
+ORACLES["moment_profile"] = """
+    WITH base AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+      FROM events
+    ), per AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             sum(c) AS s1, sum(c * c) AS s2,
+             sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+      FROM base GROUP BY grp
+    ), r AS (
+      SELECT grp, n, s1,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM per
+    ), m AS (
+      SELECT grp, n, s1,
+             r2 - r1 * r1 AS m2,
+             r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+             r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+                - 3.0 * r1 * r1 * r1 * r1 AS m4
+      FROM r
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(s1 * 10000 // n AS BIGINT) AS mean_micro,
+           CASE WHEN n > 1 AND m2 > 0.0 THEN
+             CAST(floor(m3 / (m2 * sqrt(m2)) * 1000000.0) AS BIGINT)
+           END AS skew_micro,
+           CASE WHEN n > 1 AND m2 > 0.0 THEN
+             CAST(floor((m4 / (m2 * m2) - 3.0) * 1000000.0) AS BIGINT)
+           END AS kurtosis_micro
+    FROM m
+"""
+QUERIES["moment_profile"] = moment_profile_q
+
+
+def first_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution — the acquisition-side twin of
+    ``last_touch_attribution`` (and the third member of the attribution
+    family with ``linear_attribution``): every purchase credits the
+    user's EARLIEST prior click's campaign; purchases with no prior
+    click roll up under NULL.  Same single entity-exchange window plan
+    — only the carry flips from last-non-null to first-non-null."""
+    e = _events(spark, sf_dir)
+    camp = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = e.select(
+        "event_type",
+        F.col("value"),
+        F.first(camp, ignorenulls=True).over(w).alias("campaign"),
+    ).where(F.col("event_type") == "purchase")
+    return t.groupBy("campaign").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
+
+
+ORACLES["first_touch_attribution"] = r"""
+    WITH t AS (
+      SELECT event_type, value,
+             first_value(CASE WHEN event_type = 'click'
+                              THEN CAST(props->>'$.k' AS BIGINT) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS campaign
+      FROM events
+    )
+    SELECT campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS attributed_revenue
+    FROM t WHERE event_type = 'purchase' GROUP BY campaign
+"""
+QUERIES["first_touch_attribution"] = first_touch_attribution_q
+
+
+def activity_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid: per-cell event count,
+    corpus share, and exact revenue cents — the seasonality heatmap
+    behind staffing/capacity curves and the calendar feature table a
+    feature store joins onto entities.  Calendar-free dow from epoch
+    integers ((epoch_days + 4) % 7, the `anova_eta` trick — no
+    locale/week-start divergence); hours in the session's pinned UTC.
+
+    Plan: one map-side-combined aggregate collapses the corpus to
+    ≤ 168 cells (a single tiny-key exchange); the share denominator is
+    an unpartitioned window over those 168 rows — bounded by the grid,
+    never by the corpus — and shares are exact integer micro
+    (n·10⁶ DIV total)."""
+    e = _events(spark, sf_dir)
+    cells = (
+        e.groupBy(
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 + 4) % 7"
+            ).alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    total = F.sum("n_events").over(Window.partitionBy())
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        "revenue_cents",
+        F.expr(
+            "CAST(n_events * 1000000 AS DECIMAL(38,0))"
+        ).alias("__nm"),
+        total.alias("__tot"),
+    ).select(
+        "dow",
+        "hour",
+        "n_events",
+        "revenue_cents",
+        F.expr("CAST(__nm DIV __tot AS BIGINT)").alias("share_micro"),
+    )
+
+
+ORACLES["activity_grid"] = """
+    WITH cells AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS HUGEINT)) AS BIGINT) AS revenue_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events, revenue_cents,
+           CAST(CAST(n_events AS HUGEINT) * 1000000
+                // sum(n_events) OVER () AS BIGINT) AS share_micro
+    FROM cells
+"""
+QUERIES["activity_grid"] = activity_grid_q
