@@ -328,6 +328,8 @@ HEADLINE = [
     "moment_profile",
     "first_touch_attribution",
     "activity_grid",
+    "cliffs_delta",
+    "lift_at_k",
 ]
 
 

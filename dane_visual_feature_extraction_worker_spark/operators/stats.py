@@ -3583,3 +3583,191 @@ def moment_profile(
             ok, F.floor((m4 / (m2 * m2) - F.lit(3.0)) * mil).cast("bigint")
         ).alias("kurtosis_micro"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cliff's delta between two named groups — the EFFECT SIZE the
+    rank tests don't report: ``mann_whitney_drift`` says whether a
+    location shift exists, ``welch_t_report`` sizes it in value units
+    (outlier-sensitive); δ = P(a>b) − P(a<b) sizes it on a robust
+    [−1, 1] scale that survives any monotone transform of the metric.
+    The standard pairing for practical-significance gates (|δ| < 0.147
+    "negligible" under the usual Romano bands).
+
+    Exactness: ALL pair counts are exact integers from the distinct-
+    cent histogram — per cent c with counts (a(c), b(c)), wins are
+    a(c)·Σ_{c'<c} b(c'), ties a(c)·b(c); losses follow from
+    n₁·n₂ − gt − ties.  Products ≤ 10^24 at 10^12 rows, inside
+    decimal(38,0).  δ is emitted as exact integer micro via
+    (gt − lt)·10⁶ DIV (n₁·n₂) — Spark DIV and DuckDB // BOTH truncate
+    toward zero (the `theil_sen` finding), so negative deltas agree.
+
+    Plan: ONE map-side-combined count per distinct cent (the only
+    corpus exchange), the running other-group CDF as a window over the
+    DISTINCT-CENT frame (domain-bounded, like `auc_exact`), then a
+    one-row scalar rollup.  Degenerate groups (n₁·n₂ = 0) emit NULL.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    counts = (
+        df.where((in_a | in_b) & F.col(value_col).isNotNull())
+        .select(cents.alias("__c"), in_a.cast("int").alias("__h"))
+        .groupBy("__c")
+        .agg(
+            F.sum("__h").cast("bigint").alias("a"),
+            F.sum(1 - F.col("__h")).cast("bigint").alias("b"),
+        )
+    )
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, -1)
+    run = counts.select(
+        "a",
+        "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).cast(d38).alias("__bb"),
+    )
+    tot = run.agg(
+        F.sum("a").cast(d38).alias("__n1"),
+        F.sum("b").cast(d38).alias("__n2"),
+        F.sum(F.col("a").cast(d38) * F.col("__bb")).alias("__gt"),
+        F.sum(F.col("a").cast(d38) * F.col("b").cast(d38)).alias("__ties"),
+    )
+    lt = F.col("__n1") * F.col("__n2") - F.col("__gt") - F.col("__ties")
+    ok = (F.col("__n1") > 0) & (F.col("__n2") > 0)
+    return tot.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("__n1").cast("bigint").alias("n_a"),
+        F.col("__n2").cast("bigint").alias("n_b"),
+        F.col("__gt").cast("bigint").alias("pairs_gt"),
+        lt.cast("bigint").alias("pairs_lt"),
+        F.col("__ties").cast("bigint").alias("pairs_tied"),
+        F.when(
+            ok,
+            ((F.col("__gt") - lt) * F.lit(1_000_000).cast(d38))
+            .cast(d38)
+            .alias("__num"),
+        )
+        .alias("__num"),
+    ).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "pairs_gt",
+        "pairs_lt",
+        "pairs_tied",
+        F.expr(
+            "CAST(__num DIV (CAST(n_a AS DECIMAL(38,0))"
+            " * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("delta_micro"),
+    )
+
+
+def lift_at_k(
+    df: DataFrame,
+    score: F.Column,
+    label: F.Column,
+    ks_percent: list[int] = (1, 5, 10, 25, 50),
+) -> DataFrame:
+    """Cumulative-gain ("lift") table at top-k% score cutoffs — the
+    targeting scorecard beside `auc_exact`'s single number: AUC says
+    the scorer ranks well on average; lift@k says what a campaign that
+    can only act on the top k% actually captures.  Per k: the score
+    cutoff, rows taken, positives captured, precision, recall, and
+    lift = precision / base-rate, all as exact integer micro.
+
+    Tie convention: the cutoff cell is taken WHOLE ("take ties") — the
+    k-th rank's score admits every row tying it, so the report is
+    deterministic under any physical row order (a per-row NTILE would
+    split tied scores by partition order — nondeterministic at scale —
+    and a 10^12-row global sort besides).  ``n_taken`` reports the
+    actual count, which may exceed ceil(N·k/100) when ties straddle
+    the boundary.
+
+    Exactness: built entirely on the DESC cumulative score histogram
+    — integer counts, integer targets K = ceil(N·k/100) =
+    (N·k + 99) DIV 100, ratios as ·10⁶ DIV in decimal(38,0)
+    (products ≤ 10^12·10^12·10^6 < 10^31).
+
+    Plan: ONE map-side-combined count per distinct score (the only
+    corpus exchange); the descending cumulative is a window over the
+    DISTINCT-SCORE frame (domain-bounded); each k then selects its
+    unique crossing cell (cum ≥ K, cum − n < K) from a broadcast
+    |ks|-row join against the cell frame.  Output is |ks| rows.
+    """
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    counts = (
+        df.select(score.cast("bigint").alias("__s"), label.alias("__y"))
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("p"),
+        )
+    )
+    wd = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = counts.select(
+        "__s",
+        "n",
+        F.sum("n").over(wd).cast("bigint").alias("cn"),
+        F.sum("p").over(wd).cast("bigint").alias("cp"),
+        F.sum("n").over(wt).cast("bigint").alias("nt"),
+        F.sum("p").over(wt).cast("bigint").alias("pt"),
+    )
+    ks = spark.createDataFrame(
+        [(int(k),) for k in ks_percent], "k_pct bigint"
+    )
+    kk = F.expr("(CAST(nt AS DECIMAL(38,0)) * k_pct + 99) DIV 100")
+    hit = run.join(F.broadcast(ks)).where(
+        (F.col("cn") >= kk) & ((F.col("cn") - F.col("n")) < kk)
+    )
+    mil = F.lit(1_000_000).cast(d38)
+    return hit.select(
+        "k_pct",
+        F.col("__s").alias("score_cutoff"),
+        F.col("cn").alias("n_taken"),
+        F.col("cp").alias("pos_taken"),
+        F.expr(
+            "CAST(CAST(cp AS DECIMAL(38,0)) * 1000000 DIV cn AS BIGINT)"
+        ).alias("precision_micro"),
+        F.when(
+            F.col("pt") > 0,
+            F.expr(
+                "CAST(CAST(cp AS DECIMAL(38,0)) * 1000000 DIV pt AS BIGINT)"
+            ),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("pt") > 0,
+            (F.col("cp").cast(d38) * F.col("nt").cast(d38) * mil).alias(
+                "__x"
+            ),
+        ).alias("__x"),
+        F.col("nt").alias("n_total"),
+        F.col("pt").alias("pos_total"),
+    ).select(
+        "k_pct",
+        "score_cutoff",
+        "n_taken",
+        "pos_taken",
+        "precision_micro",
+        "recall_micro",
+        F.expr(
+            "CAST(__x DIV (CAST(n_taken AS DECIMAL(38,0))"
+            " * CAST(pos_total AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("lift_micro"),
+        "n_total",
+        "pos_total",
+    )

@@ -15791,3 +15791,117 @@ ORACLES["activity_grid"] = """
     FROM cells
 """
 QUERIES["activity_grid"] = activity_grid_q
+
+
+def cliffs_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta of click vs view on value (operators/stats.
+    cliffs_delta) — the robust [-1,1] effect size beside the same
+    pair's welch_ttest (units) and ipw_ate (stratified): exact pair
+    counts from the distinct-cent histogram, never a corpus sort."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        cliffs_delta,
+    )
+
+    return cliffs_delta(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+ORACLES["cliffs_delta"] = """
+    WITH base AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS h
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), counts AS (
+      SELECT c, CAST(sum(h) AS BIGINT) AS a,
+             CAST(sum(1 - h) AS BIGINT) AS b
+      FROM base GROUP BY c
+    ), run AS (
+      SELECT a, b,
+             CAST(coalesce(sum(b) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS bb
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(a) AS HUGEINT) AS n1,
+             CAST(sum(b) AS HUGEINT) AS n2,
+             sum(CAST(a AS HUGEINT) * bb) AS gt,
+             sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS ties
+      FROM run
+    )
+    SELECT 'click' AS group_a, 'view' AS group_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(gt AS BIGINT) AS pairs_gt,
+           CAST(n1 * n2 - gt - ties AS BIGINT) AS pairs_lt,
+           CAST(ties AS BIGINT) AS pairs_tied,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST((gt - (n1 * n2 - gt - ties)) * 1000000 // (n1 * n2)
+                  AS BIGINT)
+           END AS delta_micro
+    FROM tot
+"""
+QUERIES["cliffs_delta"] = cliffs_delta_q
+
+
+def lift_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k% cumulative-gain table (operators/stats.lift_at_k) for the
+    auc_eval scorer (first embedding component micro vs label-0) — the
+    campaign-facing scorecard beside the single AUC number.  Take-ties
+    cutoff convention keeps the report deterministic under any
+    physical row order; built on the DESC score histogram, one corpus
+    exchange + domain-bounded windows."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        lift_at_k,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    score = F.floor(F.col("embedding")[0].cast("double") * 1e6)
+    label = F.when(F.col("label") == 0, 1).otherwise(0)
+    return lift_at_k(e, score, label)
+
+
+ORACLES["lift_at_k"] = """
+    WITH scored AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS s,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), counts AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM scored GROUP BY s
+    ), run AS (
+      SELECT s, n,
+             CAST(sum(n) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+             CAST(sum(p) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+             CAST(sum(n) OVER () AS BIGINT) AS nn,
+             CAST(sum(p) OVER () AS BIGINT) AS pp
+      FROM counts
+    ), ks AS (
+      SELECT * FROM (VALUES (1), (5), (10), (25), (50)) AS t(k_pct)
+    ), hit AS (
+      SELECT k_pct, s, n, cn, cp, nn, pp,
+             (CAST(nn AS HUGEINT) * k_pct + 99) // 100 AS kk
+      FROM run CROSS JOIN ks
+      WHERE cn >= (CAST(nn AS HUGEINT) * k_pct + 99) // 100
+        AND (cn - n) < (CAST(nn AS HUGEINT) * k_pct + 99) // 100
+    )
+    SELECT CAST(k_pct AS BIGINT) AS k_pct, s AS score_cutoff,
+           cn AS n_taken, cp AS pos_taken,
+           CAST(CAST(cp AS HUGEINT) * 1000000 // cn AS BIGINT)
+             AS precision_micro,
+           CASE WHEN pp > 0 THEN
+             CAST(CAST(cp AS HUGEINT) * 1000000 // pp AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN pp > 0 THEN
+             CAST(CAST(cp AS HUGEINT) * CAST(nn AS HUGEINT) * 1000000
+                  // (CAST(cn AS HUGEINT) * CAST(pp AS HUGEINT))
+                  AS BIGINT)
+           END AS lift_micro,
+           nn AS n_total, pp AS pos_total
+    FROM hit
+"""
+QUERIES["lift_at_k"] = lift_at_k_q
