@@ -330,6 +330,7 @@ HEADLINE = [
     "activity_grid",
     "cliffs_delta",
     "lift_at_k",
+    "odds_ratio",
 ]
 
 

@@ -3771,3 +3771,73 @@ def lift_at_k(
         "n_total",
         "pos_total",
     )
+
+
+def odds_ratio_report(
+    df: DataFrame,
+    slice_col: F.Column,
+    exposure: F.Column,
+    outcome: F.Column,
+) -> DataFrame:
+    """Per-slice 2×2 association report: odds ratio AND risk ratio of
+    a binary outcome given a binary exposure — the case-control /
+    cohort effect measure the difference-style operators
+    (`diff_in_diff`, `ipw_ate`) don't give: OR is invariant to
+    outcome-balanced sampling (the only valid choice when the
+    pipeline subsampled positives) while RR is the number humans
+    actually mean by "X times likelier"; reporting both next to the
+    raw cells avoids the classic OR-read-as-RR overstatement on
+    common outcomes.
+
+    Exactness: the four cells (a = exposed·outcome, b, c, d) are the
+    only aggregation — ONE conditional map-side-combined count at
+    slice granularity.  OR = (a·d)/(b·c) and RR = (a·(c+d))/((a+b)·c)
+    are emitted as exact integer micro via decimal(38,0) cross
+    products (≤ 10^24 at 10^12 rows) and a single DIV; slices with an
+    empty denominator cell report NULL (the honest infinite/undefined
+    answer) with the cells still visible.
+
+    Plan: one corpus scan, one |slices|-key exchange, no window, no
+    join.  Scales to any slice cardinality the output can hold.
+    """
+    d38 = "decimal(38,0)"
+    ex = exposure.cast("boolean")
+    oc = outcome.cast("boolean")
+    cell = lambda e, o: F.sum(  # noqa: E731
+        F.when(ex.eqNullSafe(e) & oc.eqNullSafe(o), 1).otherwise(0)
+    ).cast(d38)
+    per = df.groupBy(slice_col.alias("slice")).agg(
+        cell(True, True).alias("__a"),
+        cell(True, False).alias("__b"),
+        cell(False, True).alias("__c"),
+        cell(False, False).alias("__d"),
+    )
+    a, b = F.col("__a"), F.col("__b")
+    c, d = F.col("__c"), F.col("__d")
+    mil = F.lit(1_000_000).cast(d38)
+    return per.select(
+        "slice",
+        a.cast("bigint").alias("n_exposed_pos"),
+        b.cast("bigint").alias("n_exposed_neg"),
+        c.cast("bigint").alias("n_unexposed_pos"),
+        d.cast("bigint").alias("n_unexposed_neg"),
+        F.when(b * c > 0, (a * d * mil).cast(d38)).alias("__orn"),
+        F.when((a + b) * c > 0, (a * (c + d) * mil).cast(d38)).alias(
+            "__rrn"
+        ),
+    ).select(
+        "slice",
+        "n_exposed_pos",
+        "n_exposed_neg",
+        "n_unexposed_pos",
+        "n_unexposed_neg",
+        F.expr(
+            "CAST(__orn DIV (CAST(n_exposed_neg AS DECIMAL(38,0))"
+            " * CAST(n_unexposed_pos AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("odds_ratio_micro"),
+        F.expr(
+            "CAST(__rrn DIV ((CAST(n_exposed_pos AS DECIMAL(38,0))"
+            " + CAST(n_exposed_neg AS DECIMAL(38,0)))"
+            " * CAST(n_unexposed_pos AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("risk_ratio_micro"),
+    )

@@ -15905,3 +15905,58 @@ ORACLES["lift_at_k"] = """
     FROM hit
 """
 QUERIES["lift_at_k"] = lift_at_k_q
+
+
+def odds_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-of-week odds ratio + risk ratio of high-value (> 100)
+    outcomes for click vs view exposure (operators/stats.
+    odds_ratio_report) — the 2x2 association read beside the same
+    pair's welch_ttest/ipw_ate/cliffs_delta; calendar-free dow."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        odds_ratio_report,
+    )
+
+    e = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    return odds_ratio_report(
+        e,
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 + 4) % 7"
+        ),
+        F.col("event_type") == "click",
+        F.col("value") > 100.0,
+    )
+
+
+ORACLES["odds_ratio"] = """
+    WITH base AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS s,
+             event_type = 'click' AS ex, value > 100.0 AS oc
+      FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+      SELECT s AS "slice",
+             CAST(sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a,
+             CAST(sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS b,
+             CAST(sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c,
+             CAST(sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS d
+      FROM base GROUP BY 1
+    )
+    SELECT "slice",
+           CAST(a AS BIGINT) AS n_exposed_pos,
+           CAST(b AS BIGINT) AS n_exposed_neg,
+           CAST(c AS BIGINT) AS n_unexposed_pos,
+           CAST(d AS BIGINT) AS n_unexposed_neg,
+           CASE WHEN b * c > 0 THEN
+             CAST(a * d * 1000000 // (b * c) AS BIGINT)
+           END AS odds_ratio_micro,
+           CASE WHEN (a + b) * c > 0 THEN
+             CAST(a * (c + d) * 1000000 // ((a + b) * c) AS BIGINT)
+           END AS risk_ratio_micro
+    FROM per
+"""
+QUERIES["odds_ratio"] = odds_ratio_q

@@ -115,3 +115,57 @@ def test_lift_at_k_all_tied_takes_everything(spark):
     r = out[10]
     assert r["n_taken"] == 50  # one giant tied cell
     assert r["lift_micro"] == 1_000_000  # captures exactly base rate
+
+
+def _or_report(spark, rows):
+    """rows: (slice, exposed, outcome)."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        odds_ratio_report,
+    )
+
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    return {
+        r["slice"]: r
+        for r in odds_ratio_report(
+            df, F.col("s"), F.col("e"), F.col("o")
+        ).collect()
+    }
+
+
+def test_odds_ratio_brute_force(spark):
+    rng = random.Random(5)
+    rows = [
+        ("x", rng.random() < 0.5, rng.random() < 0.4) for _ in range(300)
+    ]
+    r = _or_report(spark, rows)["x"]
+    a = sum(1 for _, e, o in rows if e and o)
+    b = sum(1 for _, e, o in rows if e and not o)
+    c = sum(1 for _, e, o in rows if not e and o)
+    d = sum(1 for _, e, o in rows if not e and not o)
+    assert (
+        r["n_exposed_pos"],
+        r["n_exposed_neg"],
+        r["n_unexposed_pos"],
+        r["n_unexposed_neg"],
+    ) == (a, b, c, d)
+    assert r["odds_ratio_micro"] == a * d * 1_000_000 // (b * c)
+    assert (
+        r["risk_ratio_micro"] == a * (c + d) * 1_000_000 // ((a + b) * c)
+    )
+
+
+def test_odds_ratio_no_association_is_one(spark):
+    rows = (
+        [("x", True, True)] * 10 + [("x", True, False)] * 30
+        + [("x", False, True)] * 5 + [("x", False, False)] * 15
+    )
+    r = _or_report(spark, rows)["x"]
+    assert r["odds_ratio_micro"] == 1_000_000
+    assert r["risk_ratio_micro"] == 1_000_000
+
+
+def test_odds_ratio_empty_cell_is_null(spark):
+    rows = [("x", True, True)] * 3 + [("x", False, False)] * 3
+    r = _or_report(spark, rows)["x"]
+    assert r["odds_ratio_micro"] is None  # b = c = 0 -> undefined
+    assert r["risk_ratio_micro"] is None
