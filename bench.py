@@ -331,6 +331,8 @@ HEADLINE = [
     "cliffs_delta",
     "lift_at_k",
     "odds_ratio",
+    "conversion_lag",
+    "new_vs_returning",
 ]
 
 

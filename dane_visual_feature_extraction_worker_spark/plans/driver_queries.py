@@ -15960,3 +15960,209 @@ ORACLES["odds_ratio"] = """
     FROM per
 """
 QUERIES["odds_ratio"] = odds_ratio_q
+
+
+def conversion_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-lag profile per campaign: how long
+    after the LAST prior click (the `last_touch_attribution` carry) a
+    purchase lands — n, exact mean lag, and p50/p90 from the
+    second-bucketed lag histogram.  The funnel-timing read that sizes
+    attribution windows and streaming watermark delays: a p90 of
+    hours says a 10-minute join window silently drops conversions.
+
+    Plan: ONE entity-exchange window carries the last click (ts,
+    campaign) struct to each purchase (the last_touch plan — one
+    struct carry instead of two aligned columns, so ts and campaign
+    can never come from DIFFERENT clicks); the corpus then collapses
+    to (campaign, lag_seconds) histogram cells (second map-side
+    exchange), and the quantiles come from per-campaign cumulative
+    windows over the DOMAIN-BOUNDED cell frame — the conformal/lift
+    crossing-cell trick (cum ≥ k, cum−c < k with k = ceil(n·q/100)),
+    never a per-row rank.  Unattributed purchases (no prior click)
+    are excluded here — `last_touch_attribution`'s NULL row already
+    counts them.  All integers: lag in exact microseconds, bucketed
+    by trunc-DIV to seconds; mean as micro DIV."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(
+            us.alias("cus"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("camp"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lagged = (
+        e.select(
+            "event_type",
+            us.alias("__us"),
+            F.last(click, ignorenulls=True).over(w).alias("__lc"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("__lc").isNotNull()
+        )
+        .select(
+            F.col("__lc.camp").alias("campaign"),
+            (F.col("__us") - F.col("__lc.cus")).alias("lag_us"),
+        )
+    )
+    cells = lagged.groupBy(
+        "campaign", F.expr("lag_us DIV 1000000").alias("lag_s")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("lag_us").cast("decimal(38,0)").alias("__su"),
+    )
+    wc = Window.partitionBy("campaign").orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("campaign").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = cells.select(
+        "campaign",
+        "lag_s",
+        "c",
+        F.sum("c").over(wc).cast("bigint").alias("cum"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+        F.sum("__su").over(wt).alias("su"),
+    )
+    k50 = F.expr("(n * 50 + 99) DIV 100")
+    k90 = F.expr("(n * 90 + 99) DIV 100")
+    return run.groupBy("campaign").agg(
+        F.first("n").alias("n_conversions"),
+        F.expr("CAST(first(su) DIV first(n) AS BIGINT)").alias(
+            "mean_lag_us"
+        ),
+        F.min(
+            F.when(
+                (F.col("cum") >= k50) & (F.col("cum") - F.col("c") < k50),
+                F.col("lag_s"),
+            )
+        ).alias("p50_lag_s"),
+        F.min(
+            F.when(
+                (F.col("cum") >= k90) & (F.col("cum") - F.col("c") < k90),
+                F.col("lag_s"),
+            )
+        ).alias("p90_lag_s"),
+    )
+
+
+ORACLES["conversion_lag"] = """
+    WITH carried AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             last_value(CASE WHEN event_type = 'click' THEN
+               struct_pack(cus := epoch_us(ts),
+                           camp := CAST(props->>'$.k' AS BIGINT))
+             END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lc
+      FROM events
+    ), lagged AS (
+      SELECT lc.camp AS campaign, us - lc.cus AS lag_us
+      FROM carried WHERE event_type = 'purchase' AND lc IS NOT NULL
+    ), cells AS (
+      SELECT campaign, lag_us // 1000000 AS lag_s,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(lag_us) AS HUGEINT) AS su
+      FROM lagged GROUP BY 1, 2
+    ), run AS (
+      SELECT campaign, lag_s, c,
+             CAST(sum(c) OVER (PARTITION BY campaign ORDER BY lag_s
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY campaign) AS BIGINT) AS n,
+             sum(su) OVER (PARTITION BY campaign) AS su_tot
+      FROM cells
+    )
+    SELECT campaign,
+           CAST(min(n) AS BIGINT) AS n_conversions,
+           CAST(min(su_tot) // min(n) AS BIGINT) AS mean_lag_us,
+           min(CASE WHEN cum >= (n * 50 + 99) // 100
+                     AND cum - c < (n * 50 + 99) // 100
+                    THEN lag_s END) AS p50_lag_s,
+           min(CASE WHEN cum >= (n * 90 + 99) // 100
+                     AND cum - c < (n * 90 + 99) // 100
+                    THEN lag_s END) AS p90_lag_s
+    FROM run GROUP BY campaign
+"""
+QUERIES["conversion_lag"] = conversion_lag_q
+
+
+def new_vs_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split: per epoch day, how
+    many distinct users were active, how many were active for the
+    FIRST time ever, and the new-user share — the growth/lifecycle
+    decomposition `retention_cohorts` (cohort matrix) reads from the
+    other side.  Calendar-free epoch days.
+
+    Plan: the user's first-ever day rides ONE min-window over the
+    entity exchange (no self-join against a first-seen table); rows
+    then collapse to distinct (day, user) pairs (second exchange) and
+    to the day-level report (third, day-keyed) — three exchanges,
+    each strictly coarser, no join anywhere.  Shares as exact integer
+    micro."""
+    e = _events(spark, sf_dir)
+    day = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+    ).alias("day")
+    wu = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pairs = (
+        e.select(
+            "user_id",
+            day,
+            F.min(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            )
+            .over(wu)
+            .alias("first_day"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.first("first_day").alias("first_day"))
+    )
+    rep = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    return rep.select(
+        "day",
+        "n_users",
+        "n_new",
+        (F.col("n_users") - F.col("n_new")).alias("n_returning"),
+        F.expr(
+            "CAST(CAST(n_new AS DECIMAL(38,0)) * 1000000 DIV n_users"
+            " AS BIGINT)"
+        ).alias("new_share_micro"),
+    )
+
+
+ORACLES["new_vs_returning"] = """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             min(epoch_us(ts) // 86400000000)
+               OVER (PARTITION BY user_id) AS first_day
+      FROM events
+    ), pairs AS (
+      SELECT day, user_id, min(first_day) AS first_day
+      FROM base GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0
+                END) AS BIGINT) AS n_returning,
+           CAST(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS new_share_micro
+    FROM pairs GROUP BY day
+"""
+QUERIES["new_vs_returning"] = new_vs_returning_q
