@@ -333,6 +333,9 @@ HEADLINE = [
     "odds_ratio",
     "conversion_lag",
     "new_vs_returning",
+    "turn_position_profile",
+    "role_latency_matrix",
+    "tool_loop_report",
 ]
 
 

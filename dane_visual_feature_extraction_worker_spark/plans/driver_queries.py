@@ -16166,3 +16166,216 @@ ORACLES["new_vs_returning"] = """
     FROM pairs GROUP BY day
 """
 QUERIES["new_vs_returning"] = new_vs_returning_q
+
+
+def turn_position_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-sequence position profile: how value and payload size
+    evolve over an entity's event sequence, by position DECILE
+    (0 = opening tenth, 9 = closing tenth) — the transcript-verbosity
+    drift read ("answers get longer / values drift as conversations
+    age") that per-turn aggregates average away.  Decile from pure
+    integer rank math ((rank−1)·10 DIV n), no quantile estimation.
+
+    Plan: ONE entity exchange carries both the row_number and the
+    per-entity count (two frames over the SAME window partitioning —
+    one sort, Spark plans them in a single Window node pair); the
+    corpus then collapses straight to ≤10 decile keys (map-side
+    combined).  Exact integer micro means via decimal DIV."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = e.select(
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wt).alias("__n"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("__cents"),
+        F.length(F.coalesce(F.col("props"), F.lit("")))
+        .cast("bigint")
+        .alias("__plen"),
+    )
+    return (
+        ranked.groupBy(
+            F.expr("(__r - 1) * 10 DIV __n").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__cents").cast("decimal(38,0)").alias("__sc"),
+            F.sum("__plen").cast("decimal(38,0)").alias("__sp"),
+        )
+        .select(
+            "decile",
+            "n_events",
+            F.expr("CAST(__sc * 10000 AS DECIMAL(38,0)) DIV n_events")
+            .cast("bigint")
+            .alias("mean_value_micro"),
+            F.expr("CAST(__sp * 1000000 AS DECIMAL(38,0)) DIV n_events")
+            .cast("bigint")
+            .alias("mean_props_len_micro"),
+        )
+    )
+
+
+ORACLES["turn_position_profile"] = """
+    WITH ranked AS (
+      SELECT row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS r,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               AS cents,
+             CAST(length(coalesce(props, '')) AS BIGINT) AS plen
+      FROM events
+    )
+    SELECT (r - 1) * 10 // n AS decile,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) * 10000 // count(*) AS BIGINT)
+             AS mean_value_micro,
+           CAST(CAST(sum(plen) AS HUGEINT) * 1000000 // count(*)
+                AS BIGINT) AS mean_props_len_micro
+    FROM ranked GROUP BY 1
+"""
+QUERIES["turn_position_profile"] = turn_position_profile_q
+
+
+def role_latency_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition-latency matrix: exact mean inter-event gap per
+    (previous type → type) pair — `markov_transitions` counts WHERE a
+    sequence goes; this adds HOW LONG each hop takes (the user-thinks
+    vs agent-responds asymmetry, tool-call round-trip cost), the
+    timing layer a turn-latency rollup averages away.
+
+    Plan: the SAME one entity-exchange lag window every sequence op
+    pays (prev type + prev ts in one pass), then the corpus collapses
+    to ≤|types|² transition keys (map-side combined).  Gaps in exact
+    integer microseconds; mean via decimal DIV; entity-first events
+    (no predecessor) are excluded — they have no transition."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("to_type"),
+        us.alias("__us"),
+        F.lag(F.col("event_type")).over(w).alias("from_type"),
+        F.lag(us).over(w).alias("__pus"),
+    ).where(F.col("from_type").isNotNull())
+    return (
+        t.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.col("__us") - F.col("__pus"))
+            .cast("decimal(38,0)")
+            .alias("__sg"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("CAST(__sg DIV n_transitions AS BIGINT)").alias(
+                "mean_gap_us"
+            ),
+        )
+    )
+
+
+ORACLES["role_latency_matrix"] = """
+    WITH t AS (
+      SELECT event_type AS to_type, epoch_us(ts) AS us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus
+      FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(CAST(sum(us - pus) AS HUGEINT) // count(*) AS BIGINT)
+             AS mean_gap_us
+    FROM t WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
+QUERIES["role_latency_matrix"] = role_latency_matrix_q
+
+
+def tool_loop_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-type run ("loop") report per event type: run
+    count, longest run, mean run length — the stuck-agent detector for
+    transcripts (an agent re-issuing the same tool call turn after
+    turn shows up as a long same-tool run) and the retry-storm read
+    for event streams.  `collapse_repeats` DROPS adjacent duplicates;
+    this MEASURES them.
+
+    Plan: classic gaps-and-islands on the one entity-exchange lag
+    window (change flag → running-sum island id within the SAME
+    partitioning — no second corpus exchange for the island id), then
+    (entity, island) run lengths (second exchange, key count = number
+    of runs ≤ rows), then the ≤|types| report (third, map-side
+    combined).  All strictly coarsening; exact micro mean."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        )
+        .otherwise(1)
+        .alias("__new_run"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.sum("__new_run").over(wrun).alias("__island"),
+    )
+    runs = flagged.groupBy("user_id", "__island", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+            F.sum("run_len").cast("decimal(38,0)").alias("__sl"),
+        )
+        .select(
+            "event_type",
+            "n_runs",
+            "max_run_len",
+            F.expr("CAST(__sl * 1000000 AS DECIMAL(38,0)) DIV n_runs")
+            .cast("bigint")
+            .alias("mean_run_len_micro"),
+        )
+    )
+
+
+ORACLES["tool_loop_report"] = """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NOT DISTINCT FROM
+                    event_type THEN 0 ELSE 1 END AS new_run
+      FROM events
+    ), islands AS (
+      SELECT user_id, event_type,
+             sum(new_run) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), runs AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY user_id, island, event_type
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+           max(run_len) AS max_run_len,
+           CAST(CAST(sum(run_len) AS HUGEINT) * 1000000 // count(*)
+                AS BIGINT) AS mean_run_len_micro
+    FROM runs GROUP BY event_type
+"""
+QUERIES["tool_loop_report"] = tool_loop_report_q

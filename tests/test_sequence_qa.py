@@ -1,0 +1,144 @@
+"""turn_position_profile / role_latency_matrix / tool_loop_report."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+
+
+def _run(spark, rows, which):
+    """rows: (event_id, user_id, ts_sec, event_type, value, props)."""
+    import pyspark.sql.functions as F
+
+    from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (eid, uid, float(ts), et, float(v), p)
+            for (eid, uid, ts, et, v, p) in rows
+        ],
+        "event_id bigint, user_id bigint, __t double, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("__t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="seqqa_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = QUERIES[which](spark, tmp).collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def test_turn_position_profile_two_entities(spark):
+    # 10 turns each, value == position index -> decile d has mean d
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for i in range(10):
+            eid += 1
+            rows.append((eid, uid, 100.0 + i, "view", float(i), "ab"))
+    out = {r["decile"]: r for r in _run(spark, rows, "turn_position_profile")}
+    assert set(out) == set(range(10))
+    for d, r in out.items():
+        assert r["n_events"] == 2
+        assert r["mean_value_micro"] == d * 1_000_000
+        assert r["mean_props_len_micro"] == 2_000_000
+
+
+def test_turn_position_profile_short_entity_skips_deciles(spark):
+    # 3 turns: ranks 1,2,3 -> deciles 0, 3, 6
+    rows = [(i, 1, 100.0 + i, "view", 1.0, "x") for i in range(1, 4)]
+    out = {r["decile"]: r for r in _run(spark, rows, "turn_position_profile")}
+    assert set(out) == {0, 3, 6}
+
+
+def test_role_latency_matrix_brute_force(spark):
+    rng = random.Random(31)
+    rows, eid = [], 0
+    expected = {}  # (from, to) -> [gaps_us]
+    for uid in range(20):
+        t = 1000.0
+        prev = None
+        for _ in range(rng.randrange(2, 7)):
+            et = rng.choice(["a", "b", "c"])
+            gap = rng.randrange(1, 100)
+            t += gap
+            eid += 1
+            rows.append((eid, uid, t, et, 0.0, ""))
+            if prev is not None:
+                expected.setdefault((prev, et), []).append(
+                    gap * 1_000_000
+                )
+            prev = et
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in _run(spark, rows, "role_latency_matrix")
+    }
+    assert set(out) == set(expected)
+    for k, gaps in expected.items():
+        assert out[k]["n_transitions"] == len(gaps)
+        assert out[k]["mean_gap_us"] == sum(gaps) // len(gaps)
+
+
+def test_tool_loop_report_detects_long_run(spark):
+    seq = ["a", "a", "a", "a", "b", "a", "a", "b", "b"]
+    rows = [
+        (i, 1, 100.0 + i, et, 0.0, "") for i, et in enumerate(seq, 1)
+    ]
+    out = {r["event_type"]: r for r in _run(spark, rows, "tool_loop_report")}
+    # runs: aaaa, b, aa, bb -> a: lens [4,2]; b: lens [1,2]
+    assert out["a"]["n_runs"] == 2 and out["a"]["max_run_len"] == 4
+    assert out["a"]["mean_run_len_micro"] == 3_000_000
+    assert out["b"]["n_runs"] == 2 and out["b"]["max_run_len"] == 2
+    assert out["b"]["mean_run_len_micro"] == 1_500_000
+
+
+def test_tool_loop_report_runs_reset_across_entities(spark):
+    # same type at the boundary of two users must NOT merge into one run
+    rows = [
+        (1, 1, 100.0, "a", 0.0, ""),
+        (2, 1, 101.0, "a", 0.0, ""),
+        (3, 2, 102.0, "a", 0.0, ""),
+    ]
+    out = {r["event_type"]: r for r in _run(spark, rows, "tool_loop_report")}
+    assert out["a"]["n_runs"] == 2
+    assert out["a"]["max_run_len"] == 2
+
+
+def test_tool_loop_report_brute_force_random(spark):
+    rng = random.Random(41)
+    rows = [
+        (i, rng.randrange(5), 100.0 + i, rng.choice("ab"), 0.0, "")
+        for i in range(1, 200)
+    ]
+    out = {r["event_type"]: r for r in _run(spark, rows, "tool_loop_report")}
+    # brute-force runs per (user, adjacency) from the generated order
+    runs = {}  # type -> list of lengths
+    by_user = {}
+    for eid, uid, ts, et, _v, _p in sorted(rows, key=lambda x: (x[1], x[2], x[0])):
+        by_user.setdefault(uid, []).append(et)
+    for seq in by_user.values():
+        i = 0
+        while i < len(seq):
+            j = i
+            while j < len(seq) and seq[j] == seq[i]:
+                j += 1
+            runs.setdefault(seq[i], []).append(j - i)
+            i = j
+    for et, lens in runs.items():
+        r = out[et]
+        assert r["n_runs"] == len(lens)
+        assert r["max_run_len"] == max(lens)
+        assert (
+            r["mean_run_len_micro"]
+            == sum(lens) * 1_000_000 // len(lens)
+        )
