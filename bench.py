@@ -336,6 +336,7 @@ HEADLINE = [
     "turn_position_profile",
     "role_latency_matrix",
     "tool_loop_report",
+    "copypasta_report",
 ]
 
 

@@ -16379,3 +16379,57 @@ ORACLES["tool_loop_report"] = """
     FROM runs GROUP BY event_type
 """
 QUERIES["tool_loop_report"] = tool_loop_report_q
+
+
+def copypasta_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user duplicated-content report: payloads posted verbatim
+    by MULTIPLE distinct users, top-20 by spread — the spam/bot/
+    template signal a within-corpus dedup key (`dedup_exact` keeps one
+    copy per digest regardless of author) does not surface: one user
+    repeating themselves is retry noise; fifty users posting the same
+    bytes is a campaign.
+
+    Plan: digest narrow (md5 — uniform keys, skew-free by
+    construction); (digest, user) pre-dedup then per-digest counts —
+    the standard two-phase distinct-count shape, both exchanges
+    map-side combined on uniform keys; cross-user filter BEFORE the
+    top-k so singleton-author digests never reach it; top-20 via
+    TakeOrderedAndProject (never a full sort), deterministic tiebreak
+    (n_users desc, n_events desc, digest asc)."""
+    e = _events(spark, sf_dir)
+    pairs = (
+        e.where(F.length(F.col("props")) > 0)
+        .select(F.md5(F.col("props")).alias("digest"), "user_id")
+        .groupBy("digest", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    per = pairs.groupBy("digest").agg(
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    return (
+        per.where(F.col("n_users") >= 2)
+        .orderBy(
+            F.col("n_users").desc(), F.col("n_events").desc(), "digest"
+        )
+        .limit(20)
+    )
+
+
+ORACLES["copypasta_report"] = """
+    WITH pairs AS (
+      SELECT md5(props) AS digest, user_id,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE length(props) > 0
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT digest, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM pairs GROUP BY digest
+    )
+    SELECT digest, n_events, n_users
+    FROM per WHERE n_users >= 2
+    ORDER BY n_users DESC, n_events DESC, digest
+    LIMIT 20
+"""
+QUERIES["copypasta_report"] = copypasta_report_q

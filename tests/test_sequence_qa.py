@@ -142,3 +142,37 @@ def test_tool_loop_report_brute_force_random(spark):
             r["mean_run_len_micro"]
             == sum(lens) * 1_000_000 // len(lens)
         )
+
+
+def test_copypasta_report_cross_user_only(spark):
+    rows = [
+        # "dup" posted by users 1,2 (3 events) -> reported
+        (1, 1, 100.0, "view", 0.0, "dup"),
+        (2, 1, 101.0, "view", 0.0, "dup"),
+        (3, 2, 102.0, "view", 0.0, "dup"),
+        # "solo" posted 5x by ONE user -> retry noise, excluded
+        *[(10 + i, 3, 110.0 + i, "view", 0.0, "solo") for i in range(5)],
+        # empty props never enter
+        (20, 4, 120.0, "view", 0.0, ""),
+        (21, 5, 121.0, "view", 0.0, ""),
+    ]
+    out = _run(spark, rows, "copypasta_report")
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] == 2 and r["n_events"] == 3
+
+
+def test_copypasta_report_ordering_and_limit(spark):
+    rows = []
+    eid = 0
+    # text t_k shared by k+2 users, k = 0..24 -> 25 candidates, top-20
+    # must be the highest-spread ones in (n_users desc) order
+    for k in range(25):
+        for uid in range(k + 2):
+            eid += 1
+            rows.append((eid, 1000 * k + uid, 100.0 + eid, "view", 0.0, f"t_{k}"))
+    out = _run(spark, rows, "copypasta_report")
+    assert len(out) == 20
+    spreads = [r["n_users"] for r in out]
+    assert spreads == sorted(spreads, reverse=True)
+    assert spreads[0] == 26 and spreads[-1] == 7  # k=24 .. k=5 survive
