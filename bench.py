@@ -337,6 +337,7 @@ HEADLINE = [
     "role_latency_matrix",
     "tool_loop_report",
     "copypasta_report",
+    "session_bounce_report",
 ]
 
 

@@ -16433,3 +16433,75 @@ ORACLES["copypasta_report"] = """
     LIMIT 20
 """
 QUERIES["copypasta_report"] = copypasta_report_q
+
+
+def session_bounce_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth report on the gap-sessionized corpus (>3600 s
+    starts a new session — the same cut as `sessionize_gaps`): total
+    sessions, single-event ("bounce") sessions, integer-micro bounce
+    rate, exact micro mean session depth, and the deepest session —
+    the engagement headline a funnel dashboard opens with, and the
+    session-depth sanity check for any `session_gap_sweep` threshold
+    choice.
+
+    Plan: the sessionize entity exchange + per-(entity, session)
+    rollup the gate key already pays, then ONE more strictly-coarser
+    collapse to a single row (map-side combined).  No new corpus
+    exchange beyond the sessionization itself."""
+    from dane_visual_feature_extraction_worker_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    s = session_stats(
+        _events(spark, sf_dir),
+        gap_seconds=3600.0,
+        entity="user_id",
+        ts="ts",
+        order=["ts", "event_id"],
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_turns") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounce"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN n_turns = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("bounce_rate_micro"),
+        F.expr(
+            "CAST(CAST(sum(n_turns) AS DECIMAL(38,0)) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("mean_depth_micro"),
+        F.max("n_turns").cast("bigint").alias("max_depth"),
+    )
+
+
+ORACLES["session_bounce_report"] = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), per AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_turns
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_turns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(CAST(sum(CASE WHEN n_turns = 1 THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS bounce_rate_micro,
+           CAST(CAST(sum(n_turns) AS HUGEINT) * 1000000 // count(*)
+                AS BIGINT) AS mean_depth_micro,
+           CAST(max(n_turns) AS BIGINT) AS max_depth
+    FROM per
+"""
+QUERIES["session_bounce_report"] = session_bounce_report_q

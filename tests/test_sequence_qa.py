@@ -176,3 +176,32 @@ def test_copypasta_report_ordering_and_limit(spark):
     spreads = [r["n_users"] for r in out]
     assert spreads == sorted(spreads, reverse=True)
     assert spreads[0] == 26 and spreads[-1] == 7  # k=24 .. k=5 survive
+
+
+def test_session_bounce_report_known_sessions(spark):
+    # user 1: events at t=0,10 (one 2-deep session), then t=10000 (bounce)
+    # user 2: single event (bounce)
+    rows = [
+        (1, 1, 0.0, "view", 0.0, ""),
+        (2, 1, 10.0, "view", 0.0, ""),
+        (3, 1, 10000.0, "view", 0.0, ""),
+        (4, 2, 50.0, "view", 0.0, ""),
+    ]
+    r = _run(spark, rows, "session_bounce_report")[0]
+    assert r["n_sessions"] == 3
+    assert r["n_bounce"] == 2
+    assert r["bounce_rate_micro"] == 2 * 1_000_000 // 3
+    assert r["mean_depth_micro"] == 4 * 1_000_000 // 3
+    assert r["max_depth"] == 2
+
+
+def test_session_bounce_report_gap_boundary(spark):
+    # gap of exactly 3600s does NOT start a new session (> cut, not >=)
+    rows = [
+        (1, 1, 0.0, "view", 0.0, ""),
+        (2, 1, 3600.0, "view", 0.0, ""),
+        (3, 1, 7201.0, "view", 0.0, ""),  # 3601s after -> new session
+    ]
+    r = _run(spark, rows, "session_bounce_report")[0]
+    assert r["n_sessions"] == 2
+    assert r["max_depth"] == 2
