@@ -338,6 +338,8 @@ HEADLINE = [
     "tool_loop_report",
     "copypasta_report",
     "session_bounce_report",
+    "value_by_returning",
+    "dau_wau_stickiness",
 ]
 
 

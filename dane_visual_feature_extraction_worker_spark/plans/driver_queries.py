@@ -16505,3 +16505,166 @@ ORACLES["session_bounce_report"] = """
     FROM per
 """
 QUERIES["session_bounce_report"] = session_bounce_report_q
+
+
+def value_by_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do returning-day events carry different value than first-day
+    events?  Welch's t between the two lifecycle groups — the
+    monetization-maturity read behind `new_vs_returning`'s counts,
+    composed from the SAME first-ever-day window + the exact-moment
+    welch kernel (operators/stats.welch_t_report), so the lifecycle
+    flag costs one entity exchange and the test itself is the usual
+    zero-shuffle conditional aggregate."""
+    from dane_visual_feature_extraction_worker_spark.operators.stats import (
+        welch_t_report,
+    )
+
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    wu = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = e.select(
+        "value",
+        F.when(day == F.min(day).over(wu), F.lit("first"))
+        .otherwise(F.lit("returning"))
+        .alias("lifecycle"),
+    )
+    return welch_t_report(flagged, "lifecycle", "value", "returning", "first")
+
+
+ORACLES["value_by_returning"] = """
+    WITH flagged AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) // 86400000000 =
+                       min(epoch_us(ts) // 86400000000)
+                         OVER (PARTITION BY user_id)
+                  THEN 'first' ELSE 'returning' END AS lifecycle
+      FROM events
+    ), m AS (
+      SELECT
+        CAST(sum(CASE WHEN lifecycle = 'returning' THEN 1 ELSE 0 END)
+             AS HUGEINT) AS na,
+        sum(CASE WHEN lifecycle = 'returning'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS sa,
+        sum(CASE WHEN lifecycle = 'returning'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS s2a,
+        CAST(sum(CASE WHEN lifecycle = 'first' THEN 1 ELSE 0 END)
+             AS HUGEINT) AS nb,
+        sum(CASE WHEN lifecycle = 'first'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS sb,
+        sum(CASE WHEN lifecycle = 'first'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS s2b
+      FROM flagged
+    ), f AS (
+      SELECT na, nb, sa, sb,
+             CAST(na * s2a - sa * sa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               / CAST(na AS DOUBLE) AS sea,
+             CAST(nb * s2b - sb * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+               / CAST(nb AS DOUBLE) AS seb
+      FROM m
+    )
+    SELECT 'returning' AS group_a, 'first' AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(sa * 10000 // na AS BIGINT) AS mean_a_micro,
+           CAST(sb * 10000 // nb AS BIGINT) AS mean_b_micro,
+           CASE WHEN na > 1 AND nb > 1 THEN
+             CAST(floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        / sqrt(sea + seb) * 1000000.0) AS BIGINT)
+           END AS t_micro,
+           CASE WHEN na > 1 AND nb > 1 THEN
+             CAST(floor((sea + seb) * (sea + seb)
+                        / ((sea * sea) / (CAST(na AS DOUBLE) - 1.0)
+                           + (seb * seb) / (CAST(nb AS DOUBLE) - 1.0))
+                        * 1000000.0) AS BIGINT)
+           END AS df_micro
+    FROM f
+"""
+QUERIES["value_by_returning"] = value_by_returning_q
+
+
+def dau_wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives, trailing-7-day
+    actives, and the integer-micro ratio — THE product-engagement
+    headline (how much of the weekly audience shows up on a given
+    day).  Distinct counts cannot be summed across days, so WAU is
+    computed exactly, not estimated.
+
+    Plan: the corpus first collapses to the DISTINCT (day, user)
+    frame (one uniform exchange — this is the small frame, bounded by
+    days×actives, not events); each user-day then contributes to the
+    7 calendar days it keeps the user "weekly active" for (a narrow
+    7-wide integer explode ON THE COLLAPSED FRAME, never the corpus),
+    is re-deduped per (window day, user), and rolls up to one row per
+    day.  Days 0-5 of the corpus have a truncated trailing window —
+    reported as-is with n_days_in_window visible, the honest cold-
+    start read."""
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    du = e.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    span = F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+        "wday"
+    )
+    wau = (
+        du.select("user_id", "day", span)
+        .select(F.col("wday").alias("day"), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    joined = dau.join(wau, "day")
+    first_day = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        joined.withColumn("__min_day", F.min("day").over(first_day))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.least(
+                F.col("day") - F.col("__min_day") + 1, F.lit(7).cast("bigint")
+            ).alias("n_days_in_window"),
+            F.expr(
+                "CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 DIV wau"
+                " AS BIGINT)"
+            ).alias("stickiness_micro"),
+        )
+    )
+
+
+ORACLES["dau_wau_stickiness"] = """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), wau AS (
+      SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM du, generate_series(0, 6) AS g(off),
+           LATERAL (SELECT du.day + g.off AS wday)
+      GROUP BY wday
+    ), mn AS (SELECT min(day) AS min_day FROM du)
+    SELECT d.day, d.dau, w.wau,
+           CAST(least(d.day - mn.min_day + 1, 7) AS BIGINT)
+             AS n_days_in_window,
+           CAST(CAST(d.dau AS HUGEINT) * 1000000 // w.wau AS BIGINT)
+             AS stickiness_micro
+    FROM dau d JOIN wau w ON d.day = w.day CROSS JOIN mn
+"""
+QUERIES["dau_wau_stickiness"] = dau_wau_stickiness_q

@@ -205,3 +205,53 @@ def test_session_bounce_report_gap_boundary(spark):
     r = _run(spark, rows, "session_bounce_report")[0]
     assert r["n_sessions"] == 2
     assert r["max_depth"] == 2
+
+
+def test_dau_wau_stickiness_brute_force(spark):
+    day = 86400.0
+    # user 1 active days 0,1,8; user 2 active day 1; user 3 day 8
+    rows = [
+        (1, 1, 0.2 * day, "view", 0.0, ""),
+        (2, 1, 1.3 * day, "view", 0.0, ""),
+        (3, 1, 8.1 * day, "view", 0.0, ""),
+        (4, 2, 1.6 * day, "view", 0.0, ""),
+        (5, 3, 8.9 * day, "view", 0.0, ""),
+    ]
+    out = {r["day"]: r for r in _run(spark, rows, "dau_wau_stickiness")}
+    assert set(out) == {0, 1, 8}
+    # day 0: DAU {1}; WAU(trailing 7: days -6..0 -> only day 0) = {1}
+    assert out[0]["dau"] == 1 and out[0]["wau"] == 1
+    assert out[0]["stickiness_micro"] == 1_000_000
+    assert out[0]["n_days_in_window"] == 1
+    # day 1: DAU {1,2}; WAU days -5..1 = {1,2}
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2
+    # day 8: DAU {1,3}; WAU days 2..8 = {1,3}
+    assert out[8]["dau"] == 2 and out[8]["wau"] == 2
+    assert out[8]["n_days_in_window"] == 7
+
+
+def test_dau_wau_wau_counts_user_once(spark):
+    day = 86400.0
+    # one user active every day 0-6: WAU at day 6 must be 1, not 7
+    rows = [
+        (i, 1, (i + 0.5) * day, "view", 0.0, "") for i in range(7)
+    ]
+    out = {r["day"]: r for r in _run(spark, rows, "dau_wau_stickiness")}
+    assert out[6]["wau"] == 1 and out[6]["dau"] == 1
+    assert out[6]["stickiness_micro"] == 1_000_000
+
+
+def test_value_by_returning_detects_gap(spark):
+    day = 86400.0
+    rows = []
+    eid = 0
+    # 10 users: first-day events value 10, returning-day events value 30
+    for uid in range(10):
+        eid += 1
+        rows.append((eid, uid, 0.3 * day + uid, "view", 10.0 + uid % 3, ""))
+        eid += 1
+        rows.append((eid, uid, 5.0 * day + uid, "view", 30.0 + uid % 3, ""))
+    r = _run(spark, rows, "value_by_returning")[0]
+    assert r["n_a"] == 10 and r["n_b"] == 10  # returning / first
+    assert r["mean_a_micro"] - r["mean_b_micro"] == 20_000_000
+    assert r["t_micro"] > 0
