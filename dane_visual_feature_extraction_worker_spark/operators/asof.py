@@ -712,10 +712,21 @@ def resample_linear(
         .orderBy("__ts", "__is_grid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
+    # Forward neighbors via a DESC-ordered *running* frame, not a
+    # [current, unbounded following] frame: Spark executes shrinking
+    # frames with UnboundedFollowingWindowFunctionFrame, which
+    # re-aggregates the remainder of the partition for EVERY row —
+    # O(n²) per entity — while a running (growing) frame accumulates
+    # in O(n).  last(ignorenulls) over (ts DESC, is_grid DESC) rows
+    # [start, current] is exactly first(ignorenulls) over
+    # (ts ASC, is_grid ASC) rows [current, end] — the same nearest
+    # at-or-after non-null, current row included.  Cost: one extra
+    # in-partition sort on the SAME entity exchange (Catalyst keeps a
+    # single Exchange; the second Window just re-sorts its partition).
+    fwd_rev = (
         Window.partitionBy("entity")
-        .orderBy("__ts", "__is_grid")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     annotated = (
         union.withColumn("__pv", F.last("__cents", ignorenulls=True).over(back))
@@ -726,13 +737,15 @@ def resample_linear(
                 ignorenulls=True,
             ).over(back),
         )
-        .withColumn("__nv", F.first("__cents", ignorenulls=True).over(fwd))
+        .withColumn(
+            "__nv", F.last("__cents", ignorenulls=True).over(fwd_rev)
+        )
         .withColumn(
             "__nt",
-            F.first(
+            F.last(
                 F.when(F.col("__cents").isNotNull(), F.col("__ts")),
                 ignorenulls=True,
-            ).over(fwd),
+            ).over(fwd_rev),
         )
     )
     interp = F.when(F.col("__nt") == F.col("__pt"), F.col("__pv")).otherwise(

@@ -1199,48 +1199,59 @@ def poisson_bootstrap(
         cents.alias("__v"), F.col(id_col).cast("string").alias("__id")
     )
 
-    def _w(b: int) -> F.Column:
-        hx = F.md5(
-            F.concat_ws(
-                "|", F.lit(salt), F.concat_ws("#", F.col("__id"), F.lit(str(b)))
-            )
+    # Explode (row × replicate) and aggregate by replicate instead of
+    # carrying 2B wide agg states: the B-wide single-row aggregate put
+    # B md5→conv→threshold chains into ONE projection whose expression
+    # tree blows past the whole-stage-codegen method budget, dropping
+    # the dominant per-row stage to interpreted evaluation (~2× wall
+    # clock measured at B=32). The exploded form evaluates exactly one
+    # small, codegen-friendly weight expression per (row, replicate);
+    # partial aggregation collapses each partition to B rows before the
+    # (tiny) exchange, so the shuffle stays B-bounded. Per-replicate
+    # integer sums are order-independent — bit-identical results.
+    b_exp = F.explode(
+        F.array(*[F.lit(b) for b in range(n_replicates)])
+    ).alias("__b")
+    pairs = rows.select("__v", "__id", b_exp)
+    hx = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(salt),
+            F.concat_ws("#", F.col("__id"), F.col("__b").cast("string")),
         )
-        key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
-        w: F.Column = F.lit(8)
-        for wv in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
-            w = F.when(key < POISSON1_THRESHOLDS[wv], wv).otherwise(w)
-        return w.cast("bigint")
-
-    aggs: list[F.Column] = []
-    for b in range(n_replicates):
-        wb = _w(b)
-        aggs.append(F.sum(wb).cast("bigint").alias(f"__n_{b}"))
-        aggs.append(
-            F.sum(wb * F.col("__v")).cast("bigint").alias(f"__s_{b}")
+    )
+    key = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    w: F.Column = F.lit(8)
+    for wv in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(key < POISSON1_THRESHOLDS[wv], wv).otherwise(w)
+    w = w.cast("bigint")
+    agg = (
+        pairs.select(F.col("__b"), F.col("__v"), w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            F.sum("__w").cast("bigint").alias("__n"),
+            F.sum(F.col("__w") * F.col("__v")).cast("bigint").alias("__s"),
         )
-    one = rows.agg(*aggs)
-
-    reps = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("replicate"),
-                        F.coalesce(F.col(f"__n_{b}"), F.lit(0)).alias(
-                            "n_eff"
-                        ),
-                        F.coalesce(F.col(f"__s_{b}"), F.lit(0)).alias("__s"),
-                    )
-                    for b in range(n_replicates)
-                ]
-            )
-        ).alias("__r")
-    ).select(
-        "__r.replicate",
-        "__r.n_eff",
-        F.when(
-            F.col("__r.n_eff") > 0, F.expr("__r.__s DIV __r.n_eff")
-        ).alias("mean_cents"),
+    )
+    # Left-join from a literal replicate spine so an empty input still
+    # yields B rows of n_eff = 0 (the wide form's semantics).
+    spine = df.sparkSession.range(n_replicates).select(
+        F.col("id").cast("int").alias("replicate")
+    )
+    reps = (
+        spine.join(agg, spine.replicate == agg.__b, "left")
+        .select(
+            "replicate",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_eff"),
+            F.coalesce(F.col("__s"), F.lit(0)).cast("bigint").alias("__s"),
+        )
+        .select(
+            "replicate",
+            "n_eff",
+            F.when(
+                F.col("n_eff") > 0, F.expr("__s DIV n_eff")
+            ).alias("mean_cents"),
+        )
     )
     full = Window.orderBy("replicate").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -1393,8 +1393,9 @@ def token_entropy_rate(
 
     Plan: bigrams built inside the token array (transform/slice),
     one map-side-combined (grp, prev, next) exchange, a (grp, prev)
-    rollup, one pair-frame join on (grp, prev) (both sides
-    vocab²-bounded, AQE co-planned), |groups|-row rollup.
+    rollup, then TWO |groups|-row aggregates joined on grp — the
+    Σ c·(lncp − lnc) total regroups exactly as Σ cp·lncp − Σ c·lnc,
+    so no vocab²-row pair join is ever materialized.
     """
     pairs = (
         docs.select(
@@ -1414,16 +1415,26 @@ def token_entropy_rate(
         F.log(c.cast("double")) * 1e6
     ).cast("bigint")
     d38 = "decimal(38,0)"
-    joined = pairs.join(per_prev, ["grp", "__p"])
-    agg = joined.groupBy("grp").agg(
+    # Exact decomposition — no (grp, prev)-keyed pair join needed:
+    #   Σ_{p,n} c·(lncp − lnc) = Σ_p cp·lncp − Σ_{p,n} c·lnc
+    # (every term is an integer micro-nat product, so regrouping is
+    # bit-identical to the joined form). This removes a shuffle join
+    # over the full distinct-bigram frame; what remains is two
+    # |groups|-row aggregates and a |groups|-row join.
+    pair_agg = pairs.groupBy("grp").agg(
         F.sum("__c").cast("bigint").alias("n_bigrams"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.col("__c").cast(d38)
-            * (lnm(F.col("__cp")) - lnm(F.col("__c"))).cast(d38)
-        )
+        F.sum(F.col("__c").cast(d38) * lnm(F.col("__c")).cast(d38))
         .cast(d38)
-        .alias("__s"),
+        .alias("__sc"),
+    )
+    prev_agg = per_prev.groupBy("grp").agg(
+        F.sum(F.col("__cp").cast(d38) * lnm(F.col("__cp")).cast(d38))
+        .cast(d38)
+        .alias("__sp"),
+    )
+    agg = pair_agg.join(prev_agg, "grp").withColumn(
+        "__s", (F.col("__sp") - F.col("__sc")).cast(d38)
     )
     return agg.select(
         "grp",

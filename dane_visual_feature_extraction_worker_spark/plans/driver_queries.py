@@ -38,6 +38,42 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+#: Memoized scan-partition counts, keyed on the scan's file set + the
+#: session parallelism. The count is a physical-plan property (how many
+#: splits the scan yields), NOT data — probing it once per table per
+#: session keeps the decision exact without paying the ~0.14 s
+#: plan→RDD conversion on every query.
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
+def _fan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive fan-out after a narrow scan (guide §2.5 "input
+    skew: one huge unsplittable file → repartition immediately after
+    the read"): a single-row-group parquet file scans as ONE partition,
+    which serializes every pre-shuffle per-row stage (tokenize/explode,
+    md5 sampling keys, decimal quantization) onto one core.  Widen to
+    the session's default parallelism ONLY when the scan is narrower —
+    at production scale the input has ≥cores splits and this is a
+    plan-level no-op (no exchange added).  With ``keys`` the exchange
+    is a deterministic hash partitioning on those columns (retry-safe,
+    no sort-before-repartition pass); keyless falls back to
+    round-robin.  Results are partitioning-independent by construction
+    everywhere this is applied (exact integer/decimal aggregates,
+    per-row maps, explicitly ordered windows)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    memo_key = (tuple(sorted(df.inputFiles())), target)
+    parts = _SCAN_PARTS.get(memo_key)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[memo_key] = parts
+    if parts >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def _dsum(c) -> F.Column:
     """Exact decimal sum cast to double — order-independent, so Spark's
     partial aggregation and DuckDB's segment-tree window sums agree
@@ -10423,7 +10459,8 @@ def poisson_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return poisson_bootstrap(
-        _events(spark, sf_dir), value="value", id_col="event_id",
+        _fan(_events(spark, sf_dir), "event_id"),
+        value="value", id_col="event_id",
         n_replicates=32, salt="boot",
     )
 
@@ -11989,7 +12026,9 @@ def token_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_entropy_rate,
     )
 
-    return token_entropy_rate(_documents(spark, sf_dir), group_col="source")
+    return token_entropy_rate(
+        _fan(_documents(spark, sf_dir), "doc_id"), group_col="source"
+    )
 
 
 ORACLES["token_entropy_rate"] = r"""
