@@ -60,6 +60,8 @@ def main() -> None:
                 "w",
             ) as fh:
                 fh.write(plan)
+        if args.runs == 0:
+            continue
         best = float("inf")
         samples = []
         for _ in range(args.runs):

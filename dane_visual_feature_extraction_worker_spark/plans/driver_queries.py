@@ -666,7 +666,7 @@ def dedup_jaccard(
     stop-shingle-dominated corpora (ADVICE r2)."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5, max_df=max_df)
+    return jaccard_pairs(_fan(_documents(spark, sf_dir), "doc_id"), threshold=0.5, max_df=max_df)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +675,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    return minhash_lsh_pairs(_documents(spark, sf_dir))
+    return minhash_lsh_pairs(_fan(_documents(spark, sf_dir), "doc_id"))
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,7 +884,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
+    mm = extract_features(attach_payload(_fan(_documents(spark, sf_dir), "doc_id")))
     return mm.select("doc_id", "n_bytes", "payload_md5")
 
 
@@ -901,7 +901,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
+    mm = extract_features(attach_payload(_fan(_documents(spark, sf_dir), "doc_id")))
     return mm.select(
         "doc_id",
         *[
@@ -1736,7 +1736,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_payloads,
     )
 
-    mm = synth_png_payloads(_documents(spark, sf_dir))
+    mm = synth_png_payloads(_fan(_documents(spark, sf_dir), "doc_id"))
     out = decode_transform_2d(mm, out_h=16, out_w=16, decode=decode_png)
     return out.select("doc_id", "src_h", "src_w", "z_min", "z_max")
 
@@ -1779,7 +1779,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg_payloads,
     )
 
-    mm = synth_jpeg_payloads(_documents(spark, sf_dir))
+    mm = synth_jpeg_payloads(_fan(_documents(spark, sf_dir), "doc_id"))
     out = decode_transform_2d(mm, out_h=16, out_w=16, decode=decode_jpeg)
     return out.select("doc_id", "src_h", "src_w", "z_min", "z_max")
 
@@ -1900,7 +1900,7 @@ def multimodal_decode_npz(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_npz_payloads,
     )
 
-    mm = synth_npz_payloads(_documents(spark, sf_dir))
+    mm = synth_npz_payloads(_fan(_documents(spark, sf_dir), "doc_id"))
     return decode_transform_npz(mm).select(
         "doc_id", "n_rows", "n_cols", "z_min", "z_max", "z_mean"
     )
@@ -2565,7 +2565,7 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_sample_rates,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     rates = temperature_sample_rates(docs, alpha=0.5, budget_frac=0.5)
     kept = (
         temperature_sample(docs, alpha=0.5, budget_frac=0.5, salt="temp")
@@ -2674,7 +2674,7 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_check,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     probe = docs.where(F.col("doc_id") % 97 == 0)
     return contamination_check(docs, probe, k=3, min_overlap=2)
 
@@ -2707,7 +2707,7 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    return repetition_stats(_documents(spark, sf_dir), k=3)
+    return repetition_stats(_fan(_documents(spark, sf_dir), "doc_id"), k=3)
 
 
 ORACLES["repetition_stats"] = r"""
@@ -2755,7 +2755,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     pairs = minhash_lsh_pairs(docs)
     return connected_components(pairs, docs.select("doc_id"))
 
@@ -2806,7 +2806,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_top_terms,
     )
 
-    return tfidf_top_terms(_documents(spark, sf_dir), top_n=3)
+    return tfidf_top_terms(_fan(_documents(spark, sf_dir), "doc_id"), top_n=3)
 
 
 ORACLES["tfidf_top_terms"] = r"""
@@ -3079,7 +3079,7 @@ def unigram_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob_score,
     )
 
-    return unigram_logprob_score(_documents(spark, sf_dir), vocab_k=256)
+    return unigram_logprob_score(_fan(_documents(spark, sf_dir), "doc_id"), vocab_k=256)
 
 
 ORACLES["unigram_quality"] = r"""
@@ -3574,7 +3574,7 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoped_persist,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
     kept = docs.join(reps, "doc_id")
     good = (
@@ -4684,7 +4684,7 @@ def bigram_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_logprob_score,
     )
 
-    return bigram_logprob_score(_documents(spark, sf_dir), vocab_k=1024)
+    return bigram_logprob_score(_fan(_documents(spark, sf_dir), "doc_id"), vocab_k=1024)
 
 
 ORACLES["bigram_quality"] = r"""
@@ -5093,7 +5093,7 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi_topk,
     )
 
-    return pmi_topk(_documents(spark, sf_dir), k=50, min_count=3)
+    return pmi_topk(_fan(_documents(spark, sf_dir), "doc_id"), k=50, min_count=3)
 
 
 ORACLES["pmi_collocations"] = r"""
@@ -5389,7 +5389,7 @@ def doc_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_fixed,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     pairs = minhash_lsh_pairs(docs)
     return pagerank_fixed(pairs, docs.select("doc_id"), iters=3)
 
@@ -5648,7 +5648,7 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_overlap,
     )
 
-    return source_overlap(_documents(spark, sf_dir))
+    return source_overlap(_fan(_documents(spark, sf_dir), "doc_id"))
 
 
 ORACLES["source_overlap"] = r"""
@@ -6581,7 +6581,7 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
-    pairs = minhash_lsh_pairs(_documents(spark, sf_dir))
+    pairs = minhash_lsh_pairs(_fan(_documents(spark, sf_dir), "doc_id"))
     return triangle_counts(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
@@ -6758,7 +6758,7 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     return bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
     )
@@ -6812,7 +6812,7 @@ def edit1_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return edit1_pairs(
-        _documents(spark, sf_dir), F.col("text"), id_col="doc_id", key_len=12
+        _fan(_documents(spark, sf_dir), "doc_id"), F.col("text"), id_col="doc_id", key_len=12
     )
 
 
@@ -6917,7 +6917,7 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     return bigram_lm_scores(d, F.col("__t"), id_col="doc_id")
 
 
@@ -6970,7 +6970,7 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return span_corrupt(
-        _documents(spark, sf_dir).select("doc_id", "text"),
+        _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", "text"),
         id_col="doc_id",
         span_tokens=3,
         mask_rate=0.15,
@@ -7112,7 +7112,7 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    toks = _documents(spark, sf_dir).select(
+    toks = _fan(_documents(spark, sf_dir), "doc_id").select(
         F.explode(_tokens("text")).alias("term")
     )
     return cms_estimates(toks, _CMS_PROBES, depth=4, width=1024).orderBy("term")
@@ -7190,7 +7190,7 @@ def stopword_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_discovery,
     )
 
-    return stopword_discovery(_documents(spark, sf_dir), min_share=0.4)
+    return stopword_discovery(_fan(_documents(spark, sf_dir), "doc_id"), min_share=0.4)
 
 
 ORACLES["stopword_discovery"] = r"""
@@ -7268,7 +7268,7 @@ def dup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     cc = connected_components(minhash_lsh_pairs(docs), docs.select("doc_id"))
     sz = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -7309,7 +7309,7 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     return label_propagation(
         minhash_lsh_pairs(docs), docs.select("doc_id"), rounds=3
     )
@@ -7398,7 +7398,7 @@ def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score as _qs,
     )
 
-    d = _documents(spark, sf_dir)
+    d = _fan(_documents(spark, sf_dir), "doc_id")
     q = _qs(d).join(d.select("doc_id", "source"), "doc_id")
     wt = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.desc("n_tokens"), F.col("doc_id")
@@ -7521,7 +7521,7 @@ def weak_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     return weak_label_vote(d, F.col("__t"), _WEAK_RULES, id_col="doc_id")
 
 
@@ -7575,7 +7575,7 @@ def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_calibration,
     )
 
-    return minhash_calibration(_documents(spark, sf_dir))
+    return minhash_calibration(_fan(_documents(spark, sf_dir), "doc_id"))
 
 
 ORACLES["minhash_calibration"] = ORACLES["near_dup_clusters"].split(
@@ -7761,7 +7761,7 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = (
-        _documents(spark, sf_dir)
+        _fan(_documents(spark, sf_dir), "doc_id")
         .select("doc_id", _tokens("text").alias("toks"))
         .where(F.size("toks") > 0)
     )
@@ -7850,7 +7850,7 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    return winnow_fingerprints(_documents(spark, sf_dir), k=3, w=4)
+    return winnow_fingerprints(_fan(_documents(spark, sf_dir), "doc_id"), k=3, w=4)
 
 
 ORACLES["winnow_fingerprints"] = (
@@ -7907,7 +7907,7 @@ def near_dup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_probe,
     )
 
-    d = _documents(spark, sf_dir)
+    d = _fan(_documents(spark, sf_dir), "doc_id")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"graft_nddx_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -7937,7 +7937,7 @@ def shared_passage_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return shared_passage_pairs(
-        _documents(spark, sf_dir), k=3, w=4, min_shared=2, max_df=20
+        _fan(_documents(spark, sf_dir), "doc_id"), k=3, w=4, min_shared=2, max_df=20
     )
 
 
@@ -8179,7 +8179,7 @@ def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     lex = bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=20
     )
@@ -8371,7 +8371,7 @@ def hashed_bow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     return hashed_bow(d, F.col("__t"), id_col="doc_id", n_buckets=256)
 
 
@@ -8541,7 +8541,7 @@ def ndcg_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     ranked = bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
     )
@@ -8920,7 +8920,7 @@ def dedup_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score as _qs,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     clusters = connected_components(
         minhash_lsh_pairs(docs), docs.select("doc_id")
     )
@@ -9034,7 +9034,7 @@ def pr_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     ranked = bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
     )
@@ -9196,7 +9196,7 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_novelty,
     )
 
-    return ngram_novelty(_documents(spark, sf_dir))
+    return ngram_novelty(_fan(_documents(spark, sf_dir), "doc_id"))
 
 
 ORACLES["ngram_novelty"] = r"""
@@ -9396,7 +9396,7 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_distinct,
     )
 
-    return hll_distinct(_events(spark, sf_dir))
+    return hll_distinct(_fan(_events(spark, sf_dir), "event_id"))
 
 
 def _hll_oracle() -> str:
@@ -10253,7 +10253,7 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipf_slope,
     )
 
-    return zipf_slope(_documents(spark, sf_dir), k=1000)
+    return zipf_slope(_fan(_documents(spark, sf_dir), "doc_id"), k=1000)
 
 
 ORACLES["zipf_slope"] = r"""
@@ -10584,7 +10584,7 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ngram_diversity(
-        _documents(spark, sf_dir), ns=(1, 2, 3), group_col="source"
+        _fan(_documents(spark, sf_dir), "doc_id"), ns=(1, 2, 3), group_col="source"
     )
 
 
@@ -10885,7 +10885,7 @@ def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_entropy,
     )
 
-    return char_entropy(_documents(spark, sf_dir), group_col="source")
+    return char_entropy(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
 
 
 ORACLES["char_entropy"] = r"""
@@ -11125,7 +11125,7 @@ def macro_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         macro_f1,
     )
 
-    e = _events(spark, sf_dir)
+    e = _fan(_events(spark, sf_dir), "event_id")
     hx = F.md5(
         F.concat_ws("|", F.lit("mf1"), F.col("event_id").cast("string"))
     )
@@ -11213,7 +11213,7 @@ def fleiss_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fleiss_kappa,
     )
 
-    e = _events(spark, sf_dir)
+    e = _fan(_events(spark, sf_dir), "event_id")
     long = e.select(
         F.col("event_id").alias("item_id"),
         "event_type",
@@ -11336,7 +11336,7 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return containment_pairs(
-        _documents(spark, sf_dir), threshold=0.8, k=3, max_df=1000
+        _fan(_documents(spark, sf_dir), "doc_id"), threshold=0.8, k=3, max_df=1000
     )
 
 
@@ -11474,7 +11474,7 @@ def charclass_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         charclass_profile,
     )
 
-    return charclass_profile(_documents(spark, sf_dir), group_col="source")
+    return charclass_profile(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
 
 
 # Classes are explicit ASCII ranges (never \s / POSIX classes) so the
@@ -11627,7 +11627,7 @@ def hapax_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax_share,
     )
 
-    return hapax_share(_documents(spark, sf_dir), group_col="source")
+    return hapax_share(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
 
 
 ORACLES["hapax_share"] = r"""
@@ -11664,7 +11664,7 @@ def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ngram_coverage,
     )
 
-    return dup_ngram_coverage(_documents(spark, sf_dir), group_col="source", k=3)
+    return dup_ngram_coverage(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source", k=3)
 
 
 ORACLES["dup_ngram_coverage"] = r"""
@@ -11751,7 +11751,7 @@ def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         curriculum_order,
     )
 
-    out = curriculum_order(_documents(spark, sf_dir))
+    out = curriculum_order(_fan(_documents(spark, sf_dir), "doc_id"))
     return out.select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -11848,7 +11848,7 @@ def krippendorff_alpha_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         krippendorff_alpha,
     )
 
-    e = _events(spark, sf_dir)
+    e = _fan(_events(spark, sf_dir), "event_id")
     long = e.select(
         F.col("event_id").alias("item_id"),
         "event_type",
@@ -11945,7 +11945,7 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_fertility,
     )
 
-    return tokenizer_fertility(_documents(spark, sf_dir), group_col="lang")
+    return tokenizer_fertility(_fan(_documents(spark, sf_dir), "doc_id"), group_col="lang")
 
 
 ORACLES["tokenizer_fertility"] = r"""
@@ -12086,7 +12086,7 @@ def mrr_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
+    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
     return mrr_at_k(
         d,
         F.col("__t"),
@@ -12181,7 +12181,7 @@ def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_ratio,
     )
 
-    return compression_ratio(_documents(spark, sf_dir), group_col="source")
+    return compression_ratio(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
 
 
 QUERIES["compression_ratio"] = compression_ratio_q
@@ -12244,7 +12244,7 @@ def token_f1_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_f1_eval,
     )
 
-    d = _documents(spark, sf_dir)
+    d = _fan(_documents(spark, sf_dir), "doc_id")
     pred = d.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
         F.col("text").alias("pred"),
@@ -13495,7 +13495,7 @@ def scrub_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_verification,
     )
 
-    return scrub_verification(_documents(spark, sf_dir), group_col="source")
+    return scrub_verification(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
 
 
 ORACLES["scrub_verification"] = r"""
@@ -13784,7 +13784,7 @@ def cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cosine_pairs(
-        _documents(spark, sf_dir), cos_threshold=0.5, max_df=1000
+        _fan(_documents(spark, sf_dir), "doc_id"), cos_threshold=0.5, max_df=1000
     )
 
 
@@ -14811,7 +14811,7 @@ def gibberish_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         gibberish_report,
     )
 
-    return gibberish_report(_documents(spark, sf_dir))
+    return gibberish_report(_fan(_documents(spark, sf_dir), "doc_id"))
 
 
 ORACLES["gibberish_rate"] = r"""
