@@ -518,19 +518,24 @@ def conv_outcomes(
         F.count(F.lit(1)).cast("bigint").alias("n_convs"),
         F.sum("__n").cast("bigint").alias("__turns"),
     )
-    tot = per_role.agg(F.sum("n_convs").cast("bigint").alias("__tot"))
-    return (
-        per_role.crossJoin(F.broadcast(tot))
-        .select(
-            "outcome_role",
-            "n_convs",
-            F.expr("n_convs * 1000000 DIV __tot")
-            .cast("bigint")
-            .alias("share_micro"),
-            F.expr("__turns * 1000000 DIV n_convs")
-            .cast("bigint")
-            .alias("turns_avg_micro"),
+    # Total via a whole-frame window over the |roles|-row aggregate
+    # (domain-bounded, ≤ a handful of rows) instead of a broadcast
+    # crossJoin of a re-derived total: the DataFrame branch re-executed
+    # the entire per-conversation subtree a second time (two full
+    # scan→exchange→aggregate chains in the plan) just to produce one
+    # scalar.  Same integer DIV, bit-identical shares.
+    return per_role.select(
+        "outcome_role",
+        "n_convs",
+        F.expr(
+            "n_convs * 1000000 DIV (sum(n_convs) OVER ("
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
         )
+        .cast("bigint")
+        .alias("share_micro"),
+        F.expr("__turns * 1000000 DIV n_convs")
+        .cast("bigint")
+        .alias("turns_avg_micro"),
     )
 
 

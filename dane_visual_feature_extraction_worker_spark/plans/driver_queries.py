@@ -45,6 +45,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: plan→RDD conversion on every query.
 _SCAN_PARTS: dict[tuple, int] = {}
 
+#: When True, _fan is an identity — used only by the A/B measurement
+#: harness to isolate the fan-out's effect inside one session.
+_FAN_OFF = False
+
 
 def _fan(df: DataFrame, *keys: str) -> DataFrame:
     """Scale-adaptive fan-out after a narrow scan (guide §2.5 "input
@@ -60,6 +64,8 @@ def _fan(df: DataFrame, *keys: str) -> DataFrame:
     round-robin.  Results are partitioning-independent by construction
     everywhere this is applied (exact integer/decimal aggregates,
     per-row maps, explicitly ordered windows)."""
+    if _FAN_OFF:  # measurement kill-switch (scripts/ab_fan.py A/B runs)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     memo_key = (tuple(sorted(df.inputFiles())), target)
@@ -666,7 +672,7 @@ def dedup_jaccard(
     stop-shingle-dominated corpora (ADVICE r2)."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_fan(_documents(spark, sf_dir), "doc_id"), threshold=0.5, max_df=max_df)
+    return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5, max_df=max_df)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,7 +890,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    mm = extract_features(attach_payload(_fan(_documents(spark, sf_dir), "doc_id")))
+    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
     return mm.select("doc_id", "n_bytes", "payload_md5")
 
 
@@ -901,7 +907,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    mm = extract_features(attach_payload(_fan(_documents(spark, sf_dir), "doc_id")))
+    mm = extract_features(attach_payload(_documents(spark, sf_dir)))
     return mm.select(
         "doc_id",
         *[
@@ -1736,7 +1742,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_payloads,
     )
 
-    mm = synth_png_payloads(_fan(_documents(spark, sf_dir), "doc_id"))
+    mm = synth_png_payloads(_documents(spark, sf_dir))
     out = decode_transform_2d(mm, out_h=16, out_w=16, decode=decode_png)
     return out.select("doc_id", "src_h", "src_w", "z_min", "z_max")
 
@@ -2565,7 +2571,7 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_sample_rates,
     )
 
-    docs = _fan(_documents(spark, sf_dir), "doc_id")
+    docs = _documents(spark, sf_dir)
     rates = temperature_sample_rates(docs, alpha=0.5, budget_frac=0.5)
     kept = (
         temperature_sample(docs, alpha=0.5, budget_frac=0.5, salt="temp")
@@ -3079,7 +3085,7 @@ def unigram_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob_score,
     )
 
-    return unigram_logprob_score(_fan(_documents(spark, sf_dir), "doc_id"), vocab_k=256)
+    return unigram_logprob_score(_documents(spark, sf_dir), vocab_k=256)
 
 
 ORACLES["unigram_quality"] = r"""
@@ -3574,7 +3580,7 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoped_persist,
     )
 
-    docs = _fan(_documents(spark, sf_dir), "doc_id")
+    docs = _documents(spark, sf_dir)
     reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
     kept = docs.join(reps, "doc_id")
     good = (
@@ -4762,6 +4768,33 @@ def _tr_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tr_proj_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_tr_proj`` minus the row_number window, for turn operators
+    whose OUTPUTS never expose ``turn_idx``: within a conversation
+    turn_idx is strictly monotone in (ts, event_id), so any operator
+    that only *orders or tie-breaks* by it (lag windows, struct
+    min/max selection, sort_array digests) produces identical results
+    with ``event_id`` as the order column — saving a full corpus
+    Exchange+Sort+Window pass per query.  Operators that consume
+    turn_idx VALUES (length_drift's OLS moments, sft_pairs/
+    context_window outputs) must keep ``_tr_proj``."""
+    e = _events(spark, sf_dir)
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("other")
+    )
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_ord"),
+        role.alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
 def sft_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT example extraction (operators/turns.sft_pairs): adjacent
     user→assistant turn pairs become (prompt, response) rows; pairs
@@ -5093,7 +5126,7 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi_topk,
     )
 
-    return pmi_topk(_fan(_documents(spark, sf_dir), "doc_id"), k=50, min_count=3)
+    return pmi_topk(_documents(spark, sf_dir), k=50, min_count=3)
 
 
 ORACLES["pmi_collocations"] = r"""
@@ -6758,7 +6791,7 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
     return bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
     )
@@ -7398,7 +7431,7 @@ def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score as _qs,
     )
 
-    d = _fan(_documents(spark, sf_dir), "doc_id")
+    d = _documents(spark, sf_dir)
     q = _qs(d).join(d.select("doc_id", "source"), "doc_id")
     wt = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.desc("n_tokens"), F.col("doc_id")
@@ -7968,7 +8001,7 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codes,
     )
 
-    return pq_codes(_embeddings(spark, sf_dir))
+    return pq_codes(_fan(_embeddings(spark, sf_dir), "vec_id"))
 
 
 def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7982,7 +8015,7 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk,
     )
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _fan(_embeddings(spark, sf_dir), "vec_id")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return pq_adc_topk(emb, q, k=5)
 
@@ -9034,7 +9067,7 @@ def pr_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    d = _fan(_documents(spark, sf_dir), "doc_id").select("doc_id", _tokens("text").alias("__t"))
+    d = _documents(spark, sf_dir).select("doc_id", _tokens("text").alias("__t"))
     ranked = bm25_topk(
         d, F.col("__t"), ["scan", "merge", "vector"], id_col="doc_id", k=10
     )
@@ -9396,7 +9429,7 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_distinct,
     )
 
-    return hll_distinct(_fan(_events(spark, sf_dir), "event_id"))
+    return hll_distinct(_events(spark, sf_dir))
 
 
 def _hll_oracle() -> str:
@@ -9518,7 +9551,9 @@ def role_alternation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         role_alternation,
     )
 
-    return role_alternation(_tr_proj(spark, sf_dir))
+    return role_alternation(
+        _tr_proj_lean(spark, sf_dir), order=("ts", "turn_ord")
+    )
 
 
 ORACLES["role_alternation"] = f"""
@@ -10253,7 +10288,7 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipf_slope,
     )
 
-    return zipf_slope(_fan(_documents(spark, sf_dir), "doc_id"), k=1000)
+    return zipf_slope(_documents(spark, sf_dir), k=1000)
 
 
 ORACLES["zipf_slope"] = r"""
@@ -10584,7 +10619,7 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ngram_diversity(
-        _fan(_documents(spark, sf_dir), "doc_id"), ns=(1, 2, 3), group_col="source"
+        _documents(spark, sf_dir), ns=(1, 2, 3), group_col="source"
     )
 
 
@@ -10922,7 +10957,7 @@ def echo_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         echo_rate,
     )
 
-    return echo_rate(_tr_proj(spark, sf_dir))
+    return echo_rate(_tr_proj_lean(spark, sf_dir), turn_idx="turn_ord")
 
 
 ORACLES["echo_rate"] = f"""
@@ -10964,7 +10999,9 @@ def template_openers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         template_openers,
     )
 
-    return template_openers(_tr_proj(spark, sf_dir), k=20)
+    return template_openers(
+        _tr_proj_lean(spark, sf_dir), turn_idx="turn_ord", k=20
+    )
 
 
 ORACLES["template_openers"] = f"""
@@ -11007,7 +11044,9 @@ def retry_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         retry_runs,
     )
 
-    return retry_runs(_tr_proj(spark, sf_dir))
+    return retry_runs(
+        _tr_proj_lean(spark, sf_dir), order=("ts", "turn_ord")
+    )
 
 
 ORACLES["retry_runs"] = f"""
@@ -11050,7 +11089,7 @@ def conv_outcomes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv_outcomes,
     )
 
-    return conv_outcomes(_tr_proj(spark, sf_dir))
+    return conv_outcomes(_tr_proj_lean(spark, sf_dir), turn_idx="turn_ord")
 
 
 ORACLES["conv_outcomes"] = f"""
@@ -11089,7 +11128,9 @@ def conv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_conversations,
     )
 
-    return dedup_conversations(_tr_proj(spark, sf_dir))
+    return dedup_conversations(
+        _tr_proj_lean(spark, sf_dir), order=("ts", "turn_ord")
+    )
 
 
 ORACLES["conv_dedup"] = f"""
@@ -11125,7 +11166,7 @@ def macro_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         macro_f1,
     )
 
-    e = _fan(_events(spark, sf_dir), "event_id")
+    e = _events(spark, sf_dir)
     hx = F.md5(
         F.concat_ws("|", F.lit("mf1"), F.col("event_id").cast("string"))
     )
@@ -11391,7 +11432,10 @@ def prefix_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_reuse,
     )
 
-    return prefix_reuse(_tr_proj(spark, sf_dir), depths=(1, 2, 4))
+    return prefix_reuse(
+        _tr_proj_lean(spark, sf_dir), depths=(1, 2, 4),
+        order=("ts", "turn_ord"),
+    )
 
 
 ORACLES["prefix_reuse"] = f"""
@@ -11474,7 +11518,7 @@ def charclass_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         charclass_profile,
     )
 
-    return charclass_profile(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
+    return charclass_profile(_documents(spark, sf_dir), group_col="source")
 
 
 # Classes are explicit ASCII ranges (never \s / POSIX classes) so the
@@ -11945,7 +11989,7 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_fertility,
     )
 
-    return tokenizer_fertility(_fan(_documents(spark, sf_dir), "doc_id"), group_col="lang")
+    return tokenizer_fertility(_documents(spark, sf_dir), group_col="lang")
 
 
 ORACLES["tokenizer_fertility"] = r"""
@@ -12181,7 +12225,7 @@ def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_ratio,
     )
 
-    return compression_ratio(_fan(_documents(spark, sf_dir), "doc_id"), group_col="source")
+    return compression_ratio(_documents(spark, sf_dir), group_col="source")
 
 
 QUERIES["compression_ratio"] = compression_ratio_q
@@ -14811,7 +14855,7 @@ def gibberish_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         gibberish_report,
     )
 
-    return gibberish_report(_fan(_documents(spark, sf_dir), "doc_id"))
+    return gibberish_report(_documents(spark, sf_dir))
 
 
 ORACLES["gibberish_rate"] = r"""
