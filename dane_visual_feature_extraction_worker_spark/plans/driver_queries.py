@@ -692,7 +692,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority-vote signatures."""
     from dane_visual_feature_extraction_worker_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_documents(spark, sf_dir), max_hamming=8)
+    return simhash_pairs(_fan(_documents(spark, sf_dir), "doc_id"), max_hamming=8)
 
 
 def _simhash_oracle_sql(max_hamming: int = 8, bits: int = 120) -> str:
@@ -1419,6 +1419,33 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _pinned_state_partitions(spark: SparkSession):
+    """Pin the state-store partitioning low for bounded streaming gate
+    runs (the ``streaming_interval_join`` precedent, generalized): a
+    stateful query opens/commits one state store PER shuffle partition
+    PER micro-batch, and for an availableNow replay of a small bounded
+    source that per-store open/commit latency — not data volume —
+    dominates wall clock. A real deployment sizes this to peak rows
+    per partition and the setting is baked into the checkpoint at
+    first start; here every invocation creates a FRESH checkpoint, so
+    the pin is per-run and env-overridable
+    (``SPARK_GRAFT_STREAM_STATE_PARTITIONS``, default 4)."""
+    import contextlib
+    import os as _os
+
+    @contextlib.contextmanager
+    def _cm():
+        n = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical gated streaming sessionization = the APPEND-sink
     production shape (``streaming_sessionize_append`` below). The
@@ -2042,16 +2069,17 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
-    session_sink_append(
-        stream,
-        flush,
-        sink_dir,
-        ckpt_dir,
-        gap_seconds=gap_s,
-        entity="user_id",
-        ts="ts",
-        watermark="1 hour",
-    )
+    with _pinned_state_partitions(spark):
+        session_sink_append(
+            stream,
+            flush,
+            sink_dir,
+            ckpt_dir,
+            gap_seconds=gap_s,
+            entity="user_id",
+            ts="ts",
+            watermark="1 hour",
+        )
     out = spark.read.parquet(sink_dir)
     return out.select(
         "user_id", F.col("n_turns").alias("n_events"), "start_ts", "end_ts"
@@ -2101,16 +2129,17 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
-    tumbling_sink_append(
-        _events_stream(spark, sf_dir),
-        flush,
-        sink_dir,
-        ckpt_dir,
-        duration="1 day",
-        entity="event_type",
-        ts="ts",
-        watermark="1 hour",
-    )
+    with _pinned_state_partitions(spark):
+        tumbling_sink_append(
+            _events_stream(spark, sf_dir),
+            flush,
+            sink_dir,
+            ckpt_dir,
+            duration="1 day",
+            entity="event_type",
+            ts="ts",
+            watermark="1 hour",
+        )
     return spark.read.parquet(sink_dir).select("window_start", "event_type", "n")
 
 
@@ -2155,14 +2184,15 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _fresh_stream_tmp("st_dedup_")
     sink_dir, ckpt_dir = f"{tmp}/sink", f"{tmp}/ckpt"
-    dedup_sink_append(
-        _events_stream(spark, sf_dir),
-        sink_dir,
-        ckpt_dir,
-        keys=["user_id", "event_type"],
-        ts="ts",
-        watermark="1 hour",
-    )
+    with _pinned_state_partitions(spark):
+        dedup_sink_append(
+            _events_stream(spark, sf_dir),
+            sink_dir,
+            ckpt_dir,
+            keys=["user_id", "event_type"],
+            ts="ts",
+            watermark="1 hour",
+        )
     return spark.read.parquet(sink_dir).select("user_id", "event_type")
 
 
@@ -2458,7 +2488,7 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    d = _documents(spark, sf_dir)
+    d = _fan(_documents(spark, sf_dir), "doc_id")
     doomed = minhash_lsh_pairs(d).select(F.col("doc_b").alias("doc_id")).distinct()
     return d.join(doomed, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
@@ -13787,7 +13817,7 @@ def kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kcore_peel,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     return kcore_peel(
         minhash_lsh_pairs(docs), docs.select("doc_id"), k=2, max_iters=30
     )
@@ -14083,7 +14113,7 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficients,
     )
 
-    pairs = minhash_lsh_pairs(_documents(spark, sf_dir)).localCheckpoint()
+    pairs = minhash_lsh_pairs(_fan(_documents(spark, sf_dir), "doc_id")).localCheckpoint()
     return clustering_coefficients(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "degree", "n_triangles", "cc_micro"
     )
@@ -14143,7 +14173,7 @@ def assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree_assortativity,
     )
 
-    pairs = minhash_lsh_pairs(_documents(spark, sf_dir)).localCheckpoint()
+    pairs = minhash_lsh_pairs(_fan(_documents(spark, sf_dir), "doc_id")).localCheckpoint()
     return degree_assortativity(pairs, src="doc_a", dst="doc_b")
 
 
@@ -14265,7 +14295,7 @@ def blocking_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     return blocking_quality(docs, minhash_lsh_pairs(docs))
 
 
@@ -14806,7 +14836,7 @@ def dedup_strategy_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir), "doc_id")
     return dedup_strategy_diff(
         docs, minhash_lsh_pairs(docs).localCheckpoint()
     )
@@ -14932,7 +14962,7 @@ def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = (
-        minhash_lsh_pairs(_documents(spark, sf_dir))
+        minhash_lsh_pairs(_fan(_documents(spark, sf_dir), "doc_id"))
         .where((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
         .localCheckpoint()
     )
