@@ -187,7 +187,10 @@ def cluster_silhouette(
             .alias("cq")
         )
     )
-    rows = cents.orderBy("label", "pos").collect()
+    # sort driver-side: .orderBy().collect() pays a range-partitioning
+    # sampling pass (an extra job) before the sort — the codebook is
+    # |labels|·d rows, trivially sortable after collect
+    rows = sorted(cents.collect(), key=lambda r: (r["label"], r["pos"]))
     by_label: dict[int, list[int]] = {}
     for r in rows:
         by_label.setdefault(r["label"], []).append(r["cq"])
@@ -287,7 +290,20 @@ def power_iteration_top(
         .limit(1)
         .select(F.col("i").alias("j"), F.lit(1_000_000).cast("bigint").alias("val"))
     )
-    v = start.localCheckpoint()
+    v = start
+    # The per-round normalizer max|G·v| comes from a whole-frame window
+    # over the d-row product — NOT a crossJoin(broadcast(agg)) of the
+    # same lineage, which re-executes the round's join/aggregate subtree
+    # a second time and forced a localCheckpoint (one materialization
+    # JOB per round) to stop exponential plan growth.  With the window
+    # the whole fixed-round loop is ONE linear plan over d-row frames:
+    # no per-round checkpoints, no per-round jobs; only G stays pinned.
+    # Identical integer DIV semantics (window max == aggregate max).
+    from pyspark.sql import Window as _W
+
+    wfull = _W.partitionBy().rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
     for _ in range(iters):
         # v's value column renamed before the join: G carries 'val' too
         raw = (
@@ -295,9 +311,8 @@ def power_iteration_top(
             .groupBy("i")
             .agg(F.sum(F.col("val") * F.col("__vv")).cast(d38).alias("raw"))
         )
-        mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("__mx"))
         v = (
-            raw.crossJoin(F.broadcast(mx))
+            raw.withColumn("__mx", F.max(F.abs(F.col("raw"))).over(wfull))
             .select(
                 F.col("i").alias("j"),
                 F.when(
@@ -308,8 +323,11 @@ def power_iteration_top(
                 .cast("bigint")
                 .alias("val"),
             )
-            .localCheckpoint()
         )
+    # one pin AFTER the loop: v feeds both gv and the Rayleigh pairing
+    # below, so without this single materialization the whole 8-round
+    # chain would re-execute once per consumer.
+    v = v.localCheckpoint()
     gv = (
         full.join(v.withColumnRenamed("val", "__vv"), "j")
         .groupBy("i")

@@ -87,8 +87,13 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("term"))
-    # per-doc length over ALL tokens (one map-side-combined agg)
-    dls = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # per-doc length = size(tokens) straight off the array — NOT an
+    # explode+groupBy over the full token stream (identical values:
+    # explode drops empty/NULL arrays, so filter size > 0; the count
+    # of exploded rows per doc IS the array size)
+    dls = docs.where(F.size(tokens_col) > 0).select(
+        F.col(id_col), F.size(tokens_col).cast("bigint").alias("dl")
+    )
     # corpus scalars: N docs, TL total tokens
     scal = dls.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -377,8 +382,10 @@ def mrr_at_k(
         )
     )
     toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("term"))
-    dls = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
+    # per-doc length from size(tokens) — see bm25_topk (no full-stream
+    # explode+groupBy; identical values)
+    dls = docs.where(F.size(tokens_col) > 0).select(
+        F.col(id_col), F.size(tokens_col).cast("bigint").alias("dl")
     )
     scal = dls.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
