@@ -354,32 +354,38 @@ def bigram_logprob_score(
 
 def _lm_score(toks: DataFrame, id_col: str, vocab_k: int) -> DataFrame:
     """Shared top-K corpus-LM scorer over a (id, term) stream — see
-    ``unigram_logprob_score`` for the exactness and plan contract."""
+    ``unigram_logprob_score`` for the exactness and plan contract.
+
+    The corpus-total N rides along as a LAZY broadcast scalar (the
+    psi_drift/time_travel precedent) instead of an eager ``collect``:
+    one plan, no mid-plan driver barrier, and the counts exchange is
+    reusable between the total and the top-K vocab within that single
+    job.  N < 2^53 keeps every cast-to-double exact, so ln(N/n) and
+    ln(2N) are bit-identical to the former Python-literal form."""
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n")).collect()[0][0] or 0  # ONE scalar
-    if total == 0:
-        return toks.select(
-            F.col(id_col),
-            F.lit(0).cast("bigint").alias("n_toks"),
-            F.lit(0).cast("bigint").alias("oov_toks"),
-            F.lit(0).cast("bigint").alias("nll_micro_sum"),
-            F.lit(0.0).alias("nll_mean"),
-        ).limit(0)
+    tot = counts.agg(F.sum("n").alias("__N"))  # 1 row, stays lazy
     vocab = (
         counts.orderBy(F.desc("n"), F.col("term"))
         .limit(vocab_k)
+        .crossJoin(F.broadcast(tot))
         .select(
             "term",
-            F.floor(F.log(F.lit(float(total)) / F.col("n")) * 1e6)
+            F.floor(F.log(F.col("__N").cast("double") / F.col("n")) * 1e6)
             .cast("bigint")
             .alias("lp_micro"),
         )
     )
-    oov_micro = F.floor(F.log(F.lit(float(2 * total))) * 1e6).cast("bigint")
-    scored = toks.join(F.broadcast(vocab), on="term", how="left").select(
-        F.col(id_col),
-        F.coalesce(F.col("lp_micro"), oov_micro).alias("lp"),
-        F.col("lp_micro").isNull().cast("bigint").alias("oov"),
+    oov_micro = F.floor(
+        F.log((F.col("__N") * F.lit(2)).cast("double")) * 1e6
+    ).cast("bigint")
+    scored = (
+        toks.join(F.broadcast(vocab), on="term", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lp_micro"), oov_micro).alias("lp"),
+            F.col("lp_micro").isNull().cast("bigint").alias("oov"),
+        )
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_toks"),
@@ -490,20 +496,14 @@ def pmi_topk(
         .where(F.col("c_ab") >= min_count),
         "textstats.pmi_bi",
     )
-    totals = uni.agg(
-        F.sum("c").cast("bigint").alias("n1"),
-    ).collect()[0]
-    n1 = int(totals["n1"] or 0)
-    if n1 == 0:
-        return bi.select(
-            F.lit("").alias("w1"),
-            F.lit("").alias("w2"),
-            F.lit(0).cast("bigint").alias("n_ab"),
-            F.lit(0).cast("bigint").alias("pmi_micro"),
-        ).limit(0)
-    n2 = int(
-        bi.agg(F.sum("c_ab")).collect()[0][0] or 0
-    )  # post-filter bigram mass: the model the cutoff actually keeps
+    # both totals ride along as LAZY broadcast scalars over the pinned
+    # vocab-sized frames (the psi_drift/time_travel precedent): no
+    # mid-plan driver barrier, one job instead of three.  n2 is the
+    # post-filter bigram mass: the model the cutoff actually keeps.
+    tot = (
+        uni.agg(F.sum("c").cast("bigint").alias("__n1"))
+        .crossJoin(bi.agg(F.sum("c_ab").cast("bigint").alias("__n2")))
+    )
     parts = F.split(F.col("gram"), " ")
     pairs = bi.select(
         parts.getItem(0).alias("w1"),
@@ -514,14 +514,15 @@ def pmi_topk(
     ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     d38 = "decimal(38,0)"
     num = (
-        F.col("c_ab").cast(d38) * F.lit(n1).cast(d38) * F.lit(n1).cast(d38)
+        F.col("c_ab").cast(d38) * F.col("__n1").cast(d38) * F.col("__n1").cast(d38)
     ).cast("double")
     den = (
-        F.lit(n2).cast(d38) * F.col("c_a").cast(d38) * F.col("c_b").cast(d38)
+        F.col("__n2").cast(d38) * F.col("c_a").cast(d38) * F.col("c_b").cast(d38)
     ).cast("double")
     scored = (
         pairs.join(ua, "w1")
         .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
         .select(
             "w1",
             "w2",

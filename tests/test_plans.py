@@ -375,7 +375,10 @@ def test_ngram_topk_partial_aggregate(spark):
 def test_lineitem_pricing_pushdown_and_partial_agg(spark):
     """TPC-H Q1 shape: the shipdate predicate reaches the parquet scan
     (PushedFilters) and the aggregation is map-side partially combined
-    around a single exchange."""
+    around a single ENSURE_REQUIREMENTS exchange.  Since r6 a narrow
+    single-split scan may additionally carry one REPARTITION_BY_NUM fan
+    exchange directly above the scan (scale-adaptive `_fan`; absent at
+    production split counts) — the aggregate exchange count stays 1."""
     import re
 
     from dane_visual_feature_extraction_worker_spark.plans.driver_queries import (
@@ -384,7 +387,13 @@ def test_lineitem_pricing_pushdown_and_partial_agg(spark):
 
     plan = _plan(QUERIES["lineitem_pricing"](spark, "/root/testdata/sf0.001"))
     assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    agg_exchanges = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+        if "ENSURE_REQUIREMENTS" in m
+    ]
+    assert len(agg_exchanges) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
 
 
