@@ -63,6 +63,18 @@ def test_read_parquet_memoized_schema_matches_inference(spark):
     assert again.schema == direct.schema
 
 
+def test_textstats_has_no_eager_collect():
+    """VERDICT r5 #4 done-criterion: the LM scorers route their corpus
+    totals through lazy broadcast scalars — no `.collect()` barrier
+    anywhere in operators/textstats.py."""
+    import inspect
+
+    from dane_visual_feature_extraction_worker_spark.operators import textstats
+
+    src = inspect.getsource(textstats)
+    assert ".collect(" not in src
+
+
 def test_lean_projection_order_matches_turn_idx(spark):
     """The `_tr_proj_lean` contract: within a conversation, ordering by
     (ts, turn_ord=event_id) is exactly the full projection's turn_idx
